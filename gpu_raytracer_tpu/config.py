@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+TPU-native re-design of the reference's compile-time constant block
+(`/root/reference/shared/src/lib.rs:17-35`, struct `RaytracerConfig`) promoted
+to a real runtime dataclass + CLI, per SURVEY.md §5 ("config").
+
+The reference hard-codes everything; we keep its *values* as defaults so that
+parity tests agree, but every field is overridable at runtime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RaytracerConfig:
+    # --- values mirrored from /root/reference/shared/src/lib.rs:20-34 ---
+    tile_size: int = 128                 # TILE_SIZE
+    camera_move_speed: float = 0.1       # CAMERA_MOVE_SPEED
+    camera_rotate_sensitivity: float = 0.005  # CAMERA_ROTATE_SENSITIVITY
+    min_ray_distance: float = 1e-5       # MIN_RAY_DISTANCE
+    performance_stats_interval: int = 60  # PERFORMANCE_STATS_INTERVAL (frames)
+    camera_pitch_clamp: float = 0.99     # CAMERA_PITCH_CLAMP
+
+    # --- TPU-native knobs (no reference equivalent: wgpu limits don't apply) ---
+    # Ray batch processed per device step. Multiple of 8*128 VPU lanes.
+    ray_batch_size: int = 128 * 1024
+    # BVH traversal stack depth (reference uses 64, shader/src/bvh.rs:35-38).
+    bvh_stack_depth: int = 64
+    # Max triangles referenced by one BVH leaf (static unroll bound on device).
+    bvh_leaf_size: int = 4
+    # Wavefront path tracing.
+    max_bounce_depth: int = 4            # PushConstants::new default (shared/src/lib.rs:1088)
+    russian_roulette_start: int = 2      # bounce depth at which RR kicks in
+    # Rendering precision for the compute path.
+    dtype: str = "float32"
+    # Use the Pallas kernels where available (falls back to pure XLA if not).
+    use_pallas: bool = True
+
+    def replace(self, **kw) -> "RaytracerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RaytracerConfig()
+
+
+def add_config_args(parser: argparse.ArgumentParser) -> None:
+    """Register every config field as a CLI flag (--tile-size etc.)."""
+    for f in dataclasses.fields(RaytracerConfig):
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(flag, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=f.default)
+        else:
+            parser.add_argument(flag, type=type(f.default), default=f.default)
+
+
+def config_from_args(args: argparse.Namespace) -> RaytracerConfig:
+    kw = {f.name: getattr(args, f.name) for f in dataclasses.fields(RaytracerConfig)
+          if hasattr(args, f.name)}
+    return RaytracerConfig(**kw)

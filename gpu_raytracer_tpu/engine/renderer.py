@@ -1,0 +1,123 @@
+"""Frame renderer: ray-batch pipeline over the whole image.
+
+TPU-native replacement for the reference's dispatch machinery
+(/root/reference/src/compute.rs:12-251): instead of per-tile × per-channel
+compute dispatches writing 3 storage textures recombined by a fragment shader
+(src/renderer.rs:778-818), one jitted function traces a ray batch and shades
+all three wavelength channels at once (see ops/shading.py for why that is
+exactly equivalent). The image is processed in fixed-size ray chunks so the
+traversal working set (per-ray BVH stacks) stays bounded; chunks reuse one
+compiled executable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, RaytracerConfig
+from ..models.camera import Camera
+from ..models.scene import Scene
+from ..ops.camera_rays import generate_rays
+from ..ops.linalg import normalize
+from ..ops.shading import shade
+from ..ops.trace import trace, occluded
+
+
+def _shadow_mask(scene: Scene, hit, leaf_size: int, use_bvh: bool):
+    """[N,L] visibility: 1 where the light is reachable from the hit point.
+
+    Shadow-ray semantics per WavefrontRay::shadow_ray
+    (/root/reference/shared/src/lib.rs:934-956): origin offset by t_min=0.001
+    along the surface normal, t_max = distance to the light. The reference
+    declared but never traced these (SURVEY.md gap); here they are real.
+    """
+    L = scene.lights
+    N = hit.point.shape[0]
+    nl = L.count
+    origin = hit.point + hit.normal * 1e-3                     # [N,3]
+
+    to_light = L.position[None, :, :] - hit.point[:, None, :]  # [N,L,3]
+    dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))     # [N,L]
+    pl_dir = to_light / dist[..., None]
+    ldir = normalize(L.direction)[None, :, :]
+    is_directional = (L.light_type[None, :] == 0)
+    sdir = jnp.where(is_directional[..., None], -jnp.broadcast_to(ldir, to_light.shape), pl_dir)
+    smax = jnp.where(is_directional, jnp.float32(3.0e38), dist - 1e-3)
+
+    o = jnp.broadcast_to(origin[:, None, :], (N, nl, 3)).reshape(-1, 3)
+    d = sdir.reshape(-1, 3)
+    m = smax.reshape(-1)
+    blocked = occluded(scene, o, d, m, leaf_size=leaf_size, use_bvh=use_bvh)
+    mask = 1.0 - blocked.reshape(N, nl).astype(jnp.float32)
+    # Only meaningful for actual hits; misses shade as sky anyway.
+    return jnp.where(hit.hit[:, None], mask, 1.0)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "shadows", "use_bvh",
+                                   "leaf_size", "sky"))
+def render_chunk(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
+                 width: int, height: int, shadows: bool = False,
+                 use_bvh: bool = True, leaf_size: int = 4,
+                 sky: tuple = (0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """Trace + shade one ray chunk → RGB [n,3]."""
+    orig, dirn = generate_rays(scene.camera, width, height, px, py)
+    hit = trace(scene, orig, dirn, leaf_size=leaf_size, use_bvh=use_bvh)
+    mask = _shadow_mask(scene, hit, leaf_size, use_bvh) if shadows else None
+    return shade(scene, hit, shadow_mask=mask, sky_color=sky)
+
+
+class Renderer:
+    """Whole-frame renderer with chunked execution.
+
+    The equivalent of ComputeRenderer's legacy path
+    (/root/reference/src/compute.rs:10-251) minus the wgpu plumbing; the
+    progressive tile scheduler lives in engine/progressive.py.
+    """
+
+    def __init__(self, scene: Scene, width: int, height: int,
+                 config: RaytracerConfig = DEFAULT_CONFIG,
+                 shadows: bool = False, sky=(0.0, 0.0, 0.0)):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.config = config
+        self.shadows = shadows
+        self.sky = tuple(float(x) for x in sky)
+        self.use_bvh = scene.bvh.num_nodes > 1
+
+    def set_camera(self, camera: Camera) -> None:
+        self.scene = self.scene.with_camera(camera)
+
+    def render(self) -> np.ndarray:
+        """Render the full frame → float32 [H,W,3]."""
+        W, H = self.width, self.height
+        n = W * H
+        chunk = min(self.config.ray_batch_size, n)
+        py, px = np.mgrid[0:H, 0:W]
+        px = px.reshape(-1).astype(np.int32)
+        py = py.reshape(-1).astype(np.int32)
+        pad = (-n) % chunk
+        if pad:
+            px = np.concatenate([px, np.zeros(pad, np.int32)])
+            py = np.concatenate([py, np.zeros(pad, np.int32)])
+        out = []
+        for s in range(0, n + pad, chunk):
+            rgb = render_chunk(
+                self.scene, jnp.asarray(px[s:s + chunk]), jnp.asarray(py[s:s + chunk]),
+                W, H, shadows=self.shadows, use_bvh=self.use_bvh,
+                leaf_size=self.config.bvh_leaf_size, sky=self.sky)
+            out.append(rgb)
+        img = jnp.concatenate(out)[:n]
+        return np.asarray(img.reshape(H, W, 3))
+
+
+def render_image(scene: Scene, width: int, height: int, *,
+                 shadows: bool = False, sky=(0.0, 0.0, 0.0),
+                 config: RaytracerConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """One-shot convenience wrapper."""
+    return Renderer(scene, width, height, config=config,
+                    shadows=shadows, sky=sky).render()

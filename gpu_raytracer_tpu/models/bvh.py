@@ -1,0 +1,220 @@
+"""BVH: flattened node model + host-side builder.
+
+Node semantics match the reference `BvhNode`
+(/root/reference/shared/src/lib.rs:152-161): AABB bounds, left/right child
+indices with a leaf sentinel, and a contiguous (start, count) range of
+triangle indices. The reference builds with an external crate's parallel
+builder at 1 triangle per leaf (/root/reference/src/bvh.rs:125-151) and a
+chunked strategy above 100k triangles (bvh.rs:154-189); we build a binned-SAH
+tree in vectorised NumPy (an optional native C++ builder lives in csrc/), and
+**reorder the triangles into leaf order** so that device-side leaf tests are
+contiguous reads instead of gathers — the indirection list
+(`triangle_indices`, bvh.rs:366-369) becomes the identity and is folded away.
+
+Device-side sentinel: the reference uses 0xFFFFFFFF (u32); we use -1 (int32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass
+from .geometry import triangle_aabbs
+
+LEAF = -1  # child sentinel (reference: 0xFFFFFFFF, shared/src/lib.rs:157-158)
+
+
+@pytree_dataclass
+class Bvh:
+    node_min: jnp.ndarray   # [N,3] f32
+    node_max: jnp.ndarray   # [N,3] f32
+    left: jnp.ndarray       # [N] i32, -1 if leaf
+    right: jnp.ndarray      # [N] i32, -1 if leaf
+    tri_start: jnp.ndarray  # [N] i32: first triangle (in leaf-ordered arrays)
+    tri_count: jnp.ndarray  # [N] i32: triangles in leaf (0 for internal)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.left.shape[0]
+
+    @staticmethod
+    def single_leaf(num_triangles: int) -> "Bvh":
+        """Degenerate one-node BVH covering everything (brute-force in a box)."""
+        big = np.float32(3.0e38)
+        return Bvh(
+            node_min=jnp.asarray([[-big] * 3], jnp.float32),
+            node_max=jnp.asarray([[big] * 3], jnp.float32),
+            left=jnp.asarray([LEAF], jnp.int32),
+            right=jnp.asarray([LEAF], jnp.int32),
+            tri_start=jnp.asarray([0], jnp.int32),
+            tri_count=jnp.asarray([num_triangles], jnp.int32),
+        )
+
+
+class BvhBuildResult:
+    """Host-side build output (NumPy)."""
+
+    def __init__(self, node_min, node_max, left, right, tri_start, tri_count,
+                 tri_order, max_depth):
+        self.node_min = node_min
+        self.node_max = node_max
+        self.left = left
+        self.right = right
+        self.tri_start = tri_start
+        self.tri_count = tri_count
+        self.tri_order = tri_order      # [T] permutation: leaf order -> original id
+        self.max_depth = max_depth
+
+    def to_device(self) -> Bvh:
+        return Bvh(
+            node_min=jnp.asarray(self.node_min),
+            node_max=jnp.asarray(self.node_max),
+            left=jnp.asarray(self.left),
+            right=jnp.asarray(self.right),
+            tri_start=jnp.asarray(self.tri_start),
+            tri_count=jnp.asarray(self.tri_count),
+        )
+
+
+_SAH_BINS = 16
+
+
+def build_bvh(vertices: np.ndarray, indices: np.ndarray, leaf_size: int = 4,
+              use_native: bool = True) -> BvhBuildResult:
+    """Binned-SAH top-down build. Returns flattened nodes + triangle order.
+
+    Root is node 0 (same invariant the reference's conversion establishes,
+    /root/reference/src/bvh.rs:282-290).
+    """
+    vertices = np.asarray(vertices, np.float32)
+    indices = np.asarray(indices, np.uint32)
+    T = indices.shape[0]
+    if T == 0:
+        r = Bvh.single_leaf(0)
+        return BvhBuildResult(
+            np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
+            np.asarray([LEAF], np.int32), np.asarray([LEAF], np.int32),
+            np.asarray([0], np.int32), np.asarray([0], np.int32),
+            np.zeros((0,), np.int64), 1)
+
+    if use_native:
+        try:
+            from .bvh_native import build_bvh_native
+            out = build_bvh_native(vertices, indices, leaf_size)
+            if out is not None:
+                return out
+        except Exception:
+            pass  # fall back to the NumPy builder
+
+    tmin, tmax = triangle_aabbs(vertices, indices)
+    centroid = 0.5 * (tmin + tmax)
+
+    order = np.arange(T, dtype=np.int64)
+    # Pre-size output arrays: a binary tree with L leaves has < 2L nodes.
+    cap = max(2 * (2 * T // max(leaf_size, 1) + 2), 16)
+    node_min = np.zeros((cap, 3), np.float32)
+    node_max = np.zeros((cap, 3), np.float32)
+    left = np.full(cap, LEAF, np.int32)
+    right = np.full(cap, LEAF, np.int32)
+    tri_start = np.zeros(cap, np.int32)
+    tri_count = np.zeros(cap, np.int32)
+    n_nodes = 1  # node 0 = root
+    max_depth = 1
+
+    # Explicit stack of (node_idx, lo, hi, depth) over ranges of `order`.
+    stack = [(0, 0, T, 1)]
+    while stack:
+        node, lo, hi, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        ids = order[lo:hi]
+        bmin = tmin[ids].min(axis=0)
+        bmax = tmax[ids].max(axis=0)
+        node_min[node] = bmin
+        node_max[node] = bmax
+        count = hi - lo
+        if count <= leaf_size:
+            tri_start[node] = lo
+            tri_count[node] = count
+            continue
+
+        cen = centroid[ids]
+        cmin, cmax = cen.min(axis=0), cen.max(axis=0)
+        extent = cmax - cmin
+        axis = int(np.argmax(extent))
+        if extent[axis] <= 0.0:
+            # All centroids identical: split in the middle by index.
+            mid = lo + count // 2
+        else:
+            # Binned SAH along the widest centroid axis.
+            scale = _SAH_BINS * (1.0 - 1e-6) / extent[axis]
+            bins = ((cen[:, axis] - cmin[axis]) * scale).astype(np.int32)
+            bins = np.clip(bins, 0, _SAH_BINS - 1)
+            bin_cnt = np.bincount(bins, minlength=_SAH_BINS)
+            bin_min = np.full((_SAH_BINS, 3), np.inf, np.float32)
+            bin_max = np.full((_SAH_BINS, 3), -np.inf, np.float32)
+            for a in range(3):
+                np.minimum.at(bin_min[:, a], bins, tmin[ids][:, a])
+                np.maximum.at(bin_max[:, a], bins, tmax[ids][:, a])
+            # Prefix/suffix sweeps for SAH cost of the B-1 split planes.
+            lmin = np.minimum.accumulate(bin_min, axis=0)
+            lmax = np.maximum.accumulate(bin_max, axis=0)
+            rmin = np.minimum.accumulate(bin_min[::-1], axis=0)[::-1]
+            rmax = np.maximum.accumulate(bin_max[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(bin_cnt)
+            rcnt = count - lcnt
+
+            def area(mn, mx):
+                d = np.maximum(mx - mn, 0.0)
+                return 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0])
+
+            cost = area(lmin, lmax)[:-1] * lcnt[:-1] + area(rmin[1:], rmax[1:]) * rcnt[:-1]
+            cost = np.where((lcnt[:-1] == 0) | (rcnt[:-1] == 0), np.inf, cost)
+            best = int(np.argmin(cost))
+            if not np.isfinite(cost[best]):
+                mid = lo + count // 2
+            else:
+                go_left = bins <= best
+                sel = np.concatenate([ids[go_left], ids[~go_left]])
+                order[lo:hi] = sel
+                mid = lo + int(np.count_nonzero(go_left))
+                if mid == lo or mid == hi:
+                    mid = lo + count // 2
+
+        if mid == lo or mid == hi:  # degenerate guard
+            mid = lo + count // 2
+        l_idx, r_idx = n_nodes, n_nodes + 1
+        n_nodes += 2
+        if n_nodes > cap:
+            raise RuntimeError("BVH node capacity exceeded")
+        left[node] = l_idx
+        right[node] = r_idx
+        stack.append((r_idx, mid, hi, depth + 1))
+        stack.append((l_idx, lo, mid, depth + 1))
+
+    return BvhBuildResult(
+        node_min[:n_nodes].copy(), node_max[:n_nodes].copy(),
+        left[:n_nodes].copy(), right[:n_nodes].copy(),
+        tri_start[:n_nodes].copy(), tri_count[:n_nodes].copy(),
+        order, max_depth,
+    )
+
+
+def validate_bvh(res: BvhBuildResult, num_triangles: int) -> None:
+    """Property checks (SURVEY.md §4): every triangle reachable exactly once,
+    parent bounds contain child bounds, leaf ranges disjoint-contiguous."""
+    seen = np.zeros(num_triangles, bool)
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        if res.left[n] == LEAF:
+            s, c = res.tri_start[n], res.tri_count[n]
+            ids = res.tri_order[s:s + c]
+            assert not seen[ids].any(), "triangle in two leaves"
+            seen[ids] = True
+        else:
+            for ch in (res.left[n], res.right[n]):
+                assert (res.node_min[ch] >= res.node_min[n] - 1e-6).all()
+                assert (res.node_max[ch] <= res.node_max[n] + 1e-6).all()
+                stack.append(int(ch))
+    assert seen.all(), "unreachable triangle"

@@ -1,0 +1,180 @@
+"""Scene: the pytree-of-SoA-arrays that lives in HBM.
+
+TPU-native replacement for the reference's `SceneState` CPU arrays
+(/root/reference/src/scene.rs:6-17) + the combined-metadata GPU buffer packing
+(/root/reference/src/buffers.rs:157-271): instead of one u32 blob with manual
+offset decoding (shader/src/scene_access.rs), the scene is a typed pytree that
+`jax.device_put` ships to the chip in one transfer and `jit` treats as regular
+operands. Triangle data is additionally pre-expanded to Möller-Trumbore form
+(v0, e1, e2) in **BVH leaf order**, so traversal leaf tests are contiguous
+vector reads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import RaytracerConfig, DEFAULT_CONFIG
+from ..utils.pytree import pytree_dataclass, replace
+from .camera import Camera
+from .geometry import Mesh, Spheres, Textures, dedup_triangles
+from .light import LightBuilder, Lights
+from .material import MaterialBuilder, Materials
+from .bvh import Bvh, build_bvh, BvhBuildResult
+
+
+@pytree_dataclass
+class Scene:
+    camera: Camera
+    spheres: Spheres
+    mesh: Mesh              # original triangle order (parity/refit/export)
+    materials: Materials
+    lights: Lights
+    textures: Textures
+    bvh: Bvh
+    # Leaf-ordered, Möller-Trumbore-expanded triangles (padded to a multiple
+    # of the leaf size with degenerate triangles that can never hit):
+    tri_v0: jnp.ndarray     # [Tp,3] f32
+    tri_e1: jnp.ndarray     # [Tp,3] f32  (v1 - v0)
+    tri_e2: jnp.ndarray     # [Tp,3] f32  (v2 - v0)
+    tri_mat: jnp.ndarray    # [Tp] i32
+
+    @property
+    def num_triangles(self) -> int:
+        return self.mesh.num_triangles
+
+    def with_camera(self, camera: Camera) -> "Scene":
+        return replace(self, camera=camera)
+
+
+def _expand_triangles(vertices: np.ndarray, indices: np.ndarray,
+                      material_id: np.ndarray, order: np.ndarray,
+                      pad_to: int):
+    """Gather + expand triangles into (v0, e1, e2, mat) in `order`, padding
+    with degenerate (zero-edge) triangles the intersector rejects."""
+    v = np.asarray(vertices, np.float32)
+    idx = np.asarray(indices, np.int64)[order]
+    mat = np.asarray(material_id, np.int64)[order]
+    v0 = v[idx[:, 0]]
+    e1 = v[idx[:, 1]] - v0
+    e2 = v[idx[:, 2]] - v0
+    T = v0.shape[0]
+    Tp = max(((T + pad_to - 1) // pad_to) * pad_to, pad_to)
+    if Tp != T:
+        pad = Tp - T
+        z = np.zeros((pad, 3), np.float32)
+        v0 = np.concatenate([v0, z])
+        e1 = np.concatenate([e1, z])
+        e2 = np.concatenate([e2, z])
+        mat = np.concatenate([mat, np.zeros(pad, np.int64)])
+    return (jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(mat.astype(np.int32)))
+
+
+def prepare_scene(
+    camera: Camera,
+    spheres: Spheres,
+    mesh: Mesh,
+    materials: Materials,
+    lights: Lights,
+    textures: Textures | None = None,
+    config: RaytracerConfig = DEFAULT_CONFIG,
+    bvh_result: BvhBuildResult | None = None,
+) -> Scene:
+    """Assemble a device scene: build the BVH (host, unless given), reorder
+    triangles into leaf order, precompute edges. Mirrors SceneState::new's
+    always-rebuild-BVH behaviour (/root/reference/src/scene.rs:20-127)."""
+    vertices = np.asarray(mesh.vertices)
+    indices = np.asarray(mesh.indices)
+    material_id = np.asarray(mesh.material_id)
+    if bvh_result is None:
+        bvh_result = build_bvh(vertices, indices, leaf_size=config.bvh_leaf_size)
+    tri_v0, tri_e1, tri_e2, tri_mat = _expand_triangles(
+        vertices, indices, material_id, bvh_result.tri_order,
+        pad_to=max(config.bvh_leaf_size, 8),
+    )
+    return Scene(
+        camera=camera,
+        spheres=spheres,
+        mesh=mesh,
+        materials=materials,
+        lights=lights,
+        textures=textures if textures is not None else Textures.empty(),
+        bvh=bvh_result.to_device(),
+        tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=tri_mat,
+    )
+
+
+def build_default_scene(config: RaytracerConfig = DEFAULT_CONFIG) -> Scene:
+    """The reference demo scene — SceneBuilder::build_default_scene
+    (/root/reference/shared/src/lib.rs:1242-1286): 4 materials, 6 spheres,
+    2 triangles, 1 point light, default camera."""
+    mats = MaterialBuilder()
+    mats.add_diffuse((0.8, 0.3, 0.3))                 # 0: red diffuse
+    mats.add_metallic((0.8, 0.8, 0.2), 0.1)           # 1: yellow metal
+    mats.add_glass((0.2, 0.3, 0.8), 1.5, 0.9)         # 2: blue glass
+    mats.add_emissive((1.0, 1.0, 1.0), (0.5, 0.5, 1.0))  # 3: blue light
+
+    spheres = Spheres.from_rows([
+        ((0.0, 0.0, -1.0), 0.5, 0),
+        ((-1.0, 0.0, -1.0), 0.5, 1),
+        ((1.0, 0.0, -1.0), 0.5, 2),
+        ((2.0, 0.0, -3.0), 0.5, 2),
+        ((-2.0, 0.0, -4.0), 0.5, 1),
+        ((-1.0, 2.0, -5.0), 0.5, 3),
+    ])
+
+    tri_verts = np.asarray([
+        [[0.0, 1.0, -2.0], [-0.5, 0.0, -2.0], [0.5, 0.0, -2.0]],
+        [[1.5, 0.5, -3.0], [1.0, -0.5, -3.0], [2.0, -0.5, -3.0]],
+    ], np.float32)
+    v, i, m = dedup_triangles(tri_verts, np.asarray([0, 1], np.uint32))
+    mesh = Mesh.from_arrays(v, i, m)
+
+    lb = LightBuilder()
+    lb.add_point((5.0, 7.0, 4.0), (1.0, 1.0, 1.0), 1.0, float("inf"))
+
+    return prepare_scene(Camera.default(), spheres, mesh, mats.build(),
+                         lb.build(), config=config)
+
+
+def memory_stats(scene: Scene) -> dict:
+    """Byte accounting per component — the reference's memory-usage dashboard
+    (/root/reference/src/scene.rs:130-206)."""
+    def nbytes(x):
+        return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(x))
+
+    tris = scene.mesh.num_triangles
+    verts = scene.mesh.num_vertices
+    stats = {
+        "spheres_bytes": nbytes(scene.spheres),
+        "mesh_bytes": nbytes(scene.mesh),
+        "expanded_tri_bytes": (np.asarray(scene.tri_v0).nbytes * 3
+                               + np.asarray(scene.tri_mat).nbytes),
+        "materials_bytes": nbytes(scene.materials),
+        "lights_bytes": nbytes(scene.lights),
+        "textures_bytes": nbytes(scene.textures),
+        "bvh_bytes": nbytes(scene.bvh),
+        "triangles": tris,
+        "vertices": verts,
+        "bvh_nodes": scene.bvh.num_nodes,
+    }
+    stats["total_bytes"] = sum(v for k, v in stats.items() if k.endswith("_bytes"))
+    # Vertex-dedup saving vs fat triangles (scene.rs:168-183).
+    fat = tris * 9 * 4
+    stats["dedup_savings_bytes"] = max(fat - verts * 12, 0)
+    return stats
+
+
+def print_memory_usage(scene: Scene) -> None:
+    s = memory_stats(scene)
+    mb = lambda b: f"{b / (1024 * 1024):8.2f} MB"
+    print("=== Scene memory usage ===")
+    for key in ("spheres_bytes", "mesh_bytes", "expanded_tri_bytes",
+                "materials_bytes", "lights_bytes", "textures_bytes", "bvh_bytes"):
+        print(f"  {key[:-6]:>14}: {mb(s[key])}")
+    print(f"  {'total':>14}: {mb(s['total_bytes'])}")
+    print(f"  triangles={s['triangles']} vertices={s['vertices']} "
+          f"bvh_nodes={s['bvh_nodes']} dedup_savings={mb(s['dedup_savings_bytes'])}")

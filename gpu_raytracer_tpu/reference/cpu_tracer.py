@@ -1,0 +1,241 @@
+"""NumPy oracle tracer (SURVEY.md §7 P0).
+
+An independent, deliberately-naive brute-force implementation of the
+reference render semantics (/root/reference/shader/src/: ray.rs,
+intersection.rs, lighting.rs, material.rs, lib.rs) used as the golden oracle
+for RMSE and bit-stability tests of the JAX path. No BVH, no batching tricks
+— every ray tests every primitive, mirroring the reference's sequential
+per-thread loops, including their tie rules (strict `<` with earlier
+primitive winning) and the f16 round-trips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MIN_T = 1e-5
+F32_MAX = np.float32(3.4028235e38)
+DISPERSION = np.array([-0.018, 0.0, 0.035], np.float32)
+
+
+def _f16(x):
+    return np.float32(np.float16(np.float32(x)))
+
+
+def unpack_f16_pair(u):
+    lo = np.array(u & 0xFFFF, np.uint16).view(np.float16).astype(np.float32)
+    hi = np.array((u >> 16) & 0xFFFF, np.uint16).view(np.float16).astype(np.float32)
+    return float(lo), float(hi)
+
+
+def _normalize(v):
+    return v / np.sqrt(np.dot(v, v))
+
+
+def _max0(x):
+    # Rust f32::max(0.0): NaN -> 0
+    return x if x > 0.0 else 0.0
+
+
+def camera_ray(cam, width, height, x, y):
+    """ray.rs:22-53."""
+    u = (x + 0.5) / width
+    v = (y + 0.5) / height
+    aspect = np.float32(width) / np.float32(height)
+    fov_scale = np.tan(np.float32(cam["fov"]) * 0.5 * np.pi / 180.0)
+    cx = (u * 2.0 - 1.0) * aspect * fov_scale
+    cy = (1.0 - v * 2.0) * fov_scale
+    forward = np.asarray(cam["direction"], np.float32)
+    up = np.asarray(cam["up"], np.float32)
+    right = np.cross(forward, up)
+    true_up = np.cross(right, forward)
+    d = forward + right * cx + true_up * cy
+    return np.asarray(cam["position"], np.float32), _normalize(d).astype(np.float32)
+
+
+def sphere_hit(o, d, center, radius, max_t):
+    """intersection.rs:52-87 → (t, hit)."""
+    oc = o - center
+    a = float(np.dot(d, d))
+    b = 2.0 * float(np.dot(oc, d))
+    c = float(np.dot(oc, oc)) - radius * radius
+    disc = b * b - 4.0 * a * c
+    if disc < 0.0:
+        return F32_MAX, False
+    sq = np.sqrt(disc)
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    t = t1 if t1 > MIN_T else t2
+    if t > MIN_T and t < max_t:
+        return t, True
+    return F32_MAX, False
+
+
+def triangle_hit(o, d, v0, v1, v2, max_t):
+    """intersection.rs:91-138 → (t, hit)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = np.cross(d, e2)
+    a = float(np.dot(e1, h))
+    if abs(a) < MIN_T:
+        return F32_MAX, False
+    f = 1.0 / a
+    s = o - v0
+    u = f * float(np.dot(s, h))
+    if u < 0.0 or u > 1.0:
+        return F32_MAX, False
+    q = np.cross(s, e1)
+    v = f * float(np.dot(d, q))
+    if v < 0.0 or u + v > 1.0:
+        return F32_MAX, False
+    t = f * float(np.dot(e2, q))
+    if t > MIN_T and t < max_t:
+        return t, True
+    return F32_MAX, False
+
+
+def closest_hit(scene, o, d, max_t=None):
+    """find_closest_intersection (shader/src/lib.rs:174-249): spheres first,
+    triangles pruned at the sphere t. Returns dict or None."""
+    if max_t is None:
+        max_t = float(F32_MAX) - 2.0
+    best = None
+    closest = max_t
+    for i, (c, r, mid) in enumerate(scene["spheres"]):
+        t, ok = sphere_hit(o, d, np.asarray(c, np.float32), r, closest)
+        if ok:
+            closest = t
+            p = o + d * t
+            best = dict(t=t, point=p, normal=_normalize(p - np.asarray(c, np.float32)),
+                        material_id=mid, kind="sphere", prim=i)
+    tri_limit = closest
+    for j, (i0, i1, i2, mid) in enumerate(scene["triangles"]):
+        v0 = scene["vertices"][i0]
+        v1 = scene["vertices"][i1]
+        v2 = scene["vertices"][i2]
+        t, ok = triangle_hit(o, d, v0, v1, v2, tri_limit)
+        if ok:
+            tri_limit = t
+            p = o + d * t
+            n = _normalize(np.cross(v1 - v0, v2 - v0))
+            best = dict(t=t, point=p, normal=n, material_id=mid, kind="triangle", prim=j)
+    return best
+
+
+def light_contribution(scene, hit, light, mat):
+    """lighting.rs:50-139 (branchless blend reproduced with plain ifs +
+    Rust-max semantics)."""
+    n = hit["normal"]
+    p = hit["point"]
+    pos = np.asarray(light["position"], np.float32)
+    ldir = np.asarray(light["direction"], np.float32)
+    lt = light["light_type"]
+
+    # directional part
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dnorm = _normalize(ldir)
+        dir_dot = float(np.dot(n, -dnorm))
+    dir_I = _max0(dir_dot if dir_dot == dir_dot else float("nan")) * light["intensity"]
+
+    # point/spot part
+    to_light = pos - p
+    dist = float(np.sqrt(np.dot(to_light, to_light)))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pl = to_light / dist
+        atten = _f16(1.0 / (1.0 + dist * dist * 0.01))
+        pdot = float(np.dot(n, pl))
+    point_I = _max0(pdot if pdot == pdot else float("nan")) * light["intensity"] * atten
+    with np.errstate(invalid="ignore"):
+        sdot = float(np.dot(-dnorm, pl))
+    spot_I = point_I * _max0(sdot if sdot == sdot else float("nan"))
+
+    I = dir_I * (lt == 0) + point_I * (lt == 1) + spot_I * (lt == 2)
+
+    # BRDF (material.rs:76-83)
+    metallic, _ = unpack_f16_pair(mat["metallic_roughness_f16"])
+    albedo = np.asarray(mat["albedo"], np.float32)
+    is_m = 1.0 if metallic > 0.5 else 0.0
+    brdf = albedo * I * 0.5 * is_m + (albedo / np.pi) * I * (1.0 - is_m)
+    valid = 1.0 if I > 0.0 else 0.0
+    return brdf * np.asarray(light["color"], np.float32) * valid
+
+
+def shade(scene, hit, channel):
+    """calculate_shading (lib.rs:299-338) for a single channel 0/1/2."""
+    mats = scene["materials"]
+    if hit["material_id"] >= len(mats):
+        return np.array([1.0, 0.0, 1.0], np.float32)
+    mat = mats[hit["material_id"]]
+    albedo = np.asarray(mat["albedo"], np.float32)
+    total = albedo * 0.1
+    for light in scene["lights"]:
+        total = total + light_contribution(scene, hit, light, mat)
+    total = total + np.asarray(mat["emission"], np.float32)
+
+    ior, trans = unpack_f16_pair(mat["ior_transmission_f16"])
+    trans = min(max(trans, 0.0), 1.0)
+    if trans > 0.0:
+        # ior_for_channel (material.rs:42-58); channel >= 3 uses the 0.0 fallback
+        wl = ior + (float(DISPERSION[channel]) if channel < 3 else 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            disp = (wl - 1.0) / (ior - 1.0)
+        transmitted = np.array([0.2, 0.2, 0.3], np.float32) * disp
+        return total * (1.0 - trans) + transmitted * trans
+    return total
+
+
+def render(scene, width, height):
+    """Full-frame oracle render with the 3-channel-pass recombination
+    (main_fs, lib.rs:367-391): out[c] = pass_c[c]. → [H,W,3] f32."""
+    img = np.zeros((height, width, 3), np.float32)
+    for y in range(height):
+        for x in range(width):
+            o, d = camera_ray(scene["camera"], width, height, x, y)
+            hit = closest_hit(scene, o, d)
+            if hit is None:
+                continue
+            for c in range(3):
+                img[y, x, c] = shade(scene, hit, c)[c]
+    return img
+
+
+def scene_dict_from(scene) -> dict:
+    """Convert a gpu_raytracer_tpu Scene pytree to the oracle's dict format."""
+    import numpy as onp
+
+    sp = scene.spheres
+    mats = []
+    m = scene.materials
+    for i in range(m.count):
+        mats.append(dict(
+            albedo=onp.asarray(m.albedo[i]),
+            emission=onp.asarray(m.emission[i]),
+            metallic_roughness_f16=int(m.metallic_roughness_f16[i]),
+            ior_transmission_f16=int(m.ior_transmission_f16[i]),
+        ))
+    lights = []
+    Lt = scene.lights
+    for i in range(Lt.count):
+        lights.append(dict(
+            position=onp.asarray(Lt.position[i]),
+            direction=onp.asarray(Lt.direction[i]),
+            color=onp.asarray(Lt.color[i]),
+            intensity=float(Lt.intensity[i]),
+            light_type=int(Lt.light_type[i]),
+        ))
+    cam = dict(
+        position=onp.asarray(scene.camera.position),
+        direction=onp.asarray(scene.camera.direction),
+        up=onp.asarray(scene.camera.up),
+        fov=float(scene.camera.fov),
+    )
+    return dict(
+        camera=cam,
+        spheres=[(onp.asarray(sp.center[i]), float(sp.radius[i]), int(sp.material_id[i]))
+                 for i in range(sp.count)],
+        vertices=onp.asarray(scene.mesh.vertices),
+        triangles=[(int(a), int(b), int(c), int(mm)) for (a, b, c), mm in
+                   zip(onp.asarray(scene.mesh.indices), onp.asarray(scene.mesh.material_id))],
+        materials=mats,
+        lights=lights,
+    )

@@ -1,0 +1,30 @@
+"""Test environment: force a virtual 8-device CPU mesh.
+
+Kernels are pure functions, so `jax.jit` on CPU is the reference-accurate
+fake backend (SURVEY.md §4); multi-chip sharding tests run on 8 virtual CPU
+devices via XLA's host platform device count.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def default_scene():
+    from gpu_raytracer_tpu import build_default_scene
+
+    return build_default_scene()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,93 @@
+"""BVH build properties + traversal parity vs brute force."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpu_raytracer_tpu.models.bvh import build_bvh, validate_bvh, LEAF
+from gpu_raytracer_tpu.models.geometry import Mesh, Spheres
+from gpu_raytracer_tpu.models.material import MaterialBuilder
+from gpu_raytracer_tpu.models.light import LightBuilder
+from gpu_raytracer_tpu.models.camera import Camera
+from gpu_raytracer_tpu.models.scene import prepare_scene
+from gpu_raytracer_tpu.ops.trace import trace
+
+
+def _tri_soup(rng, n, spread=10.0, size=0.5):
+    v0 = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    v1 = v0 + rng.normal(size=(n, 3)).astype(np.float32) * size
+    v2 = v0 + rng.normal(size=(n, 3)).astype(np.float32) * size
+    verts = np.concatenate([v0, v1, v2])
+    idx = np.arange(3 * n, dtype=np.uint32).reshape(3, n).T
+    return verts, idx
+
+
+def test_build_properties(rng):
+    verts, idx = _tri_soup(rng, 500)
+    res = build_bvh(verts, idx, leaf_size=4)
+    validate_bvh(res, 500)
+    assert res.max_depth < 64
+    # root bounds contain everything
+    assert (res.node_min[0] <= verts.min(axis=0) + 1e-5).all()
+    assert (res.node_max[0] >= verts.max(axis=0) - 1e-5).all()
+
+
+def test_build_single_triangle():
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([[0, 1, 2]], np.uint32)
+    res = build_bvh(verts, idx, leaf_size=4)
+    assert res.left[0] == LEAF
+    assert res.tri_count[0] == 1
+    validate_bvh(res, 1)
+
+
+def test_build_empty():
+    res = build_bvh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint32))
+    assert res.tri_count[0] == 0
+
+
+def _scene_from_soup(rng, n, leaf_size=4):
+    verts, idx = _tri_soup(rng, n)
+    mesh = Mesh.from_arrays(verts, idx, np.zeros(n, np.uint32))
+    mb = MaterialBuilder()
+    mb.add_diffuse((0.5, 0.5, 0.5))
+    lb = LightBuilder()
+    lb.add_point((0, 20, 0), (1, 1, 1), 1.0)
+    return prepare_scene(Camera.default(), Spheres.from_rows([]), mesh,
+                         mb.build(), lb.build())
+
+
+def test_traversal_matches_brute_force(rng):
+    scene = _scene_from_soup(rng, 400)
+    n = 512
+    o = rng.uniform(-12, 12, size=(n, 3)).astype(np.float32)
+    target = rng.uniform(-8, 8, size=(n, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    hit_bvh = trace(scene, o, d, use_bvh=True)
+    hit_brute = trace(scene, o, d, use_bvh=False)
+
+    np.testing.assert_array_equal(np.asarray(hit_bvh.hit), np.asarray(hit_brute.hit))
+    h = np.asarray(hit_bvh.hit)
+    assert h.sum() > 50  # the soup actually gets hit
+    np.testing.assert_allclose(np.asarray(hit_bvh.t)[h], np.asarray(hit_brute.t)[h],
+                               rtol=1e-6)
+    # hit records bit-stable: same triangle chosen (leaf-order ids differ from
+    # original ids, so compare via t and material/normal instead)
+    np.testing.assert_allclose(np.asarray(hit_bvh.normal)[h],
+                               np.asarray(hit_brute.normal)[h], atol=1e-6)
+
+
+def test_occlusion_matches_closest(rng):
+    from gpu_raytracer_tpu.ops.trace import occluded
+
+    scene = _scene_from_soup(rng, 200)
+    n = 256
+    o = rng.uniform(-12, 12, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    hit = trace(scene, o, d)
+    occ = occluded(scene, o, d, jnp.full((n,), 1e30, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(hit.hit))
