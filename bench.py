@@ -1,0 +1,86 @@
+"""Headline benchmark: Mrays/s on the Sponza-scale courtyard at 1080p.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Ray accounting uses the reference's throughput definition (BASELINE.md:
+1 tile = 128x128 px x 3 channel passes => rays = pixels x 3): the reference
+dispatches 3 channel passes per pixel to produce one RGB frame; we produce
+the identical frame in one pass, so one benchmark frame counts W*H*3
+reference-equivalent rays. vs_baseline is against the 200 Mrays/s/chip
+target (BASELINE.json; the reference itself publishes no numbers).
+
+Extra diagnostics go to stderr only.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_raytracer_tpu import RaytracerConfig
+    from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+
+    W, H = 1920, 1080
+    config = RaytracerConfig()
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    scene = make_courtyard_scene(target_triangles=100_000, seed=0, config=config)
+    log(f"scene: {scene.num_triangles} triangles, "
+        f"{scene.bvh.num_nodes} bvh nodes ({time.time()-t0:.1f}s build)")
+
+    from gpu_raytracer_tpu import Renderer
+
+    n = W * H
+    renderer = Renderer(scene, W, H, config=config)
+
+    def frame():
+        """Device-complete frame (the reference times GPU-side tile work;
+        display readback is measured separately below)."""
+        fb = renderer.render_device()
+        jax.block_until_ready(fb)
+        return fb
+
+    t0 = time.time()
+    frame()
+    log(f"compile+first frame: {time.time()-t0:.1f}s")
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        frame()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    med = sorted(times)[len(times) // 2]
+    rays = n * 3  # reference-equivalent: 3 channel passes per pixel
+    mrays = rays / med / 1e6
+    log(f"frame times: best={best*1e3:.1f}ms median={med*1e3:.1f}ms "
+        f"-> {mrays:.1f} Mrays/s (ref-equiv), {n/med/1e6:.1f} Mpaths/s raw")
+
+    t0 = time.perf_counter()
+    renderer.render_u8()
+    log(f"display path (u8 quantise + tunnel readback): "
+        f"{(time.perf_counter()-t0)*1e3:.1f}ms")
+
+    print(json.dumps({
+        "metric": "primary_mrays_per_s_courtyard100k_1080p",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 200.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Progressive multi-bounce path tracing with an accumulation buffer.
+
+The full realisation of the reference's wavefront dispatcher
+(/root/reference/src/compute.rs:365-553): per frame, one sample per pixel is
+traced through the wavefront pool (ops/wavefront.py) and accumulated into a
+persistent HBM framebuffer; successive frames converge the image (BASELINE
+config 3: progressive 64 spp). Spectral mode reproduces the reference's
+3-wavelength dispatch (one ray per channel, compute.rs:432-441) so dispersion
+through glass is real; RGB mode traces one ray carrying full RGB throughput
+(3× cheaper, no spectral refraction split).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, RaytracerConfig
+from ..models.scene import Scene
+from ..ops.wavefront import camera_wavefront_rays, path_trace_pool
+from .perf import PerformanceState, ProgressiveTiming, Timer, block_on
+
+
+def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
+                  max_depth, rr_start, shadows, leaf_size, use_bvh, jitter):
+    rays = camera_wavefront_rays(scene.camera, width, height, px, py, channel,
+                                 jitter=jitter)
+    return path_trace_pool(scene, rays, key, max_depth=max_depth,
+                           rr_start=rr_start, shadows=shadows,
+                           leaf_size=leaf_size, use_bvh=use_bvh)
+
+
+class PathTracer:
+    """Progressive accumulator: call step() per frame, image() for the mean."""
+
+    def __init__(self, scene: Scene, width: int, height: int,
+                 config: RaytracerConfig = DEFAULT_CONFIG,
+                 spectral: bool = True, shadows: bool = True,
+                 antialias: bool = True, seed: int = 0):
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.config = config
+        self.spectral = spectral
+        self.shadows = shadows
+        self.antialias = antialias
+        self.key = jax.random.PRNGKey(seed)
+        self.use_bvh = scene.bvh.num_nodes > 1
+        self.accum = jnp.zeros((height * width, 3), jnp.float32)
+        self.samples = 0
+        self.perf = PerformanceState(config.performance_stats_interval,
+                                     verbose=False)
+        py, px = np.mgrid[0:height, 0:width]
+        self._px = jnp.asarray(px.reshape(-1).astype(np.int32))
+        self._py = jnp.asarray(py.reshape(-1).astype(np.int32))
+
+    def set_camera(self, camera) -> None:
+        self.scene = self.scene.with_camera(camera)
+        self.reset()
+
+    def reset(self) -> None:
+        """Restart accumulation (the reference's trigger_recompute)."""
+        self.accum = jnp.zeros_like(self.accum)
+        self.samples = 0
+
+    def _chunks(self):
+        n = self.width * self.height
+        c = min(self.config.ray_batch_size, n)
+        for s in range(0, n, c):
+            e = min(s + c, n)
+            if e - s < c:  # pad tail chunk to the compiled shape
+                idx = jnp.concatenate([jnp.arange(s, e),
+                                       jnp.zeros(c - (e - s), jnp.int32)])
+            else:
+                idx = jnp.arange(s, e)
+            yield s, e, idx
+
+    def step(self) -> None:
+        """Trace one sample per pixel and accumulate."""
+        skey = jax.random.fold_in(self.key, self.samples)
+        md = self.config.max_bounce_depth
+        rr = self.config.russian_roulette_start
+        ls = self.config.bvh_leaf_size
+        updates = []
+        for s, e, idx in self._chunks():
+            px = self._px[idx]
+            py = self._py[idx]
+            jit_key = jax.random.fold_in(skey, s)
+            jitter = (jax.random.uniform(jit_key, (idx.shape[0], 2))
+                      if self.antialias else None)
+            if self.spectral:
+                rgb = []
+                for c in range(3):
+                    rad = _sample_chunk(self.scene, px, py, self.width,
+                                        self.height,
+                                        jax.random.fold_in(jit_key, 100 + c),
+                                        c, md, rr, self.shadows, ls,
+                                        self.use_bvh, jitter)
+                    rgb.append(rad[:, c])
+                contrib = jnp.stack(rgb, axis=-1)
+            else:
+                contrib = _sample_chunk(self.scene, px, py, self.width,
+                                        self.height, jit_key, 1, md, rr,
+                                        self.shadows, ls, self.use_bvh, jitter)
+            updates.append((s, e, contrib))
+        for s, e, contrib in updates:
+            self.accum = jax.lax.dynamic_update_slice(
+                self.accum, self.accum[s:e] + contrib[: e - s], (s, 0))
+        self.samples += 1
+        self.perf.update_frame_count()
+
+    def render(self, spp: int, progress: bool = False) -> np.ndarray:
+        timing = ProgressiveTiming()
+        timing.rays_per_tile = self.width * self.height * (3 if self.spectral else 1)
+        for i in range(spp):
+            with Timer() as t:
+                self.step()
+                block_on(self.accum)
+            timing.record_tile(t.ms)
+            if progress and (i + 1) % 8 == 0:
+                print(f"  {i + 1}/{spp} spp")
+        if progress:
+            timing.print_summary()
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        n = max(self.samples, 1)
+        img = self.accum / n
+        return np.asarray(img).reshape(self.height, self.width, 3)
+
+
+def render_pathtraced(scene: Scene, width: int, height: int, spp: int = 16,
+                      **kw) -> np.ndarray:
+    return PathTracer(scene, width, height, **kw).render(spp)

@@ -48,11 +48,13 @@ def _shadow_mask(scene: Scene, hit, leaf_size: int, use_bvh: bool):
     sdir = jnp.where(is_directional[..., None], -jnp.broadcast_to(ldir, to_light.shape), pl_dir)
     smax = jnp.where(is_directional, jnp.float32(3.0e38), dist - 1e-3)
 
-    o = jnp.broadcast_to(origin[:, None, :], (N, nl, 3)).reshape(-1, 3)
-    d = sdir.reshape(-1, 3)
-    m = smax.reshape(-1)
+    # light-major layout: each traversal packet serves ONE light over
+    # consecutive (coherent) rays, keeping the shared cursor tight
+    o = jnp.broadcast_to(origin[None, :, :], (nl, N, 3)).reshape(-1, 3)
+    d = jnp.swapaxes(sdir, 0, 1).reshape(-1, 3)
+    m = jnp.swapaxes(smax, 0, 1).reshape(-1)
     blocked = occluded(scene, o, d, m, leaf_size=leaf_size, use_bvh=use_bvh)
-    mask = 1.0 - blocked.reshape(N, nl).astype(jnp.float32)
+    mask = 1.0 - jnp.swapaxes(blocked.reshape(nl, N), 0, 1).astype(jnp.float32)
     # Only meaningful for actual hits; misses shade as sky anyway.
     return jnp.where(hit.hit[:, None], mask, 1.0)
 
@@ -92,27 +94,51 @@ class Renderer:
     def set_camera(self, camera: Camera) -> None:
         self.scene = self.scene.with_camera(camera)
 
-    def render(self) -> np.ndarray:
-        """Render the full frame → float32 [H,W,3]."""
+    def _pixel_chunks(self):
+        from ..ops.packet_trace import tiled_pixel_order
+
         W, H = self.width, self.height
-        n = W * H
-        chunk = min(self.config.ray_batch_size, n)
-        py, px = np.mgrid[0:H, 0:W]
-        px = px.reshape(-1).astype(np.int32)
-        py = py.reshape(-1).astype(np.int32)
+        px, py = tiled_pixel_order(W, H, tile=32)
+        n = px.shape[0]
+        chunk = min(self.config.ray_batch_size, max(n, 1024))
         pad = (-n) % chunk
         if pad:
-            px = np.concatenate([px, np.zeros(pad, np.int32)])
-            py = np.concatenate([py, np.zeros(pad, np.int32)])
-        out = []
+            px = np.concatenate([px, np.full(pad, W - 1, np.int32)])
+            py = np.concatenate([py, np.full(pad, H - 1, np.int32)])
         for s in range(0, n + pad, chunk):
+            yield jnp.asarray(px[s:s + chunk]), jnp.asarray(py[s:s + chunk])
+
+    def render_device(self) -> jnp.ndarray:
+        """Render the full frame, leaving it in HBM → device f32 [H,W,3].
+
+        Pixels are fed in 32x32-tile order so ray packets stay coherent for
+        the shared-cursor traversal (ops/packet_trace.py); results scatter
+        into the device framebuffer by coordinate (tile-edge clamp lanes
+        recompute the same pixel, so overwrites are identical). The frame
+        never touches the host — display readback is a separate step, as in
+        the reference where compute writes storage textures and present
+        samples them (src/renderer.rs:778-818)."""
+        W, H = self.width, self.height
+        fb = jnp.zeros((H, W, 3), jnp.float32)
+        for pxs, pys in self._pixel_chunks():
             rgb = render_chunk(
-                self.scene, jnp.asarray(px[s:s + chunk]), jnp.asarray(py[s:s + chunk]),
+                self.scene, pxs, pys,
                 W, H, shadows=self.shadows, use_bvh=self.use_bvh,
                 leaf_size=self.config.bvh_leaf_size, sky=self.sky)
-            out.append(rgb)
-        img = jnp.concatenate(out)[:n]
-        return np.asarray(img.reshape(H, W, 3))
+            fb = fb.at[pys, pxs].set(rgb)
+        return fb
+
+    def render(self) -> np.ndarray:
+        """Full frame → host float32 [H,W,3] (single device→host readback)."""
+        return np.asarray(self.render_device())
+
+    def render_u8(self) -> np.ndarray:
+        """Full frame quantised to rgba8-style u8 ON DEVICE before readback —
+        the display path (matches the reference's rgba8 storage-texture
+        write, shader/src/lib.rs:86-88) and 4x cheaper to pull off-chip."""
+        fb = self.render_device()
+        u8 = (jnp.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        return np.asarray(u8)
 
 
 def render_image(scene: Scene, width: int, height: int, *,

@@ -33,6 +33,13 @@ class Bvh:
     right: jnp.ndarray      # [N] i32, -1 if leaf
     tri_start: jnp.ndarray  # [N] i32: first triangle (in leaf-ordered arrays)
     tri_count: jnp.ndarray  # [N] i32: triangles in leaf (0 for internal)
+    # Threaded (stackless) traversal links: on AABB hit continue at
+    # hit_link (= left child, or the miss target for leaves), on AABB miss
+    # jump to miss_link (next-sibling-or-ancestor's-sibling); -1 = done.
+    # The TPU-native replacement for the reference's 64-deep per-thread
+    # stack (shader/src/bvh.rs:35-38) — pure gathers, zero scatters.
+    hit_link: jnp.ndarray   # [N] i32
+    miss_link: jnp.ndarray  # [N] i32
 
     @property
     def num_nodes(self) -> int:
@@ -49,7 +56,27 @@ class Bvh:
             right=jnp.asarray([LEAF], jnp.int32),
             tri_start=jnp.asarray([0], jnp.int32),
             tri_count=jnp.asarray([num_triangles], jnp.int32),
+            hit_link=jnp.asarray([-1], jnp.int32),
+            miss_link=jnp.asarray([-1], jnp.int32),
         )
+
+
+def compute_links(left: np.ndarray, right: np.ndarray):
+    """Thread the tree for stackless traversal (left-first DFS order — the
+    same visit order as the reference's push-right-then-left stack,
+    shader/src/bvh.rs:74-83). Returns (hit_link, miss_link)."""
+    n = left.shape[0]
+    miss = np.full(n, -1, np.int32)
+    stack = [(0, -1)]
+    while stack:
+        node, succ = stack.pop()
+        miss[node] = succ
+        l, r = int(left[node]), int(right[node])
+        if l >= 0:
+            stack.append((r, succ))
+            stack.append((l, r))
+    hit = np.where(left >= 0, left, miss).astype(np.int32)
+    return hit, miss
 
 
 class BvhBuildResult:
@@ -67,6 +94,7 @@ class BvhBuildResult:
         self.max_depth = max_depth
 
     def to_device(self) -> Bvh:
+        hit_link, miss_link = compute_links(self.left, self.right)
         return Bvh(
             node_min=jnp.asarray(self.node_min),
             node_max=jnp.asarray(self.node_max),
@@ -74,6 +102,8 @@ class BvhBuildResult:
             right=jnp.asarray(self.right),
             tri_start=jnp.asarray(self.tri_start),
             tri_count=jnp.asarray(self.tri_count),
+            hit_link=jnp.asarray(hit_link),
+            miss_link=jnp.asarray(miss_link),
         )
 
 
@@ -111,8 +141,9 @@ def build_bvh(vertices: np.ndarray, indices: np.ndarray, leaf_size: int = 4,
     centroid = 0.5 * (tmin + tmax)
 
     order = np.arange(T, dtype=np.int64)
-    # Pre-size output arrays: a binary tree with L leaves has < 2L nodes.
-    cap = max(2 * (2 * T // max(leaf_size, 1) + 2), 16)
+    # Pre-size output arrays: every leaf holds >=1 triangle, so a binary
+    # tree has at most T leaves and 2T-1 nodes total.
+    cap = max(2 * T + 2, 16)
     node_min = np.zeros((cap, 3), np.float32)
     node_max = np.zeros((cap, 3), np.float32)
     left = np.full(cap, LEAF, np.int32)

@@ -52,7 +52,7 @@ def build_bvh_native(vertices: np.ndarray, indices: np.ndarray, leaf_size: int):
     vertices = np.ascontiguousarray(vertices, np.float32)
     indices = np.ascontiguousarray(indices, np.uint32)
     T = indices.shape[0]
-    cap = max(2 * (2 * T // max(leaf_size, 1) + 2), 16)
+    cap = max(2 * T + 2, 16)
     node_min = np.zeros((cap, 3), np.float32)
     node_max = np.zeros((cap, 3), np.float32)
     left = np.zeros(cap, np.int32)

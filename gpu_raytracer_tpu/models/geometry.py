@@ -39,7 +39,13 @@ class Spheres:
 @pytree_dataclass
 class Mesh:
     """Indexed triangle mesh — Vertex/Triangle semantics of
-    /root/reference/shared/src/lib.rs:108-127."""
+    /root/reference/shared/src/lib.rs:108-127.
+
+    `from_arrays`/`empty` keep HOST (NumPy) arrays: the mesh is a host-side
+    asset consumed by the BVH builder and refit; `prepare_scene` converts it
+    to device arrays exactly once when assembling the Scene. (Round-tripping
+    through the accelerator before the host build is pure transfer cost —
+    and very slow over a tunneled TPU.)"""
 
     vertices: jnp.ndarray     # [V,3] f32
     indices: jnp.ndarray      # [T,3] u32 (v0,v1,v2)
@@ -58,9 +64,9 @@ class Mesh:
         # One degenerate triangle (all vertices at origin): Möller-Trumbore
         # rejects it via the |det| < MIN_RAY_DISTANCE guard, so it never hits.
         return Mesh(
-            vertices=jnp.zeros((1, 3), jnp.float32),
-            indices=jnp.zeros((1, 3), jnp.uint32),
-            material_id=jnp.zeros((1,), jnp.uint32),
+            vertices=np.zeros((1, 3), np.float32),
+            indices=np.zeros((1, 3), np.uint32),
+            material_id=np.zeros((1,), np.uint32),
         )
 
     @staticmethod
@@ -71,7 +77,11 @@ class Mesh:
         assert i.shape[0] == m.shape[0]
         if i.shape[0] == 0:
             return Mesh.empty()
-        return Mesh(jnp.asarray(v), jnp.asarray(i), jnp.asarray(m))
+        return Mesh(v, i, m)
+
+    def to_device(self) -> "Mesh":
+        return Mesh(jnp.asarray(self.vertices), jnp.asarray(self.indices),
+                    jnp.asarray(self.material_id))
 
 
 def dedup_triangles(tri_vertices: np.ndarray, material_ids: np.ndarray):

@@ -1,0 +1,544 @@
+"""glTF 2.0 / GLB scene loader (pure Python, no external gltf crate/lib).
+
+Behavioural port of /root/reference/src/gltf_loader.rs:
+
+* scene selection: explicit index, else default scene, else first
+  (gltf_loader.rs:77-85);
+* recursive node walk with mat4 transform composition (column-major,
+  local = node.matrix or T·R·S; world = parent · local) (gltf_loader.rs:187-227);
+* camera: position = M·0, direction = normalize(M·(-Z)), up = normalize(M·Y),
+  fov = degrees(yfov), 45° for orthographic (gltf_loader.rs:230-250);
+* KHR_lights_punctual → directional/point/spot with transformed -Z direction,
+  range default ∞, spot cone angles (gltf_loader.rs:253-284);
+* primitives → indexed triangles with **bit-exact position-based vertex
+  dedup per primitive** (HashMap on f32 bits, gltf_loader.rs:306-330),
+  supporting Triangles (indexed + non-indexed), TriangleFan, TriangleStrip
+  with alternating winding (gltf_loader.rs:333-391);
+* materials: KHR_materials_pbrSpecularGlossiness workflow, else
+  metallic-roughness; emissive factor; KHR transmission / ior / specular /
+  volume extensions; up to 8 texture indices in base-color, metallic-
+  roughness, normal, emissive order (gltf_loader.rs:397-489);
+* textures decoded to RGBA8 into one flat byte buffer (gltf_loader.rs:128-184)
+  — PNG decoded natively here; other formats are skipped with a warning
+  (zero-egress image stack: no PIL/image crate).
+
+Accessor/index readers handle the little-endian component types directly
+(the reference does the same manually, gltf_loader.rs:499-594).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, RaytracerConfig
+from .camera import Camera
+from .geometry import Mesh, Spheres, Textures
+from .light import LightBuilder
+from .material import MaterialBuilder
+from .scene import Scene, prepare_scene
+
+
+class GltfError(Exception):
+    """Load/validation failure (GltfError enum, gltf_loader.rs:15-39)."""
+
+
+_COMPONENT_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+                "MAT2": 4, "MAT3": 9, "MAT4": 16}
+
+MODE_TRIANGLES, MODE_TRIANGLE_STRIP, MODE_TRIANGLE_FAN = 4, 5, 6
+
+
+@dataclass
+class LoadedScene:
+    """The reference's LoadedScene (gltf_loader.rs:42-51)."""
+
+    vertices: np.ndarray          # [V,3] f32
+    triangles: np.ndarray         # [T,3] u32
+    tri_materials: np.ndarray     # [T] u32
+    materials: MaterialBuilder
+    lights: LightBuilder
+    cameras: list = field(default_factory=list)    # list[Camera]
+    images: list = field(default_factory=list)     # list[np.ndarray RGBA8]
+    texture_image: list = field(default_factory=list)  # texture -> image idx
+
+
+# ---------------------------------------------------------------- transforms
+
+def _trs_matrix(node: dict) -> np.ndarray:
+    """Local transform: `matrix` (column-major) or T·R·S."""
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    if "scale" in node:
+        m = m @ np.diag(np.asarray(list(node["scale"]) + [1.0], np.float32))
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.asarray([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w), 0],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w), 0],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y), 0],
+            [0, 0, 0, 1]], np.float32)
+        m = r @ m
+    if "translation" in node:
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = node["translation"]
+        m = t @ m
+    return m
+
+
+def _transform_points(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """glam transform_point3: rotate+scale+translate."""
+    return (pts @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
+
+
+def _transform_vector(m: np.ndarray, v) -> np.ndarray:
+    return (np.asarray(v, np.float32) @ m[:3, :3].T).astype(np.float32)
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v)
+
+
+# ---------------------------------------------------------------- PNG decode
+
+def _paeth(a, b, c):
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Minimal PNG decoder: 8-bit gray/gray-alpha/RGB/RGBA, non-interlaced.
+    Returns [H,W,4] uint8 (always expanded to RGBA, like the reference's
+    to_rgba8 conversion, gltf_loader.rs:136-167)."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise GltfError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    h = bit_depth = color_type = 0
+    while pos < len(data):
+        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if bit_depth != 8 or interlace != 0:
+                raise GltfError(f"unsupported PNG (depth={bit_depth}, interlaced={interlace})")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise GltfError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    img = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        if f == 0:
+            out = line
+        elif f == 2:  # up
+            out = line + prev
+        else:
+            out = line
+            left = np.zeros(channels, np.uint8)
+            if f == 1:  # sub
+                for x in range(0, stride, channels):
+                    out[x:x + channels] = out[x:x + channels] + left
+                    left = out[x:x + channels]
+            elif f == 3:  # average
+                for x in range(0, stride, channels):
+                    avg = ((left.astype(np.int32)
+                            + prev[x:x + channels].astype(np.int32)) // 2)
+                    out[x:x + channels] = out[x:x + channels] + avg.astype(np.uint8)
+                    left = out[x:x + channels]
+            elif f == 4:  # paeth
+                ul = np.zeros(channels, np.uint8)
+                for x in range(0, stride, channels):
+                    pred = _paeth(left, prev[x:x + channels], ul)
+                    out[x:x + channels] = out[x:x + channels] + pred
+                    ul = prev[x:x + channels]
+                    left = out[x:x + channels]
+            else:
+                raise GltfError(f"bad PNG filter {f}")
+        img[y] = out
+        prev = img[y]
+    px = img.reshape(h, w, channels)
+    rgba = np.zeros((h, w, 4), np.uint8)
+    rgba[..., 3] = 255
+    if channels == 1:
+        rgba[..., :3] = px
+    elif channels == 2:
+        rgba[..., :3] = px[..., :1]
+        rgba[..., 3] = px[..., 1]
+    elif channels == 3:
+        rgba[..., :3] = px
+    else:
+        rgba[:] = px
+    return rgba
+
+
+# ---------------------------------------------------------------- the loader
+
+class GltfLoader:
+    def __init__(self, doc: dict, buffers: list[bytes]):
+        self.doc = doc
+        self.buffers = buffers
+
+    # -- constructors (load_from_path / load_from_glb, gltf_loader.rs:55-74)
+
+    @staticmethod
+    def load_from_path(path: str) -> "GltfLoader":
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError as e:
+            raise GltfError(f"cannot read {path}: {e}") from e
+        if data[:4] == b"glTF":
+            return GltfLoader.load_from_glb(data)
+        try:
+            doc = json.loads(data)
+        except json.JSONDecodeError as e:
+            raise GltfError(f"invalid glTF JSON: {e}") from e
+        base = os.path.dirname(os.path.abspath(path))
+        return GltfLoader(doc, GltfLoader._load_buffers(doc, base, None))
+
+    @staticmethod
+    def load_from_glb(data: bytes) -> "GltfLoader":
+        magic, version, _length = struct.unpack("<III", data[:12])
+        if magic != 0x46546C67:
+            raise GltfError("bad GLB magic")
+        if version != 2:
+            raise GltfError(f"unsupported GLB version {version}")
+        pos = 12
+        doc = None
+        bin_chunk = None
+        while pos + 8 <= len(data):
+            clen, ctype = struct.unpack("<II", data[pos:pos + 8])
+            chunk = data[pos + 8:pos + 8 + clen]
+            if ctype == 0x4E4F534A:  # JSON
+                doc = json.loads(chunk)
+            elif ctype == 0x004E4942:  # BIN
+                bin_chunk = bytes(chunk)
+            pos += 8 + clen
+        if doc is None:
+            raise GltfError("GLB missing JSON chunk")
+        return GltfLoader(doc, GltfLoader._load_buffers(doc, None, bin_chunk))
+
+    @staticmethod
+    def _load_buffers(doc, base_dir, glb_bin) -> list[bytes]:
+        out = []
+        for i, buf in enumerate(doc.get("buffers", [])):
+            uri = buf.get("uri")
+            if uri is None:
+                if glb_bin is None:
+                    raise GltfError(f"buffer {i} has no uri and no GLB BIN chunk")
+                out.append(glb_bin)
+            elif uri.startswith("data:"):
+                out.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                if base_dir is None:
+                    raise GltfError(f"external buffer {uri} in GLB")
+                with open(os.path.join(base_dir, uri), "rb") as f:
+                    out.append(f.read())
+        return out
+
+    # -- binary readers (accessor/index readers, gltf_loader.rs:499-594)
+
+    def _buffer_view_bytes(self, view_idx: int) -> tuple[bytes, int]:
+        view = self.doc["bufferViews"][view_idx]
+        buf = self.buffers[view["buffer"]]
+        off = view.get("byteOffset", 0)
+        return buf[off:off + view["byteLength"]], view.get("byteStride", 0)
+
+    def read_accessor(self, acc_idx: int) -> np.ndarray:
+        acc = self.doc["accessors"][acc_idx]
+        n = acc["count"]
+        ncomp = _TYPE_COUNTS[acc["type"]]
+        dt = _COMPONENT_DTYPES[acc["componentType"]]
+        if "bufferView" not in acc:
+            data = np.zeros((n, ncomp), dt)
+        else:
+            raw, stride = self._buffer_view_bytes(acc["bufferView"])
+            off = acc.get("byteOffset", 0)
+            isz = np.dtype(dt).itemsize * ncomp
+            if stride and stride != isz:
+                rows = [np.frombuffer(raw, dt, ncomp, off + i * stride) for i in range(n)]
+                data = np.stack(rows)
+            else:
+                data = np.frombuffer(raw, dt, n * ncomp, off).reshape(n, ncomp).copy()
+        if "sparse" in acc:
+            sp = acc["sparse"]
+            idx_dt = _COMPONENT_DTYPES[sp["indices"]["componentType"]]
+            iraw, _ = self._buffer_view_bytes(sp["indices"]["bufferView"])
+            ioff = sp["indices"].get("byteOffset", 0)
+            sidx = np.frombuffer(iraw, idx_dt, sp["count"], ioff)
+            vraw, _ = self._buffer_view_bytes(sp["values"]["bufferView"])
+            voff = sp["values"].get("byteOffset", 0)
+            svals = np.frombuffer(vraw, dt, sp["count"] * ncomp, voff).reshape(-1, ncomp)
+            data = data.copy()
+            data[sidx] = svals
+        if acc.get("normalized") and dt != np.float32:
+            info = np.iinfo(dt)
+            data = data.astype(np.float32) / float(info.max)
+        return data.squeeze(-1) if ncomp == 1 else data
+
+    # -- introspection (list_scenes/cameras/lights, gltf_loader.rs:597-629)
+
+    def list_scenes(self) -> list[str]:
+        return [s.get("name", f"scene_{i}")
+                for i, s in enumerate(self.doc.get("scenes", []))]
+
+    def list_cameras(self) -> list[str]:
+        return [c.get("name", f"camera_{i}")
+                for i, c in enumerate(self.doc.get("cameras", []))]
+
+    def list_lights(self) -> list[str]:
+        ext = self.doc.get("extensions", {}).get("KHR_lights_punctual", {})
+        return [l.get("name", f"light_{i}")
+                for i, l in enumerate(ext.get("lights", []))]
+
+    # -- extraction (extract_scene, gltf_loader.rs:77-125)
+
+    def extract_scene(self, scene_index: int | None = None) -> LoadedScene:
+        scenes = self.doc.get("scenes", [])
+        if scene_index is not None:
+            if scene_index >= len(scenes):
+                raise GltfError(f"Scene {scene_index} not found")
+            scene = scenes[scene_index]
+        elif scenes:
+            scene = scenes[self.doc.get("scene", 0)]
+        else:
+            raise GltfError("No scenes found in glTF file")
+
+        out = LoadedScene(
+            vertices=np.zeros((0, 3), np.float32),
+            triangles=np.zeros((0, 3), np.uint32),
+            tri_materials=np.zeros((0,), np.uint32),
+            materials=MaterialBuilder(),
+            lights=LightBuilder(),
+        )
+        self._process_images(out)
+        for gm in self.doc.get("materials", []):
+            self._convert_material(gm, out.materials)
+
+        verts: list[np.ndarray] = []
+        tris: list[np.ndarray] = []
+        tmats: list[np.ndarray] = []
+        self._vcount = 0
+        for node_idx in scene.get("nodes", []):
+            self._process_node(node_idx, np.eye(4, dtype=np.float32),
+                               out, verts, tris, tmats)
+        if verts:
+            out.vertices = np.concatenate(verts)
+        if tris:
+            out.triangles = np.concatenate(tris).astype(np.uint32)
+            out.tri_materials = np.concatenate(tmats).astype(np.uint32)
+        return out
+
+    def _process_images(self, out: LoadedScene) -> None:
+        for img in self.doc.get("images", []):
+            try:
+                if "bufferView" in img:
+                    raw, _ = self._buffer_view_bytes(img["bufferView"])
+                elif "uri" in img and img["uri"].startswith("data:"):
+                    raw = base64.b64decode(img["uri"].split(",", 1)[1])
+                else:
+                    raise GltfError("external image uri unsupported in-memory")
+                out.images.append(decode_png(bytes(raw)))
+            except GltfError:
+                out.images.append(np.full((1, 1, 4), 255, np.uint8))  # placeholder
+        for tex in self.doc.get("textures", []):
+            out.texture_image.append(tex.get("source", 0))
+
+    def _process_node(self, node_idx, parent, out, verts, tris, tmats) -> None:
+        node = self.doc["nodes"][node_idx]
+        m = parent @ _trs_matrix(node)
+        if "mesh" in node:
+            mesh = self.doc["meshes"][node["mesh"]]
+            for prim in mesh.get("primitives", []):
+                self._process_primitive(prim, m, verts, tris, tmats)
+        if "camera" in node:
+            out.cameras.append(self._convert_camera(node["camera"], m))
+        light_ext = node.get("extensions", {}).get("KHR_lights_punctual")
+        if light_ext is not None:
+            self._convert_light(light_ext["light"], m, out.lights)
+        for child in node.get("children", []):
+            self._process_node(child, m, out, verts, tris, tmats)
+
+    def _convert_camera(self, cam_idx: int, m: np.ndarray) -> Camera:
+        cam = self.doc["cameras"][cam_idx]
+        position = _transform_points(m, np.zeros((1, 3), np.float32))[0]
+        direction = _normalize(_transform_vector(m, [0.0, 0.0, -1.0]))
+        up = _normalize(_transform_vector(m, [0.0, 1.0, 0.0]))
+        if cam.get("type") == "perspective":
+            fov = float(np.degrees(cam["perspective"]["yfov"]))
+        else:
+            fov = 45.0
+        return Camera.create(position, direction, up, fov)
+
+    def _convert_light(self, light_idx: int, m: np.ndarray, lb: LightBuilder) -> None:
+        light = self.doc["extensions"]["KHR_lights_punctual"]["lights"][light_idx]
+        position = _transform_points(m, np.zeros((1, 3), np.float32))[0]
+        direction = _normalize(_transform_vector(m, [0.0, 0.0, -1.0]))
+        color = light.get("color", [1.0, 1.0, 1.0])
+        intensity = light.get("intensity", 1.0)
+        kind = light.get("type")
+        rng = light.get("range", float("inf"))
+        if kind == "directional":
+            lb.add_directional(direction, color, intensity)
+        elif kind == "point":
+            lb.add_point(position, color, intensity, rng)
+        elif kind == "spot":
+            spot = light.get("spot", {})
+            lb.add_spot(position, direction, color, intensity, rng,
+                        spot.get("innerConeAngle", 0.0),
+                        spot.get("outerConeAngle", np.pi / 4.0))
+
+    def _convert_material(self, gm: dict, mb: MaterialBuilder) -> None:
+        ext = gm.get("extensions", {})
+        sg = ext.get("KHR_materials_pbrSpecularGlossiness")
+        kw = {}
+        if sg is not None:
+            diffuse = sg.get("diffuseFactor", [1, 1, 1, 1])[:3]
+            specular = sg.get("specularFactor", [1, 1, 1])
+            gloss = sg.get("glossinessFactor", 1.0)
+            kw.update(albedo=diffuse, metallic=0.0, roughness=1.0 - gloss,
+                      material_type=1, diffuse_factor=diffuse,
+                      specular_color=specular, glossiness_factor=gloss)
+        else:
+            pbr = gm.get("pbrMetallicRoughness", {})
+            base = pbr.get("baseColorFactor", [1, 1, 1, 1])
+            kw.update(albedo=base[:3],
+                      metallic=pbr.get("metallicFactor", 1.0),
+                      roughness=pbr.get("roughnessFactor", 1.0))
+        kw["emission"] = gm.get("emissiveFactor", [0.0, 0.0, 0.0])
+        tr = ext.get("KHR_materials_transmission")
+        kw["transmission"] = tr.get("transmissionFactor", 0.0) if tr else 0.0
+        io = ext.get("KHR_materials_ior")
+        kw["ior"] = io.get("ior", 1.5) if io else 1.5
+        sp = ext.get("KHR_materials_specular")
+        if sp:
+            kw["specular_factor"] = sp.get("specularFactor", 1.0)
+            kw["specular_color"] = sp.get("specularColorFactor", [1, 1, 1])
+        vol = ext.get("KHR_materials_volume")
+        if vol:
+            kw["thickness_factor"] = vol.get("thicknessFactor", 0.0)
+            kw["attenuation_distance"] = vol.get("attenuationDistance", float("inf"))
+            kw["attenuation_color"] = vol.get("attenuationColor", [1, 1, 1])
+        # texture slots in reference order (gltf_loader.rs:450-486)
+        ti = np.full(8, 0xFFFFFFFF, np.uint32)
+        slot = 0
+        pbr = gm.get("pbrMetallicRoughness", {})
+        for tex in (pbr.get("baseColorTexture"), pbr.get("metallicRoughnessTexture"),
+                    gm.get("normalTexture"), gm.get("emissiveTexture")):
+            if tex is not None and slot < 8:
+                ti[slot] = tex["index"]
+                slot += 1
+        kw["texture_indices"] = ti
+        mb.add(**kw)
+
+    def _process_primitive(self, prim, m, verts, tris, tmats) -> None:
+        mode = prim.get("mode", MODE_TRIANGLES)
+        if mode not in (MODE_TRIANGLES, MODE_TRIANGLE_STRIP, MODE_TRIANGLE_FAN):
+            print(f"Warning: unsupported primitive mode {mode}")
+            return
+        if "POSITION" not in prim.get("attributes", {}):
+            raise GltfError("Primitive missing position data")
+        pos = self.read_accessor(prim["attributes"]["POSITION"]).astype(np.float32)
+        material_id = prim.get("material", 0)
+
+        if mode == MODE_TRIANGLES:
+            if "indices" in prim:
+                idx = self.read_accessor(prim["indices"]).astype(np.int64)
+                idx = idx[: (len(idx) // 3) * 3].reshape(-1, 3)
+            else:
+                n = (len(pos) // 3) * 3
+                idx = np.arange(n, dtype=np.int64).reshape(-1, 3)
+        elif mode == MODE_TRIANGLE_FAN:
+            n = len(pos)
+            if n < 3:
+                return
+            i = np.arange(1, n - 1, dtype=np.int64)
+            idx = np.stack([np.zeros_like(i), i, i + 1], axis=1)
+        else:  # strip with alternating winding (gltf_loader.rs:373-387)
+            n = len(pos)
+            if n < 3:
+                return
+            i = np.arange(n - 2, dtype=np.int64)
+            a, b, c = i, i + 1, i + 2
+            odd = (i % 2) == 1
+            idx = np.stack([a, np.where(odd, c, b), np.where(odd, b, c)], axis=1)
+
+        if idx.size == 0:
+            return
+        # transform then dedup by exact bits, per primitive, in first-appearance
+        # order of the corner stream (matches get_vertex_index semantics)
+        corners = _transform_points(m, pos[idx.reshape(-1)])
+        bits = corners.view(np.uint32)
+        _, first, inverse = np.unique(bits, axis=0, return_index=True,
+                                      return_inverse=True)
+        order = np.argsort(first, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        unique_verts = corners[np.sort(first)]
+        local = rank[inverse].reshape(-1, 3)
+
+        verts.append(unique_verts)
+        tris.append(local + self._vcount)
+        self._vcount += unique_verts.shape[0]
+        tmats.append(np.full(local.shape[0], material_id, np.uint32))
+
+
+# ---------------------------------------------------------------- top level
+
+def load_gltf(path: str, scene_index: int | None = None) -> LoadedScene:
+    return GltfLoader.load_from_path(path).extract_scene(scene_index)
+
+
+def scene_from_gltf(path: str, scene_index: int | None = None,
+                    config: RaytracerConfig = DEFAULT_CONFIG,
+                    camera: Camera | None = None) -> Scene:
+    """glTF file → device Scene. Camera preference: explicit arg > first glTF
+    camera > default (SceneState::load_from_gltf, src/scene.rs:43-69)."""
+    loaded = load_gltf(path, scene_index)
+    if camera is None:
+        camera = loaded.cameras[0] if loaded.cameras else Camera.default()
+    mesh = Mesh.from_arrays(loaded.vertices, loaded.triangles, loaded.tri_materials)
+    # texture table: resolve texture -> image, pack RGBA8 atlas
+    images = [loaded.images[i] for i in loaded.texture_image
+              if i < len(loaded.images)]
+    textures = Textures.from_images(images) if images else None
+    print(f"Loaded glTF scene: {mesh.num_triangles} triangles, "
+          f"{mesh.num_vertices} vertices, {len(loaded.materials)} materials, "
+          f"{len(loaded.lights)} lights, {len(loaded.cameras)} cameras, "
+          f"{len(images)} textures")
+    return prepare_scene(camera, Spheres.from_rows([]), mesh,
+                         loaded.materials.build(), loaded.lights.build(),
+                         textures=textures, config=config)
+
+
+def scene_from_gltf_or_default(path: str, **kw) -> Scene:
+    """Fallback-to-default semantics (SceneState::load_from_gltf_or_default,
+    src/scene.rs:72-84): any load error → default scene + message."""
+    from .scene import build_default_scene
+
+    try:
+        return scene_from_gltf(path, **kw)
+    except (GltfError, Exception) as e:  # noqa: BLE001 — reference catches all
+        print(f"Failed to load glTF scene '{path}': {e}; using default scene")
+        return build_default_scene(kw.get("config", DEFAULT_CONFIG))

@@ -98,7 +98,7 @@ def prepare_scene(
     return Scene(
         camera=camera,
         spheres=spheres,
-        mesh=mesh,
+        mesh=mesh.to_device() if hasattr(mesh, "to_device") else mesh,
         materials=materials,
         lights=lights,
         textures=textures if textures is not None else Textures.empty(),
@@ -144,15 +144,15 @@ def memory_stats(scene: Scene) -> dict:
     """Byte accounting per component — the reference's memory-usage dashboard
     (/root/reference/src/scene.rs:130-206)."""
     def nbytes(x):
-        return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(x))
+        # .nbytes avoids pulling device arrays back to the host
+        return sum(l.nbytes for l in jax.tree_util.tree_leaves(x))
 
     tris = scene.mesh.num_triangles
     verts = scene.mesh.num_vertices
     stats = {
         "spheres_bytes": nbytes(scene.spheres),
         "mesh_bytes": nbytes(scene.mesh),
-        "expanded_tri_bytes": (np.asarray(scene.tri_v0).nbytes * 3
-                               + np.asarray(scene.tri_mat).nbytes),
+        "expanded_tri_bytes": scene.tri_v0.nbytes * 3 + scene.tri_mat.nbytes,
         "materials_bytes": nbytes(scene.materials),
         "lights_bytes": nbytes(scene.lights),
         "textures_bytes": nbytes(scene.textures),
@@ -170,7 +170,11 @@ def memory_stats(scene: Scene) -> dict:
 
 def print_memory_usage(scene: Scene) -> None:
     s = memory_stats(scene)
-    mb = lambda b: f"{b / (1024 * 1024):8.2f} MB"
+
+    def mb(b):
+        if b < 1024 * 1024:
+            return f"{b / 1024:8.2f} KB"
+        return f"{b / (1024 * 1024):8.2f} MB"
     print("=== Scene memory usage ===")
     for key in ("spheres_bytes", "mesh_bytes", "expanded_tri_bytes",
                 "materials_bytes", "lights_bytes", "textures_bytes", "bvh_bytes"):

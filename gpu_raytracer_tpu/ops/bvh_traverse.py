@@ -144,3 +144,79 @@ def bvh_traverse(
     )
     hit = best_tri >= 0
     return jnp.where(hit, best_t, MISS_T), best_tri, hit
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "any_hit"))
+def bvh_traverse_threaded(
+    bvh: Bvh,
+    tri_v0: jnp.ndarray,
+    tri_e1: jnp.ndarray,
+    tri_e2: jnp.ndarray,
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    max_t: jnp.ndarray,
+    leaf_size: int = 4,
+    any_hit: bool = False,
+):
+    """Stackless threaded traversal — the default, faster path.
+
+    Same visit order and results as :func:`bvh_traverse` (left-first DFS,
+    strict-< closest-hit pruning), but per-ray state is a single node index
+    advanced through precomputed hit/miss links: each step is a handful of
+    dense gathers and zero scatters, which is what the TPU's vector unit
+    wants. A ray is done when its cursor reaches -1.
+    """
+    N = orig.shape[0]
+    Tp = tri_v0.shape[0]
+
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (N,))
+    node = jnp.zeros((N,), jnp.int32)  # everyone starts at the root
+    best_t = max_t
+    best_tri = jnp.full((N,), -1, jnp.int32)
+
+    num_nodes = bvh.left.shape[0]
+    max_iters = jnp.int32(num_nodes + 4)
+    inv_d = 1.0 / dirn  # hoisted out of the loop
+
+    def cond(state):
+        node, _, _, it = state
+        return jnp.any(node >= 0) & (it < max_iters)
+
+    def body(state):
+        node, best_t, best_tri, it = state
+        live = node >= 0
+        n_idx = jnp.maximum(node, 0)
+
+        nmin = bvh.node_min[n_idx]
+        nmax = bvh.node_max[n_idx]
+        t1 = (nmin - orig) * inv_d
+        t2 = (nmax - orig) * inv_d
+        tmin_max = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tmax_min = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        box_hit = (tmax_min >= 0.0) & (tmin_max <= tmax_min) & (tmin_max <= best_t)
+        box_hit = box_hit & live
+
+        is_leaf = bvh.left[n_idx] < 0
+        tri_s = bvh.tri_start[n_idx]
+        tri_c = bvh.tri_count[n_idx]
+        do_leaf = box_hit & is_leaf
+
+        for k in range(leaf_size):
+            idx = jnp.clip(tri_s + k, 0, Tp - 1)
+            lane = do_leaf & (k < tri_c)
+            t, hit = _triangle_hit_pairwise(
+                orig, dirn, tri_v0[idx], tri_e1[idx], tri_e2[idx], best_t)
+            win = lane & hit
+            best_t = jnp.where(win, t, best_t)
+            best_tri = jnp.where(win, idx.astype(jnp.int32), best_tri)
+
+        nxt = jnp.where(box_hit, bvh.hit_link[n_idx], bvh.miss_link[n_idx])
+        node = jnp.where(live, nxt, node)
+        if any_hit:
+            node = jnp.where(best_tri >= 0, -1, node)
+        return node, best_t, best_tri, it + 1
+
+    node, best_t, best_tri, _ = jax.lax.while_loop(
+        cond, body, (node, best_t, best_tri, jnp.int32(0)))
+    hit = best_tri >= 0
+    return jnp.where(hit, best_t, MISS_T), best_tri, hit

@@ -21,9 +21,26 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from ..utils.pytree import pytree_dataclass
-from .bvh_traverse import bvh_traverse
+from .bvh_traverse import bvh_traverse, bvh_traverse_threaded
 from .intersect import MISS_T, closest_select, sphere_intersect, triangle_intersect
 from .linalg import cross, normalize
+from .packet_trace import packet_traverse
+
+PACKET_SIZE = 1024  # rays per shared-traversal packet (8x128 VPU tiles)
+
+
+def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False):
+    """Pick the fastest applicable triangle traversal: packet traversal when
+    the batch divides into packets (the renderer feeds tile-ordered batches),
+    per-ray threaded traversal otherwise."""
+    if orig.shape[0] % PACKET_SIZE == 0:
+        return packet_traverse(
+            scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            orig, dirn, limit, leaf_size=leaf_size,
+            packet_size=PACKET_SIZE, any_hit=any_hit)
+    return bvh_traverse_threaded(
+        scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+        orig, dirn, limit, leaf_size=leaf_size, any_hit=any_hit)
 
 SPHERE, TRIANGLE = 0, 1
 _BRUTE_BLOCK = 512  # triangles per brute-force block (bounds the [N,K] tile)
@@ -90,9 +107,7 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
 
     # --- triangles: BVH when built, brute force otherwise (lib.rs:192-211) ---
     if use_bvh and scene.bvh.num_nodes > 1:
-        tri_t, tri_i, tri_any = bvh_traverse(
-            scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            orig, dirn, tri_limit, leaf_size=leaf_size)
+        tri_t, tri_i, tri_any = _traverse(scene, orig, dirn, tri_limit, leaf_size)
     else:
         tri_t, tri_i, tri_any = _trace_triangles_brute(scene, orig, dirn, tri_limit)
 
@@ -138,9 +153,8 @@ def occluded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
                                   scene.spheres.radius, max_t)
     sph_block = jnp.any(s_hit, axis=-1)
     if use_bvh and scene.bvh.num_nodes > 1:
-        _, _, tri_block = bvh_traverse(
-            scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            orig, dirn, max_t, leaf_size=leaf_size, any_hit=True)
+        _, _, tri_block = _traverse(scene, orig, dirn, max_t, leaf_size,
+                                    any_hit=True)
     else:
         _, _, tri_block = _trace_triangles_brute(scene, orig, dirn, max_t)
     return sph_block | tri_block

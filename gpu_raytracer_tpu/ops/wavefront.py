@@ -1,0 +1,258 @@
+"""Wavefront path tracing.
+
+The reference designed a wavefront architecture — per-ray records
+(`WavefrontRay`, /root/reference/shared/src/lib.rs:163-181), per-depth
+counters, breadth-first dispatch (/root/reference/src/compute.rs:365-553) —
+but shipped it unfinished: continuation rays are a stub returning 0
+(shader/src/wavefront.rs:340-355), next-depth counts are simulated host-side
+with a 0.7^depth decay (compute.rs:467-474), and the kernel terminates every
+ray after its first hit (shader/src/lib.rs:142-146).
+
+This module implements the design for real, the TPU way:
+
+* the ray pool is a fixed-capacity SoA pytree (XLA static shapes); rays stay
+  pinned to their pixel slot, so radiance accumulation is a masked add, not a
+  scatter;
+* `lax.while_loop` over bounce depth is the breadth-first scheduler — each
+  step traces the whole pool in lockstep, with terminated lanes masked (the
+  SIMD analogue of the reference's per-depth dispatch), and exits as soon as
+  every lane is dead (the device-side replacement for the host-simulated
+  counters);
+* spectral mode traces one ray per wavelength channel (the reference's
+  3-channel tile dispatch, compute.rs:432-441) so refraction can use the
+  per-channel IOR dispersion table;
+* Russian roulette follows WavefrontRay::apply_russian_roulette
+  (shared/src/lib.rs:969-978): survive → throughput /= p, else deactivate.
+
+Sky color (0.1, 0.2, 0.3) × throughput on miss and shading × throughput on
+hit match process_wavefront_ray (shader/src/wavefront.rs:146-164).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from ..utils.pytree import pytree_dataclass
+from .camera_rays import generate_rays
+from .f16 import unpack_f16_high, unpack_f16_low
+from .linalg import dot, normalize
+from .sampling import (
+    RAY_CAMERA, RAY_REFLECT, RAY_TRANSMIT,
+    cosine_hemisphere, ior_for_channel, reflect, refract, schlick_fresnel,
+)
+from .shading import direct_lighting, apply_dispersion, MAGENTA
+from .trace import trace, occluded
+
+SKY_WAVEFRONT = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)  # wavefront.rs:148
+
+
+@pytree_dataclass
+class WavefrontRays:
+    """Fixed-capacity ray pool — WavefrontRay fields
+    (shared/src/lib.rs:163-181) as SoA arrays."""
+
+    origin: jnp.ndarray              # [N,3] f32
+    direction: jnp.ndarray           # [N,3] f32
+    ray_type: jnp.ndarray            # [N] i32 (0=camera 1=reflect 2=transmit 3=shadow)
+    bounce_depth: jnp.ndarray        # [N] i32
+    throughput: jnp.ndarray          # [N,3] f32
+    medium_ior: jnp.ndarray          # [N] f32
+    pixel: jnp.ndarray               # [N] i32 flat pixel index
+    inv_pdf: jnp.ndarray             # [N] f32
+    t_min: jnp.ndarray               # [N] f32
+    t_max: jnp.ndarray               # [N] f32
+    wavelength_channel: jnp.ndarray  # [N] i32
+    active: jnp.ndarray              # [N] bool
+
+    @property
+    def count(self) -> int:
+        return self.origin.shape[0]
+
+
+def camera_wavefront_rays(camera, width, height, px, py, channel,
+                          jitter=None) -> WavefrontRays:
+    """WavefrontRay::camera_ray semantics (shared/src/lib.rs:861-878):
+    throughput 1, medium air IOR 1, t_min 1e-3, active."""
+    o, d = generate_rays(camera, width, height, px, py, jitter=jitter)
+    n = o.shape[0]
+    f = lambda v: jnp.full((n,), v)
+    return WavefrontRays(
+        origin=o, direction=d,
+        ray_type=jnp.full((n,), RAY_CAMERA, jnp.int32),
+        bounce_depth=jnp.zeros((n,), jnp.int32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        medium_ior=f(jnp.float32(1.0)),
+        pixel=(py.astype(jnp.int32) * width + px.astype(jnp.int32)),
+        inv_pdf=f(jnp.float32(1.0)),
+        t_min=f(jnp.float32(1e-3)),
+        t_max=f(jnp.float32(3.0e38)),
+        wavelength_channel=jnp.broadcast_to(jnp.asarray(channel, jnp.int32), (n,)),
+        active=jnp.ones((n,), bool),
+    )
+
+
+def _shadow_mask_points(scene, point, normal, hit_mask, leaf_size, use_bvh):
+    """[N,L] light visibility from hit points (shared with engine.renderer)."""
+    L = scene.lights
+    N = point.shape[0]
+    to_light = L.position[None, :, :] - point[:, None, :]
+    dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))
+    pl_dir = to_light / dist[..., None]
+    ldir = normalize(L.direction)[None, :, :]
+    is_dir = L.light_type[None, :] == 0
+    sdir = jnp.where(is_dir[..., None],
+                     -jnp.broadcast_to(ldir, to_light.shape), pl_dir)
+    smax = jnp.where(is_dir, jnp.float32(3.0e38), dist - 1e-3)
+    # light-major layout (see engine.renderer._shadow_mask): one light per
+    # coherent packet
+    o = jnp.broadcast_to((point + normal * 1e-3)[None, :, :],
+                         (L.count, N, 3)).reshape(-1, 3)
+    blocked = occluded(scene, o, jnp.swapaxes(sdir, 0, 1).reshape(-1, 3),
+                       jnp.swapaxes(smax, 0, 1).reshape(-1),
+                       leaf_size=leaf_size, use_bvh=use_bvh)
+    mask = 1.0 - jnp.swapaxes(blocked.reshape(L.count, N), 0, 1).astype(jnp.float32)
+    return jnp.where(hit_mask[:, None], mask, 1.0)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "rr_start", "shadows",
+                                   "leaf_size", "use_bvh"))
+def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
+                    max_depth: int = 4, rr_start: int = 2,
+                    shadows: bool = True, leaf_size: int = 4,
+                    use_bvh: bool = True):
+    """Trace a ray pool to termination → radiance [N,3] aligned with the pool.
+
+    Per bounce (the reference's per-depth dispatch, compute.rs:443-466):
+    trace → miss adds sky×throughput; hit adds shading×throughput and spawns
+    a continuation ray in place (the wavefront.rs:340 stub, implemented).
+    """
+    N = rays.count
+    mats = scene.materials
+
+    def cond(state):
+        depth, r, radiance = state
+        return (depth <= max_depth) & jnp.any(r.active)
+
+    def body(state):
+        depth, r, radiance = state
+        k = jax.random.fold_in(key, depth)
+        u = jax.random.uniform(k, (N, 5), jnp.float32)
+
+        hit = trace(scene, r.origin, r.direction, leaf_size=leaf_size,
+                    use_bvh=use_bvh)
+        live = r.active
+        hit_live = live & hit.hit
+        miss_live = live & ~hit.hit
+
+        # --- miss: sky × throughput (wavefront.rs:146-151) ---
+        radiance = radiance + jnp.where(
+            miss_live[:, None], SKY_WAVEFRONT[None, :] * r.throughput, 0.0)
+
+        # --- hit: direct shading × throughput (wavefront.rs:153-164) ---
+        smask = (_shadow_mask_points(scene, hit.point, hit.normal, hit_live,
+                                     leaf_size, use_bvh) if shadows else None)
+        lighting = direct_lighting(scene, hit, smask)
+        shaded = apply_dispersion(scene, hit, lighting)
+        invalid = hit.hit & (hit.material_id >= mats.count)
+        shaded = jnp.where(invalid[:, None], MAGENTA[None, :], shaded)
+        radiance = radiance + jnp.where(
+            hit_live[:, None], shaded * r.throughput, 0.0)
+
+        # --- continuation sampling (the reference stub, implemented) ---
+        mid = jnp.clip(hit.material_id, 0, mats.count - 1)
+        albedo = mats.albedo[mid]
+        metallic = unpack_f16_low(mats.metallic_roughness_f16[mid])
+        roughness = unpack_f16_high(mats.metallic_roughness_f16[mid])
+        base_ior = unpack_f16_low(mats.ior_transmission_f16[mid])
+        transmission = unpack_f16_high(mats.ior_transmission_f16[mid])
+
+        n = hit.normal
+        d = r.direction
+        entering = dot(d, n) < 0.0
+        n_face = jnp.where(entering[:, None], n, -n)
+
+        # diffuse lobe
+        dir_diffuse = cosine_hemisphere(n_face, u[:, 0], u[:, 1])
+        # metal lobe: mirror + roughness fuzz
+        fuzz = jnp.stack([u[:, 0] * 2 - 1, u[:, 1] * 2 - 1, u[:, 2] * 2 - 1], -1)
+        dir_metal = normalize(reflect(d, n_face) + roughness[:, None] * fuzz)
+        metal_absorbed = dot(dir_metal, n_face) <= 0.0
+        # glass lobe: Fresnel-weighted reflect/refract with per-channel IOR
+        mat_ior = ior_for_channel(base_ior, r.wavelength_channel)
+        n1 = jnp.where(entering, r.medium_ior, mat_ior)
+        n2 = jnp.where(entering, mat_ior, jnp.float32(1.0))
+        eta = n1 / n2
+        cos_i = jnp.abs(dot(d, n_face))
+        dir_refr, tir = refract(d, n_face, eta)
+        fres = jnp.clip(schlick_fresnel(cos_i, n1, n2), 0.0, 1.0)
+        do_reflect = tir | (u[:, 3] < fres)
+        dir_glass = jnp.where(do_reflect[:, None], reflect(d, n_face), dir_refr)
+        new_medium = jnp.where(do_reflect, r.medium_ior,
+                               jnp.where(entering, mat_ior, jnp.float32(1.0)))
+
+        is_glass = transmission > 0.0
+        is_metal = ~is_glass & (metallic > 0.5)
+        new_dir = jnp.where(is_glass[:, None], dir_glass,
+                            jnp.where(is_metal[:, None], dir_metal, dir_diffuse))
+        ray_type = jnp.where(is_glass & ~do_reflect, RAY_TRANSMIT, RAY_REFLECT)
+        # offset along the travel side of the surface
+        offset_sign = jnp.where(dot(new_dir, n_face) >= 0.0, 1.0, -1.0)
+        new_origin = hit.point + n_face * (offset_sign * 1e-3)[:, None]
+
+        throughput = r.throughput * albedo
+        alive = hit_live & ~(is_metal & metal_absorbed)
+
+        # --- Russian roulette (shared/src/lib.rs:969-978) ---
+        if max_depth >= rr_start:
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+            do_rr = alive & (depth >= rr_start)
+            survive = u[:, 4] <= p
+            throughput = jnp.where((do_rr & survive)[:, None],
+                                   throughput / p[:, None], throughput)
+            alive = alive & (~do_rr | survive)
+
+        r = WavefrontRays(
+            origin=jnp.where(alive[:, None], new_origin, r.origin),
+            direction=jnp.where(alive[:, None], new_dir, r.direction),
+            ray_type=jnp.where(alive, ray_type, r.ray_type).astype(jnp.int32),
+            bounce_depth=r.bounce_depth + alive.astype(jnp.int32),
+            throughput=jnp.where(alive[:, None], throughput, r.throughput),
+            medium_ior=jnp.where(alive & is_glass, new_medium, r.medium_ior),
+            pixel=r.pixel,
+            inv_pdf=r.inv_pdf,
+            t_min=r.t_min,
+            t_max=r.t_max,
+            wavelength_channel=r.wavelength_channel,
+            active=alive,
+        )
+        return depth + 1, r, radiance
+
+    radiance = jnp.zeros((N, 3), jnp.float32)
+    _, _, radiance = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rays, radiance))
+    return radiance
+
+
+@partial(jax.jit, static_argnames=("width", "height", "leaf_size", "use_bvh",
+                                   "channel"))
+def wavefront_single_bounce(scene: Scene, px, py, width: int, height: int,
+                            channel: int = 0, leaf_size: int = 4,
+                            use_bvh: bool = True):
+    """Bit-parity port of the reference's *shipped* wavefront behaviour
+    (run_wavefront_raytracing, shader/src/lib.rs:92-149): one camera ray per
+    pixel/channel, a single processed bounce, forced termination. Returns the
+    full RGB before channel filtering. Used by parity tests."""
+    rays = camera_wavefront_rays(scene.camera, width, height, px, py, channel)
+    hit = trace(scene, rays.origin, rays.direction, leaf_size=leaf_size,
+                use_bvh=use_bvh)
+    lighting = direct_lighting(scene, hit)
+    # calculate_wavefront_shading uses the push-constant channel for
+    # dispersion (wavefront.rs:200), same table as the legacy path.
+    shaded = apply_dispersion(scene, hit, lighting)
+    color = jnp.where(hit.hit[:, None], shaded * rays.throughput,
+                      SKY_WAVEFRONT[None, :] * rays.throughput)
+    return color

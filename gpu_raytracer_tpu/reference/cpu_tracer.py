@@ -7,15 +7,22 @@ for RMSE and bit-stability tests of the JAX path. No BVH, no batching tricks
 — every ray tests every primitive, mirroring the reference's sequential
 per-thread loops, including their tie rules (strict `<` with earlier
 primitive winning) and the f16 round-trips.
+
+All arithmetic is kept in float32 (NumPy weak-promotion discipline: every
+named intermediate is np.float32), because the reference GPU computes in f32
+and seam/boundary decisions (e.g. Möller-Trumbore's u+v <= 1) flip between
+f32 and f64.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-MIN_T = 1e-5
+MIN_T = np.float32(1e-5)
 F32_MAX = np.float32(3.4028235e38)
 DISPERSION = np.array([-0.018, 0.0, 0.035], np.float32)
+
+f32 = np.float32
 
 
 def _f16(x):
@@ -25,46 +32,56 @@ def _f16(x):
 def unpack_f16_pair(u):
     lo = np.array(u & 0xFFFF, np.uint16).view(np.float16).astype(np.float32)
     hi = np.array((u >> 16) & 0xFFFF, np.uint16).view(np.float16).astype(np.float32)
-    return float(lo), float(hi)
+    return f32(lo), f32(hi)
+
+
+def _dot(a, b):
+    return f32(a[0] * b[0] + a[1] * b[1] + a[2] * b[2])
+
+
+def _cross(a, b):
+    return np.array([a[1] * b[2] - a[2] * b[1],
+                     a[2] * b[0] - a[0] * b[2],
+                     a[0] * b[1] - a[1] * b[0]], np.float32)
 
 
 def _normalize(v):
-    return v / np.sqrt(np.dot(v, v))
+    return (v / np.sqrt(_dot(v, v))).astype(np.float32)
 
 
 def _max0(x):
     # Rust f32::max(0.0): NaN -> 0
-    return x if x > 0.0 else 0.0
+    return f32(x) if x > 0.0 else f32(0.0)
 
 
 def camera_ray(cam, width, height, x, y):
     """ray.rs:22-53."""
-    u = (x + 0.5) / width
-    v = (y + 0.5) / height
-    aspect = np.float32(width) / np.float32(height)
-    fov_scale = np.tan(np.float32(cam["fov"]) * 0.5 * np.pi / 180.0)
-    cx = (u * 2.0 - 1.0) * aspect * fov_scale
-    cy = (1.0 - v * 2.0) * fov_scale
+    u = f32((f32(x) + f32(0.5)) / f32(width))
+    v = f32((f32(y) + f32(0.5)) / f32(height))
+    aspect = f32(f32(width) / f32(height))
+    fov_scale = f32(np.tan(f32(cam["fov"]) * f32(0.5) * f32(np.pi) / f32(180.0)))
+    cx = f32((u * 2.0 - 1.0) * aspect * fov_scale)
+    cy = f32((1.0 - v * 2.0) * fov_scale)
     forward = np.asarray(cam["direction"], np.float32)
     up = np.asarray(cam["up"], np.float32)
-    right = np.cross(forward, up)
-    true_up = np.cross(right, forward)
-    d = forward + right * cx + true_up * cy
-    return np.asarray(cam["position"], np.float32), _normalize(d).astype(np.float32)
+    right = _cross(forward, up)
+    true_up = _cross(right, forward)
+    d = (forward + right * cx + true_up * cy).astype(np.float32)
+    return np.asarray(cam["position"], np.float32), _normalize(d)
 
 
 def sphere_hit(o, d, center, radius, max_t):
     """intersection.rs:52-87 → (t, hit)."""
-    oc = o - center
-    a = float(np.dot(d, d))
-    b = 2.0 * float(np.dot(oc, d))
-    c = float(np.dot(oc, oc)) - radius * radius
-    disc = b * b - 4.0 * a * c
+    oc = (o - center).astype(np.float32)
+    a = _dot(d, d)
+    b = f32(2.0 * _dot(oc, d))
+    c = f32(_dot(oc, oc) - f32(radius) * f32(radius))
+    disc = f32(b * b - 4.0 * a * c)
     if disc < 0.0:
         return F32_MAX, False
-    sq = np.sqrt(disc)
-    t1 = (-b - sq) / (2.0 * a)
-    t2 = (-b + sq) / (2.0 * a)
+    sq = f32(np.sqrt(disc))
+    t1 = f32((-b - sq) / (2.0 * a))
+    t2 = f32((-b + sq) / (2.0 * a))
     t = t1 if t1 > MIN_T else t2
     if t > MIN_T and t < max_t:
         return t, True
@@ -73,22 +90,22 @@ def sphere_hit(o, d, center, radius, max_t):
 
 def triangle_hit(o, d, v0, v1, v2, max_t):
     """intersection.rs:91-138 → (t, hit)."""
-    e1 = v1 - v0
-    e2 = v2 - v0
-    h = np.cross(d, e2)
-    a = float(np.dot(e1, h))
+    e1 = (v1 - v0).astype(np.float32)
+    e2 = (v2 - v0).astype(np.float32)
+    h = _cross(d, e2)
+    a = _dot(e1, h)
     if abs(a) < MIN_T:
         return F32_MAX, False
-    f = 1.0 / a
-    s = o - v0
-    u = f * float(np.dot(s, h))
+    f = f32(1.0 / a)
+    s = (o - v0).astype(np.float32)
+    u = f32(f * _dot(s, h))
     if u < 0.0 or u > 1.0:
         return F32_MAX, False
-    q = np.cross(s, e1)
-    v = f * float(np.dot(d, q))
+    q = _cross(s, e1)
+    v = f32(f * _dot(d, q))
     if v < 0.0 or u + v > 1.0:
         return F32_MAX, False
-    t = f * float(np.dot(e2, q))
+    t = f32(f * _dot(e2, q))
     if t > MIN_T and t < max_t:
         return t, True
     return F32_MAX, False
@@ -98,15 +115,16 @@ def closest_hit(scene, o, d, max_t=None):
     """find_closest_intersection (shader/src/lib.rs:174-249): spheres first,
     triangles pruned at the sphere t. Returns dict or None."""
     if max_t is None:
-        max_t = float(F32_MAX) - 2.0
+        max_t = f32(F32_MAX - 2.0)
     best = None
     closest = max_t
     for i, (c, r, mid) in enumerate(scene["spheres"]):
-        t, ok = sphere_hit(o, d, np.asarray(c, np.float32), r, closest)
+        c = np.asarray(c, np.float32)
+        t, ok = sphere_hit(o, d, c, f32(r), closest)
         if ok:
             closest = t
-            p = o + d * t
-            best = dict(t=t, point=p, normal=_normalize(p - np.asarray(c, np.float32)),
+            p = (o + d * t).astype(np.float32)
+            best = dict(t=t, point=p, normal=_normalize((p - c).astype(np.float32)),
                         material_id=mid, kind="sphere", prim=i)
     tri_limit = closest
     for j, (i0, i1, i2, mid) in enumerate(scene["triangles"]):
@@ -116,9 +134,11 @@ def closest_hit(scene, o, d, max_t=None):
         t, ok = triangle_hit(o, d, v0, v1, v2, tri_limit)
         if ok:
             tri_limit = t
-            p = o + d * t
-            n = _normalize(np.cross(v1 - v0, v2 - v0))
-            best = dict(t=t, point=p, normal=n, material_id=mid, kind="triangle", prim=j)
+            p = (o + d * t).astype(np.float32)
+            n = _normalize(_cross((v1 - v0).astype(np.float32),
+                                  (v2 - v0).astype(np.float32)))
+            best = dict(t=t, point=p, normal=n, material_id=mid,
+                        kind="triangle", prim=j)
     return best
 
 
@@ -130,34 +150,36 @@ def light_contribution(scene, hit, light, mat):
     pos = np.asarray(light["position"], np.float32)
     ldir = np.asarray(light["direction"], np.float32)
     lt = light["light_type"]
+    intensity = f32(light["intensity"])
 
     # directional part
     with np.errstate(invalid="ignore", divide="ignore"):
         dnorm = _normalize(ldir)
-        dir_dot = float(np.dot(n, -dnorm))
-    dir_I = _max0(dir_dot if dir_dot == dir_dot else float("nan")) * light["intensity"]
+        dir_dot = _dot(n, -dnorm)
+    dir_I = f32(_max0(dir_dot) * intensity)
 
     # point/spot part
-    to_light = pos - p
-    dist = float(np.sqrt(np.dot(to_light, to_light)))
+    to_light = (pos - p).astype(np.float32)
+    dist = f32(np.sqrt(_dot(to_light, to_light)))
     with np.errstate(invalid="ignore", divide="ignore"):
-        pl = to_light / dist
-        atten = _f16(1.0 / (1.0 + dist * dist * 0.01))
-        pdot = float(np.dot(n, pl))
-    point_I = _max0(pdot if pdot == pdot else float("nan")) * light["intensity"] * atten
+        pl = (to_light / dist).astype(np.float32)
+        atten = _f16(f32(1.0) / (f32(1.0) + dist * dist * f32(0.01)))
+        pdot = _dot(n, pl)
+    point_I = f32(_max0(pdot) * intensity * atten)
     with np.errstate(invalid="ignore"):
-        sdot = float(np.dot(-dnorm, pl))
-    spot_I = point_I * _max0(sdot if sdot == sdot else float("nan"))
+        sdot = _dot(-dnorm, pl)
+    spot_I = f32(point_I * _max0(sdot))
 
-    I = dir_I * (lt == 0) + point_I * (lt == 1) + spot_I * (lt == 2)
+    I = f32(dir_I * (lt == 0) + point_I * (lt == 1) + spot_I * (lt == 2))
 
     # BRDF (material.rs:76-83)
     metallic, _ = unpack_f16_pair(mat["metallic_roughness_f16"])
     albedo = np.asarray(mat["albedo"], np.float32)
-    is_m = 1.0 if metallic > 0.5 else 0.0
-    brdf = albedo * I * 0.5 * is_m + (albedo / np.pi) * I * (1.0 - is_m)
-    valid = 1.0 if I > 0.0 else 0.0
-    return brdf * np.asarray(light["color"], np.float32) * valid
+    is_m = f32(1.0) if metallic > 0.5 else f32(0.0)
+    brdf = (albedo * I * f32(0.5) * is_m
+            + (albedo / f32(np.pi)) * I * (f32(1.0) - is_m)).astype(np.float32)
+    valid = f32(1.0) if I > 0.0 else f32(0.0)
+    return (brdf * np.asarray(light["color"], np.float32) * valid).astype(np.float32)
 
 
 def shade(scene, hit, channel):
@@ -167,20 +189,20 @@ def shade(scene, hit, channel):
         return np.array([1.0, 0.0, 1.0], np.float32)
     mat = mats[hit["material_id"]]
     albedo = np.asarray(mat["albedo"], np.float32)
-    total = albedo * 0.1
+    total = (albedo * f32(0.1)).astype(np.float32)
     for light in scene["lights"]:
-        total = total + light_contribution(scene, hit, light, mat)
-    total = total + np.asarray(mat["emission"], np.float32)
+        total = (total + light_contribution(scene, hit, light, mat)).astype(np.float32)
+    total = (total + np.asarray(mat["emission"], np.float32)).astype(np.float32)
 
     ior, trans = unpack_f16_pair(mat["ior_transmission_f16"])
-    trans = min(max(trans, 0.0), 1.0)
+    trans = f32(min(max(trans, f32(0.0)), f32(1.0)))
     if trans > 0.0:
         # ior_for_channel (material.rs:42-58); channel >= 3 uses the 0.0 fallback
-        wl = ior + (float(DISPERSION[channel]) if channel < 3 else 0.0)
+        wl = f32(ior + (DISPERSION[channel] if channel < 3 else f32(0.0)))
         with np.errstate(invalid="ignore", divide="ignore"):
-            disp = (wl - 1.0) / (ior - 1.0)
-        transmitted = np.array([0.2, 0.2, 0.3], np.float32) * disp
-        return total * (1.0 - trans) + transmitted * trans
+            disp = f32((wl - 1.0) / (ior - 1.0))
+        transmitted = (np.array([0.2, 0.2, 0.3], np.float32) * disp).astype(np.float32)
+        return (total * (f32(1.0) - trans) + transmitted * trans).astype(np.float32)
     return total
 
 

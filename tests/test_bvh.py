@@ -79,6 +79,52 @@ def test_traversal_matches_brute_force(rng):
                                np.asarray(hit_brute.normal)[h], atol=1e-6)
 
 
+def test_threaded_equals_stack_traversal(rng):
+    from gpu_raytracer_tpu.ops.bvh_traverse import (
+        bvh_traverse, bvh_traverse_threaded,
+    )
+
+    scene = _scene_from_soup(rng, 300)
+    n = 512
+    o = rng.uniform(-12, 12, size=(n, 3)).astype(np.float32)
+    target = rng.uniform(-8, 8, size=(n, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    mt = jnp.full((n,), 3.0e38, jnp.float32)
+    args = (scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, mt)
+    t1, i1, h1 = bvh_traverse(*args)
+    t2, i2, h2 = bvh_traverse_threaded(*args)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_compute_links_invariants(rng):
+    from gpu_raytracer_tpu.models.bvh import compute_links
+
+    verts, idx = _tri_soup(rng, 100)
+    res = build_bvh(verts, idx, leaf_size=4)
+    hit, miss = compute_links(res.left, res.right)
+    n = res.left.shape[0]
+    # root's miss is exit; internal hit = left child; leaf hit = its miss
+    assert miss[0] == -1
+    leaves = res.left == LEAF
+    np.testing.assert_array_equal(hit[~leaves], res.left[~leaves])
+    np.testing.assert_array_equal(hit[leaves], miss[leaves])
+    # following hit links from the root visits every node exactly once
+    # (threaded DFS covers the tree)
+    seen = np.zeros(n, bool)
+    node = 0
+    steps = 0
+    while node != -1 and steps <= n:
+        assert not seen[node]
+        seen[node] = True
+        node = int(hit[node])
+        steps += 1
+    assert seen.all()
+
+
 def test_occlusion_matches_closest(rng):
     from gpu_raytracer_tpu.ops.trace import occluded
 

@@ -1,0 +1,175 @@
+"""glTF loader tests: parsing, transforms, modes, extensions, Cornell render."""
+
+import base64
+import json
+
+import numpy as np
+
+from gpu_raytracer_tpu.models.gltf import (
+    GltfError, GltfLoader, decode_png, load_gltf, scene_from_gltf,
+    scene_from_gltf_or_default,
+)
+from gpu_raytracer_tpu.ops.f16 import unpack_f16_pair_host
+from gltf_fixtures import cornell_box_gltf, to_glb, write_gltf
+
+
+def test_load_cornell_gltf(tmp_path):
+    path = write_gltf(tmp_path / "cornell.gltf", cornell_box_gltf())
+    loaded = load_gltf(path)
+    assert loaded.triangles.shape == (10, 3)
+    assert loaded.vertices.shape[0] == 20  # 5 quads x 4 corners, no sharing
+    assert len(loaded.materials) == 3
+    assert len(loaded.lights) == 1
+    assert len(loaded.cameras) == 1
+    cam = loaded.cameras[0]
+    np.testing.assert_allclose(np.asarray(cam.position), [0, 1, 3.9], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cam.direction), [0, 0, -1], atol=1e-6)
+    assert abs(float(cam.fov) - np.degrees(0.6911112)) < 1e-3
+
+
+def test_glb_equals_gltf(tmp_path):
+    doc = cornell_box_gltf()
+    path = write_gltf(tmp_path / "c.gltf", doc)
+    a = load_gltf(path)
+    glb = to_glb(doc)
+    p2 = tmp_path / "c.glb"
+    p2.write_bytes(glb)
+    b = load_gltf(str(p2))
+    np.testing.assert_array_equal(a.vertices, b.vertices)
+    np.testing.assert_array_equal(a.triangles, b.triangles)
+
+
+def test_transform_composition(tmp_path):
+    """Parent translation + child rotation must compose (gltf_loader.rs:198-200)."""
+    tri = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    buf = tri.tobytes()
+    doc = {
+        "asset": {"version": "2.0"}, "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [
+            {"translation": [10, 0, 0], "children": [1]},
+            # 90° about Z: quat (0,0,sin45,cos45)
+            {"rotation": [0, 0, 0.7071068, 0.7071068], "mesh": 0},
+        ],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "buffers": [{"byteLength": len(buf),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(buf).decode()}],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0, "byteLength": len(buf)}],
+        "accessors": [{"bufferView": 0, "componentType": 5126, "count": 3,
+                       "type": "VEC3"}],
+    }
+    loaded = load_gltf(write_gltf(tmp_path / "t.gltf", doc))
+    # (1,0,0) -> rotate90Z -> (0,1,0) -> translate -> (10,1,0)
+    got = loaded.vertices[loaded.triangles[0]]
+    np.testing.assert_allclose(got[0], [10, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(got[1], [10, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(got[2], [9, 0, 0], atol=1e-5)
+
+
+def test_strip_and_fan_modes(tmp_path):
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [0, 2, 0]],
+                     np.float32)
+    buf = pos.tobytes()
+    base = {
+        "asset": {"version": "2.0"}, "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "buffers": [{"byteLength": len(buf),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(buf).decode()}],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0, "byteLength": len(buf)}],
+        "accessors": [{"bufferView": 0, "componentType": 5126, "count": 5,
+                       "type": "VEC3"}],
+    }
+    strip = dict(base, meshes=[{"primitives": [
+        {"attributes": {"POSITION": 0}, "mode": 5}]}])
+    fan = dict(base, meshes=[{"primitives": [
+        {"attributes": {"POSITION": 0}, "mode": 6}]}])
+    ls = load_gltf(write_gltf(tmp_path / "s.gltf", strip))
+    lf = load_gltf(write_gltf(tmp_path / "f.gltf", fan))
+    assert ls.triangles.shape == (3, 3)   # 5 verts -> 3 strip triangles
+    assert lf.triangles.shape == (3, 3)   # fan: center + 3
+    # strip alternates winding: tri1 = (1, 3, 2) in original vertex ids
+    v = ls.vertices
+    t1 = v[ls.triangles[1]]
+    np.testing.assert_allclose(t1[0], pos[1])
+    np.testing.assert_allclose(t1[1], pos[3])
+    np.testing.assert_allclose(t1[2], pos[2])
+    # fan keeps vertex 0 as hub
+    np.testing.assert_allclose(v[lf.triangles[2]][0], pos[0])
+
+
+def test_material_extensions(tmp_path):
+    doc = cornell_box_gltf()
+    doc["materials"][0]["extensions"] = {
+        "KHR_materials_transmission": {"transmissionFactor": 0.8},
+        "KHR_materials_ior": {"ior": 1.33},
+        "KHR_materials_specular": {"specularFactor": 0.5,
+                                   "specularColorFactor": [0.9, 0.8, 0.7]},
+        "KHR_materials_volume": {"thicknessFactor": 0.2,
+                                 "attenuationDistance": 5.0,
+                                 "attenuationColor": [0.4, 0.5, 0.6]},
+    }
+    doc["materials"][1]["emissiveFactor"] = [1.0, 2.0, 3.0]
+    doc["materials"].append({"extensions": {
+        "KHR_materials_pbrSpecularGlossiness": {
+            "diffuseFactor": [0.1, 0.2, 0.3, 1.0],
+            "specularFactor": [0.7, 0.7, 0.7],
+            "glossinessFactor": 0.4}}})
+    loaded = load_gltf(write_gltf(tmp_path / "m.gltf", doc))
+    m = loaded.materials.build()
+    ior, trans = unpack_f16_pair_host(np.asarray(m.ior_transmission_f16))
+    assert abs(ior[0] - 1.33) < 1e-2 and abs(trans[0] - 0.8) < 1e-3
+    assert float(np.asarray(m.specular_factor)[0]) == 0.5
+    np.testing.assert_allclose(np.asarray(m.attenuation_color)[0], [0.4, 0.5, 0.6])
+    np.testing.assert_allclose(np.asarray(m.emission)[1], [1, 2, 3])
+    assert int(np.asarray(m.material_type)[3]) == 1  # spec-gloss workflow
+    np.testing.assert_allclose(np.asarray(m.diffuse_factor)[3], [0.1, 0.2, 0.3])
+
+
+def test_cornell_render_matches_oracle(tmp_path):
+    """BASELINE config 1: Cornell glTF, primary rays + flat shading, vs oracle."""
+    from gpu_raytracer_tpu import render_image
+    from gpu_raytracer_tpu.reference import cpu_tracer as oracle
+    from gpu_raytracer_tpu.utils.image import rmse
+
+    path = write_gltf(tmp_path / "cornell.gltf", cornell_box_gltf())
+    scene = scene_from_gltf(path)
+    W = H = 32
+    img = render_image(scene, W, H)
+    ref = oracle.render(oracle.scene_dict_from(scene), W, H)
+    assert rmse(img, ref) < 1e-5
+    # walls visible: left pixels red-ish, right green-ish
+    left = img[H // 2, 1]
+    right = img[H // 2, W - 2]
+    assert left[0] > left[1]
+    assert right[1] > right[0]
+
+
+def test_fallback_to_default_scene():
+    scene = scene_from_gltf_or_default("/nonexistent/file.gltf")
+    assert scene.spheres.count == 6  # default demo scene
+
+
+def test_scene_selection_errors(tmp_path):
+    path = write_gltf(tmp_path / "c.gltf", cornell_box_gltf())
+    loader = GltfLoader.load_from_path(path)
+    assert loader.list_scenes() == ["scene_0"]
+    assert loader.list_cameras() == ["camera_0"]
+    assert loader.list_lights() == ["light_0"]
+    try:
+        loader.extract_scene(5)
+        raise AssertionError("should have raised")
+    except GltfError:
+        pass
+
+
+def test_png_roundtrip(tmp_path):
+    from gpu_raytracer_tpu.utils.image import write_png
+
+    img = (np.random.default_rng(0).uniform(0, 255, (7, 5, 3))).astype(np.uint8)
+    p = tmp_path / "t.png"
+    write_png(str(p), img)
+    decoded = decode_png(p.read_bytes())
+    np.testing.assert_array_equal(decoded[..., :3], img)
+    assert (decoded[..., 3] == 255).all()

@@ -1,0 +1,148 @@
+"""On-device LBVH tests: structure validity + trace parity vs host SAH BVH."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpu_raytracer_tpu.ops.lbvh import (
+    build_lbvh_arrays, expand_bits_10, lbvh_from_mesh_device, morton_codes,
+    _nlz32,
+)
+from gpu_raytracer_tpu.ops.bvh_traverse import bvh_traverse_threaded
+from gpu_raytracer_tpu.ops.packet_trace import packet_traverse
+
+
+def test_nlz32():
+    vals = np.array([0, 1, 2, 3, 0x80000000, 0x7FFFFFFF, 0xFFFFFFFF, 1 << 20],
+                    dtype=np.uint32)
+    got = np.asarray(_nlz32(jnp.asarray(vals)))
+    want = [32, 31, 30, 30, 0, 1, 0, 11]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_expand_bits():
+    # spreading 0b1111111111 puts bits at every 3rd position
+    v = np.asarray(expand_bits_10(jnp.asarray([0x3FF], jnp.uint32)))[0]
+    assert v == 0x09249249  # bits 0..9 -> positions 0,3,...,27
+    v1 = np.asarray(expand_bits_10(jnp.asarray([1], jnp.uint32)))[0]
+    assert v1 == 1
+
+
+def test_morton_orders_along_axes():
+    c = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3)
+    m = np.asarray(morton_codes(c, lo, hi))
+    assert m[0] < m[1] and m[0] < m[2] and m[0] < m[3]
+    # x contributes the highest interleaved bit
+    assert m[1] > m[2] > m[3]
+
+
+def _soup(rng, n):
+    v0 = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    v1 = v0 + rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    v2 = v0 + rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    verts = np.concatenate([v0, v1, v2])
+    idx = np.arange(3 * n, dtype=np.uint32).reshape(3, n).T
+    return verts, idx
+
+
+def test_lbvh_structure(rng):
+    n = 500
+    verts, idx = _soup(rng, n)
+    a = verts[idx[:, 0]]
+    b = verts[idx[:, 1]]
+    c = verts[idx[:, 2]]
+    tmin = np.minimum(a, np.minimum(b, c))
+    tmax = np.maximum(a, np.maximum(b, c))
+    (nmin, nmax, left, right, ts, tc, hit, miss, order) = [
+        np.asarray(x) for x in build_lbvh_arrays(jnp.asarray(tmin),
+                                                 jnp.asarray(tmax))]
+    n_nodes = 2 * n - 1
+    assert left.shape[0] == n_nodes
+    # every leaf reachable exactly once from the root
+    seen = np.zeros(n_nodes, bool)
+    stack = [0]
+    leaf_positions = []
+    while stack:
+        nd = stack.pop()
+        assert not seen[nd], "node visited twice (not a tree)"
+        seen[nd] = True
+        if left[nd] < 0:
+            leaf_positions.append(ts[nd])
+        else:
+            stack.extend([int(left[nd]), int(right[nd])])
+    assert seen.all()
+    assert sorted(leaf_positions) == list(range(n))
+    assert sorted(order.tolist()) == list(range(n))
+    # parent bounds contain children
+    internal = np.where(left >= 0)[0]
+    for nd in internal[:200]:
+        for ch in (left[nd], right[nd]):
+            assert (nmin[nd] <= nmin[ch] + 1e-5).all()
+            assert (nmax[nd] >= nmax[ch] - 1e-5).all()
+    # threaded-link walk covers the tree
+    seen2 = np.zeros(n_nodes, bool)
+    nd, steps = 0, 0
+    while nd != -1 and steps <= n_nodes:
+        seen2[nd] = True
+        nd = int(hit[nd])
+        steps += 1
+    assert seen2.all()
+
+
+def test_lbvh_trace_parity_with_host_bvh(rng):
+    """LBVH traversal must find identical hits to the host SAH tree."""
+    from gpu_raytracer_tpu.models.bvh import build_bvh
+    from gpu_raytracer_tpu.models.scene import _expand_triangles
+
+    n = 400
+    verts, idx = _soup(rng, n)
+    bvh, v0, e1, e2, mat = lbvh_from_mesh_device(
+        jnp.asarray(verts), jnp.asarray(idx),
+        jnp.zeros((n,), jnp.uint32))
+
+    res = build_bvh(verts, idx, leaf_size=4)
+    hv0, he1, he2, hmat = _expand_triangles(verts, idx, np.zeros(n, np.uint32),
+                                            res.tri_order, 8)
+    host_bvh = res.to_device()
+
+    m = 512
+    o = rng.uniform(-12, 12, (m, 3)).astype(np.float32)
+    tgt = rng.uniform(-8, 8, (m, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    mt = jnp.full((m,), 3.0e38, jnp.float32)
+
+    t_l, i_l, h_l = bvh_traverse_threaded(bvh, v0, e1, e2, o, d, mt,
+                                          leaf_size=1)
+    t_h, i_h, h_h = bvh_traverse_threaded(host_bvh, hv0, he1, he2, o, d, mt,
+                                          leaf_size=4)
+    np.testing.assert_array_equal(np.asarray(h_l), np.asarray(h_h))
+    hmask = np.asarray(h_l)
+    assert hmask.sum() > 30
+    np.testing.assert_allclose(np.asarray(t_l)[hmask], np.asarray(t_h)[hmask],
+                               rtol=1e-6)
+
+    # packet traversal over the LBVH agrees too
+    t_p, i_p, h_p = packet_traverse(bvh, v0, e1, e2, o, d, mt,
+                                    leaf_size=1, packet_size=512)
+    np.testing.assert_array_equal(np.asarray(h_p), hmask)
+    np.testing.assert_allclose(np.asarray(t_p)[hmask], np.asarray(t_l)[hmask],
+                               rtol=1e-6)
+
+
+def test_lbvh_degenerate_small():
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                        [2, 2, 2], [3, 2, 2], [2, 3, 2]], np.float32)
+    idx = np.asarray([[0, 1, 2], [3, 4, 5]], np.uint32)
+    bvh, v0, e1, e2, mat = lbvh_from_mesh_device(
+        jnp.asarray(verts), jnp.asarray(idx), jnp.zeros((2,), jnp.uint32))
+    assert bvh.num_nodes == 3
+    o = jnp.asarray([[0.2, 0.2, -1.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    t, i, h = bvh_traverse_threaded(bvh, v0, e1, e2, o, d,
+                                    jnp.full((1,), 3e38, jnp.float32),
+                                    leaf_size=1)
+    assert bool(h[0])
+    np.testing.assert_allclose(float(t[0]), 1.0, rtol=1e-6)

@@ -1,0 +1,68 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpu_raytracer_tpu.parallel.mesh import make_mesh
+from gpu_raytracer_tpu.parallel.shard import (
+    render_frame_multichip, render_rays_sharded, trace_geometry_sharded,
+)
+from gpu_raytracer_tpu import render_image
+from gpu_raytracer_tpu.ops.camera_rays import generate_rays, pixel_grid
+from gpu_raytracer_tpu.ops.trace import trace
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_ray_sharded_render_matches_single(default_scene):
+    W = H = 32
+    mesh = make_mesh(8)
+    img = render_frame_multichip(default_scene, W, H, mesh)
+    single = render_image(default_scene, W, H)
+    np.testing.assert_allclose(img, single, atol=1e-6)
+
+
+@needs_8
+def test_geometry_sharded_trace_matches_single(default_scene, rng):
+    mesh = make_mesh(8)
+    n = 256
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 3
+    t = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    t[:, 2] = -2.0
+    d = t - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    sharded = trace_geometry_sharded(default_scene, o, d, mesh)
+    single = trace(default_scene, o, d)
+    np.testing.assert_array_equal(np.asarray(sharded.hit), np.asarray(single.hit))
+    h = np.asarray(single.hit)
+    np.testing.assert_allclose(np.asarray(sharded.t)[h],
+                               np.asarray(single.t)[h], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sharded.material_id)[h],
+                                  np.asarray(single.material_id)[h])
+
+
+@needs_8
+def test_mesh_subset():
+    mesh = make_mesh(4)
+    assert mesh.devices.size == 4
+
+
+@needs_8
+def test_graft_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128 * 128, 3)
+    assert np.isfinite(np.asarray(out)).all()

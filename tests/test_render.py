@@ -46,7 +46,9 @@ def test_chunked_equals_whole(default_scene):
     whole = render_image(default_scene, W, H)
     small = Renderer(default_scene, W, H,
                      config=RaytracerConfig(ray_batch_size=128)).render()
-    np.testing.assert_array_equal(whole, small)
+    # whole-frame goes through packet traversal, small chunks through the
+    # per-ray path — same math, fusion-level fp differences allowed
+    np.testing.assert_allclose(whole, small, atol=1e-6)
 
 
 def test_brute_equals_bvh_path(default_scene):

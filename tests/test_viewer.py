@@ -1,0 +1,74 @@
+"""Viewer / interactive shell tests."""
+
+import numpy as np
+
+from gpu_raytracer_tpu import RaytracerConfig
+from gpu_raytracer_tpu.engine.viewer import Viewer
+
+
+def _viewer(scene, w=64, h=48):
+    # small tile so the progressive cursor actually advances frame by frame
+    return Viewer(scene, w, h, config=RaytracerConfig(tile_size=32),
+                  verbose=False)
+
+
+def test_progressive_frames_fill_framebuffer(default_scene):
+    v = _viewer(default_scene)
+    assert v.progressive.total_tiles == 4  # 2x2 tiles of 32px over 64x48
+    n = v.run_compute()
+    assert n >= 1
+    v.render_to_completion()
+    assert v.progressive.complete
+    # idle frame renders nothing (compute.rs:85-100)
+    assert v.run_compute() == 0
+    assert np.isfinite(v.framebuffer).all()
+    assert v.framebuffer.max() > 0.0
+
+
+def test_key_movement_triggers_recompute(default_scene):
+    v = _viewer(default_scene)
+    v.render_to_completion()
+    fb1 = v.framebuffer.copy()
+    v.handle_key("a")
+    assert not v.progressive.complete  # recompute triggered
+    v.render_to_completion()
+    assert not np.array_equal(fb1, v.framebuffer)
+
+
+def test_mouse_drag_rotates(default_scene):
+    v = _viewer(default_scene)
+    d0 = v.controller.direction.copy()
+    v.handle_mouse_drag(50.0, 10.0)
+    assert not np.allclose(d0, v.controller.direction)
+    assert abs(np.linalg.norm(v.controller.direction) - 1.0) < 1e-5
+
+
+def test_escape_quits(default_scene):
+    v = _viewer(default_scene)
+    v.handle_key("escape")
+    assert v.should_quit
+
+
+def test_failed_gltf_load_keeps_scene(default_scene):
+    v = _viewer(default_scene)
+    before = v.scene
+    v.load_gltf("/nonexistent/model.gltf")
+    assert v.scene is before
+
+
+def test_fly_through_script(default_scene):
+    v = _viewer(default_scene, 32, 32)
+    frames = v.fly_through([("key", "w"), ("mouse", 20.0, 0.0), ("key", "s")],
+                           frames_per_step=1)
+    assert len(frames) == 3
+    for f in frames:
+        assert np.isfinite(f).all()
+
+
+def test_edge_tiles_clamp(default_scene):
+    # 50x40 with 32px tiles -> ragged edge tiles must fill exactly
+    v = Viewer(default_scene, 50, 40, config=RaytracerConfig(tile_size=32),
+               verbose=False)
+    v.render_to_completion()
+    assert v.framebuffer.shape == (40, 50, 3)
+    assert np.isfinite(v.framebuffer).all()

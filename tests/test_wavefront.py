@@ -1,0 +1,125 @@
+"""Wavefront path tracing tests: reference-mode parity, energy sanity,
+Russian roulette, progressive accumulation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpu_raytracer_tpu import build_default_scene
+from gpu_raytracer_tpu.engine.pathtracer import PathTracer
+from gpu_raytracer_tpu.ops.rng import lcg_next_f32, lcg_pixel_seed
+from gpu_raytracer_tpu.ops.wavefront import (
+    SKY_WAVEFRONT, camera_wavefront_rays, path_trace_pool,
+    wavefront_single_bounce,
+)
+
+
+def test_lcg_matches_reference_constants():
+    """SimpleRng (shader/src/wavefront.rs:50-72): LCG with Numerical Recipes
+    constants; next_f32 = (u >> 8) / 2^24."""
+    state = jnp.asarray([12345], jnp.uint32)
+    s1, f1 = lcg_next_f32(state)
+    expect_u = (12345 * 1664525 + 1013904223) & 0xFFFFFFFF
+    assert int(s1[0]) == expect_u
+    assert abs(float(f1[0]) - (expect_u >> 8) / 16777216.0) < 1e-9
+    seed = lcg_pixel_seed(7, jnp.asarray([3], jnp.uint32),
+                          jnp.asarray([2], jnp.uint32), 100)
+    assert int(seed[0]) == 7 + 3 + 2 * 100
+
+
+def test_single_bounce_reference_semantics(default_scene):
+    """Shipped wavefront behaviour: miss → sky(0.1,0.2,0.3)×throughput; hit →
+    shading×throughput, then terminate (shader/src/lib.rs:92-149)."""
+    W = H = 32
+    py, px = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(px.reshape(-1))
+    py = jnp.asarray(py.reshape(-1))
+    color = np.asarray(wavefront_single_bounce(default_scene, px, py, W, H))
+    img = color.reshape(H, W, 3)
+    # corners miss → exactly the wavefront sky color
+    np.testing.assert_allclose(img[0, 0], np.asarray(SKY_WAVEFRONT), atol=1e-7)
+    # centre hits the red sphere → differs from sky, red-dominant
+    c = img[H // 2, W // 2]
+    assert c[0] > c[2]
+
+    # hits must equal the legacy shading path exactly (same formulas)
+    from gpu_raytracer_tpu.engine.renderer import render_chunk
+    legacy = np.asarray(render_chunk(default_scene, px, py, W, H))
+    from gpu_raytracer_tpu.ops.camera_rays import generate_rays
+    from gpu_raytracer_tpu.ops.trace import trace
+    o, d = generate_rays(default_scene.camera, W, H, px, py)
+    hits = np.asarray(trace(default_scene, o, d).hit)
+    np.testing.assert_allclose(color[hits], legacy[hits], atol=1e-6)
+
+
+def test_camera_wavefront_ray_defaults(default_scene):
+    """WavefrontRay::camera_ray (shared/src/lib.rs:861-878)."""
+    rays = camera_wavefront_rays(default_scene.camera, 8, 8,
+                                 jnp.asarray([3]), jnp.asarray([5]), 2)
+    assert float(rays.throughput[0, 0]) == 1.0
+    assert float(rays.medium_ior[0]) == 1.0
+    assert float(rays.t_min[0]) == np.float32(1e-3)
+    assert int(rays.ray_type[0]) == 0
+    assert int(rays.bounce_depth[0]) == 0
+    assert int(rays.wavelength_channel[0]) == 2
+    assert int(rays.pixel[0]) == 5 * 8 + 3
+    assert bool(rays.active[0])
+
+
+def test_path_trace_terminates_and_is_finite(default_scene):
+    W = H = 24
+    py, px = np.mgrid[0:H, 0:W]
+    rays = camera_wavefront_rays(default_scene.camera, W, H,
+                                 jnp.asarray(px.reshape(-1)),
+                                 jnp.asarray(py.reshape(-1)), 1)
+    rad = path_trace_pool(default_scene, rays, jax.random.PRNGKey(0),
+                          max_depth=4, shadows=True)
+    rad = np.asarray(rad)
+    assert np.isfinite(rad).all()
+    assert (rad >= 0).all()
+    assert rad.max() > 0.05
+
+
+def test_depth_zero_equals_single_bounce_plus_continuation_energy(default_scene):
+    """max_depth=0 must reproduce the single-bounce result exactly (no RR,
+    no continuation) when shadows are off."""
+    W = H = 16
+    py, px = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(px.reshape(-1))
+    py = jnp.asarray(py.reshape(-1))
+    rays = camera_wavefront_rays(default_scene.camera, W, H, px, py, 0)
+    rad0 = np.asarray(path_trace_pool(default_scene, rays,
+                                      jax.random.PRNGKey(1), max_depth=0,
+                                      rr_start=99, shadows=False))
+    single = np.asarray(wavefront_single_bounce(default_scene, px, py, W, H))
+    np.testing.assert_allclose(rad0, single, atol=1e-5)
+
+
+def test_pathtracer_accumulation(default_scene):
+    from gpu_raytracer_tpu import RaytracerConfig
+
+    pt = PathTracer(default_scene, 16, 16,
+                    config=RaytracerConfig(ray_batch_size=256, max_bounce_depth=2),
+                    spectral=False, antialias=True)
+    pt.step()
+    img1 = pt.image()
+    pt.step()
+    img2 = pt.image()
+    assert pt.samples == 2
+    assert np.isfinite(img2).all()
+    # accumulation averages: after reset the buffer clears
+    pt.reset()
+    assert pt.samples == 0
+    assert float(np.abs(pt.image()).max()) == 0.0
+    assert img1.shape == img2.shape == (16, 16, 3)
+
+
+def test_spectral_mode_runs(default_scene):
+    from gpu_raytracer_tpu import RaytracerConfig
+
+    pt = PathTracer(default_scene, 8, 8,
+                    config=RaytracerConfig(ray_batch_size=64, max_bounce_depth=2),
+                    spectral=True, antialias=False)
+    img = pt.render(2)
+    assert img.shape == (8, 8, 3)
+    assert np.isfinite(img).all()
