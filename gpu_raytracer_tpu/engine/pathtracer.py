@@ -26,9 +26,10 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                   max_depth, rr_start, shadows, leaf_size, use_bvh, jitter):
     rays = camera_wavefront_rays(scene.camera, width, height, px, py, channel,
                                  jitter=jitter)
-    return path_trace_pool(scene, rays, key, max_depth=max_depth,
-                           rr_start=rr_start, shadows=shadows,
-                           leaf_size=leaf_size, use_bvh=use_bvh)
+    radiance, _counts = path_trace_pool(scene, rays, key, max_depth=max_depth,
+                                        rr_start=rr_start, shadows=shadows,
+                                        leaf_size=leaf_size, use_bvh=use_bvh)
+    return radiance
 
 
 class PathTracer:
@@ -128,6 +129,30 @@ class PathTracer:
         n = max(self.samples, 1)
         img = self.accum / n
         return np.asarray(img).reshape(self.height, self.width, 3)
+
+    # ---- checkpoint / resume (an addition: the reference has none —
+    # SURVEY.md §5 "Checkpoint/resume: none"; a recompute restarts from
+    # tile 0. Here a progressive accumulation survives process restarts.)
+
+    def save_checkpoint(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self.accum),
+            samples=self.samples,
+            width=self.width,
+            height=self.height,
+            camera_position=np.asarray(self.scene.camera.position),
+            camera_direction=np.asarray(self.scene.camera.direction),
+            camera_up=np.asarray(self.scene.camera.up),
+            camera_fov=np.asarray(self.scene.camera.fov),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        assert int(data["width"]) == self.width and int(data["height"]) == self.height, \
+            "checkpoint resolution mismatch"
+        self.accum = jnp.asarray(data["accum"])
+        self.samples = int(data["samples"])
 
 
 def render_pathtraced(scene: Scene, width: int, height: int, spp: int = 16,

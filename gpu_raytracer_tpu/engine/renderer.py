@@ -72,6 +72,29 @@ def render_chunk(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
     return shade(scene, hit, shadow_mask=mask, sky_color=sky)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "shadows", "use_bvh",
+                                   "leaf_size", "sky"))
+def render_frame_fused(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
+                       width: int, height: int, shadows: bool = False,
+                       use_bvh: bool = True, leaf_size: int = 4,
+                       sky: tuple = (0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """Whole frame in ONE executable: px/py [C, chunk] → RGB [C, chunk, 3].
+
+    `lax.map` sequences the chunk pipeline inside the program, so a frame is
+    a single dispatch instead of C round-trips — the equivalent of the
+    reference batching all tile dispatches into one command buffer submit
+    (src/compute.rs:137-166)."""
+
+    def one(pxy):
+        pxs, pys = pxy
+        orig, dirn = generate_rays(scene.camera, width, height, pxs, pys)
+        hit = trace(scene, orig, dirn, leaf_size=leaf_size, use_bvh=use_bvh)
+        mask = _shadow_mask(scene, hit, leaf_size, use_bvh) if shadows else None
+        return shade(scene, hit, shadow_mask=mask, sky_color=sky)
+
+    return jax.lax.map(one, (px, py))
+
+
 class Renderer:
     """Whole-frame renderer with chunked execution.
 
@@ -94,7 +117,8 @@ class Renderer:
     def set_camera(self, camera: Camera) -> None:
         self.scene = self.scene.with_camera(camera)
 
-    def _pixel_chunks(self):
+    def _pixel_order(self):
+        """Tile-major pixel order (host arrays), padded to the chunk size."""
         from ..ops.packet_trace import tiled_pixel_order
 
         W, H = self.width, self.height
@@ -105,32 +129,44 @@ class Renderer:
         if pad:
             px = np.concatenate([px, np.full(pad, W - 1, np.int32)])
             py = np.concatenate([py, np.full(pad, H - 1, np.int32)])
-        for s in range(0, n + pad, chunk):
-            yield jnp.asarray(px[s:s + chunk]), jnp.asarray(py[s:s + chunk])
+        return px, py, chunk
 
     def render_device(self) -> jnp.ndarray:
-        """Render the full frame, leaving it in HBM → device f32 [H,W,3].
+        """Render the full frame, leaving it in HBM → device f32 [Npad,3] in
+        tile-major ray order (see `_pixel_order`).
 
         Pixels are fed in 32x32-tile order so ray packets stay coherent for
-        the shared-cursor traversal (ops/packet_trace.py); results scatter
-        into the device framebuffer by coordinate (tile-edge clamp lanes
-        recompute the same pixel, so overwrites are identical). The frame
-        never touches the host — display readback is a separate step, as in
+        the shared-cursor traversal (ops/packet_trace.py). The frame stays in
+        ray order on device — the pixel-order shuffle happens host-side after
+        readback, because a 2M-row device scatter is the one thing a TPU does
+        catastrophically slowly. Display readback is a separate step, as in
         the reference where compute writes storage textures and present
         samples them (src/renderer.rs:778-818)."""
         W, H = self.width, self.height
-        fb = jnp.zeros((H, W, 3), jnp.float32)
-        for pxs, pys in self._pixel_chunks():
+        px, py, chunk = self._pixel_order()
+        # Per-chunk dispatch measures faster than a lax.map-fused frame on
+        # the tunneled TPU (async dispatches pipeline; the fused executable
+        # serialises), so the frame is C pipelined launches + one concat.
+        out = []
+        for s in range(0, px.shape[0], chunk):
             rgb = render_chunk(
-                self.scene, pxs, pys,
+                self.scene, jnp.asarray(px[s:s + chunk]),
+                jnp.asarray(py[s:s + chunk]),
                 W, H, shadows=self.shadows, use_bvh=self.use_bvh,
                 leaf_size=self.config.bvh_leaf_size, sky=self.sky)
-            fb = fb.at[pys, pxs].set(rgb)
+            out.append(rgb)
+        return jnp.concatenate(out) if len(out) > 1 else out[0]
+
+    def _to_image(self, flat: np.ndarray) -> np.ndarray:
+        px, py, _ = self._pixel_order()
+        fb = np.zeros((self.height, self.width) + flat.shape[1:], flat.dtype)
+        fb[py, px] = flat
         return fb
 
     def render(self) -> np.ndarray:
-        """Full frame → host float32 [H,W,3] (single device→host readback)."""
-        return np.asarray(self.render_device())
+        """Full frame → host float32 [H,W,3] (single device→host readback,
+        host-side pixel reorder)."""
+        return self._to_image(np.asarray(self.render_device()))
 
     def render_u8(self) -> np.ndarray:
         """Full frame quantised to rgba8-style u8 ON DEVICE before readback —
@@ -138,7 +174,7 @@ class Renderer:
         write, shader/src/lib.rs:86-88) and 4x cheaper to pull off-chip."""
         fb = self.render_device()
         u8 = (jnp.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
-        return np.asarray(u8)
+        return self._to_image(np.asarray(u8))
 
 
 def render_image(scene: Scene, width: int, height: int, *,

@@ -32,15 +32,24 @@ PACKET_SIZE = 1024  # rays per shared-traversal packet (8x128 VPU tiles)
 def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False):
     """Pick the fastest applicable triangle traversal: packet traversal when
     the batch divides into packets (the renderer feeds tile-ordered batches),
-    per-ray threaded traversal otherwise."""
+    per-ray threaded traversal otherwise.
+
+    Returns (t, tri, hit, normal, mat): packet traversal extracts the winner
+    attributes densely during its flush; the threaded fallback expands them
+    with (small-batch) gathers here."""
     if orig.shape[0] % PACKET_SIZE == 0:
         return packet_traverse(
             scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            orig, dirn, limit, leaf_size=leaf_size,
+            orig, dirn, limit, tri_mat=scene.tri_mat, leaf_size=leaf_size,
             packet_size=PACKET_SIZE, any_hit=any_hit)
-    return bvh_traverse_threaded(
+    t, tri, hit = bvh_traverse_threaded(
         scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
         orig, dirn, limit, leaf_size=leaf_size, any_hit=any_hit)
+    ti = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
+    normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
+    normal = jnp.where(hit[:, None], normal, 0.0)
+    mat = jnp.where(hit, scene.tri_mat[ti], -1)
+    return t, tri, hit, normal, mat
 
 SPHERE, TRIANGLE = 0, 1
 _BRUTE_BLOCK = 512  # triangles per brute-force block (bounds the [N,K] tile)
@@ -107,9 +116,13 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
 
     # --- triangles: BVH when built, brute force otherwise (lib.rs:192-211) ---
     if use_bvh and scene.bvh.num_nodes > 1:
-        tri_t, tri_i, tri_any = _traverse(scene, orig, dirn, tri_limit, leaf_size)
+        tri_t, tri_i, tri_any, tri_normal, tri_m = _traverse(
+            scene, orig, dirn, tri_limit, leaf_size)
     else:
         tri_t, tri_i, tri_any = _trace_triangles_brute(scene, orig, dirn, tri_limit)
+        ti = jnp.clip(tri_i, 0, scene.tri_v0.shape[0] - 1)
+        tri_normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
+        tri_m = scene.tri_mat[ti]
 
     use_tri = tri_any  # already strictly closer than any sphere hit
     t = jnp.where(use_tri, tri_t, jnp.where(sph_any, sph_t, MISS_T))
@@ -121,15 +134,12 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     point = orig + dirn * t[:, None]
     sc = scene.spheres.center[jnp.clip(sph_i, 0, scene.spheres.count - 1)]
     sphere_normal = normalize(point - sc)
-    ti = jnp.clip(tri_i, 0, scene.tri_v0.shape[0] - 1)
-    tri_normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
     normal = jnp.where(use_tri[:, None], tri_normal, sphere_normal)
     normal = jnp.where(hit[:, None], normal, 0.0)
 
     sph_mat = scene.spheres.material_id.astype(jnp.int32)[
         jnp.clip(sph_i, 0, scene.spheres.count - 1)]
-    tri_mat = scene.tri_mat[ti]
-    material_id = jnp.where(use_tri, tri_mat, sph_mat)
+    material_id = jnp.where(use_tri, tri_m, sph_mat)
     material_id = jnp.where(hit, material_id, jnp.int32(-1))
 
     return Hit(
@@ -153,8 +163,8 @@ def occluded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
                                   scene.spheres.radius, max_t)
     sph_block = jnp.any(s_hit, axis=-1)
     if use_bvh and scene.bvh.num_nodes > 1:
-        _, _, tri_block = _traverse(scene, orig, dirn, max_t, leaf_size,
-                                    any_hit=True)
+        tri_block = _traverse(scene, orig, dirn, max_t, leaf_size,
+                              any_hit=True)[2]
     else:
         _, _, tri_block = _trace_triangles_brute(scene, orig, dirn, max_t)
     return sph_block | tri_block

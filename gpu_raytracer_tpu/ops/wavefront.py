@@ -50,6 +50,56 @@ from .trace import trace, occluded
 SKY_WAVEFRONT = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)  # wavefront.rs:148
 
 
+class WavefrontCounters:
+    """Host-side per-bounce-depth ray accounting — field-for-field port of
+    the reference struct (/root/reference/shared/src/lib.rs:183-194, impl
+    lib.rs:981-1043). The reference dispatches from these counters but fills
+    them with a simulated 0.7^depth decay (src/compute.rs:467-474); here they
+    are populated with REAL per-depth active counts from the device pool
+    (path_trace_pool's termination masks)."""
+
+    MAX_DEPTHS = 8
+
+    def __init__(self, max_bounce_depth: int, frame_seed: int = 0):
+        self.total_rays_generated = 0
+        self.rays_per_bounce = [0] * self.MAX_DEPTHS
+        self.active_bounce_depths = 0
+        self.max_bounce_depth = max_bounce_depth
+        self.frame_seed = frame_seed
+
+    def reset(self, frame_seed: int) -> None:
+        self.total_rays_generated = 0
+        self.rays_per_bounce = [0] * self.MAX_DEPTHS
+        self.active_bounce_depths = 0
+        self.frame_seed = frame_seed
+
+    def add_rays(self, bounce_depth: int, count: int) -> None:
+        if bounce_depth < self.MAX_DEPTHS:
+            self.rays_per_bounce[bounce_depth] += count
+            self.total_rays_generated += count
+            self.active_bounce_depths |= 1 << bounce_depth
+
+    def get_ray_count(self, bounce_depth: int) -> int:
+        if bounce_depth < self.MAX_DEPTHS:
+            return self.rays_per_bounce[bounce_depth]
+        return 0
+
+    def has_active_rays(self, bounce_depth: int) -> bool:
+        if bounce_depth < self.MAX_DEPTHS:
+            return bool(self.active_bounce_depths & (1 << bounce_depth))
+        return False
+
+    def next_active_bounce_depth(self, current_depth: int):
+        for depth in range(current_depth + 1,
+                           min(self.max_bounce_depth, 7) + 1):
+            if self.has_active_rays(depth):
+                return depth
+        return None
+
+    def has_any_active_rays(self) -> bool:
+        return self.active_bounce_depths != 0 and self.total_rays_generated > 0
+
+
 @pytree_dataclass
 class WavefrontRays:
     """Fixed-capacity ray pool — WavefrontRay fields
@@ -129,16 +179,22 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
     Per bounce (the reference's per-depth dispatch, compute.rs:443-466):
     trace → miss adds sky×throughput; hit adds shading×throughput and spawns
     a continuation ray in place (the wavefront.rs:340 stub, implemented).
+
+    Also returns per-depth active-ray counts [max_depth+1] — the device-real
+    numbers for WavefrontCounters (the reference simulated these host-side
+    with a 0.7^depth decay, compute.rs:467-474).
     """
     N = rays.count
     mats = scene.materials
 
     def cond(state):
-        depth, r, radiance = state
+        depth, r, radiance, counts = state
         return (depth <= max_depth) & jnp.any(r.active)
 
     def body(state):
-        depth, r, radiance = state
+        depth, r, radiance, counts = state
+        counts = counts.at[jnp.minimum(depth, max_depth)].set(
+            jnp.sum(r.active.astype(jnp.int32)))
         k = jax.random.fold_in(key, depth)
         u = jax.random.uniform(k, (N, 5), jnp.float32)
 
@@ -229,12 +285,13 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
             wavelength_channel=r.wavelength_channel,
             active=alive,
         )
-        return depth + 1, r, radiance
+        return depth + 1, r, radiance, counts
 
     radiance = jnp.zeros((N, 3), jnp.float32)
-    _, _, radiance = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), rays, radiance))
-    return radiance
+    counts = jnp.zeros((max_depth + 1,), jnp.int32)
+    _, _, radiance, counts = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rays, radiance, counts))
+    return radiance, counts
 
 
 @partial(jax.jit, static_argnames=("width", "height", "leaf_size", "use_bvh",

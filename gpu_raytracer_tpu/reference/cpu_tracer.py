@@ -92,6 +92,12 @@ def triangle_hit(o, d, v0, v1, v2, max_t):
     """intersection.rs:91-138 → (t, hit)."""
     e1 = (v1 - v0).astype(np.float32)
     e2 = (v2 - v0).astype(np.float32)
+    return triangle_hit_edges(o, d, v0, e1, e2, max_t)
+
+
+def triangle_hit_edges(o, d, v0, e1, e2, max_t):
+    """Möller-Trumbore with pre-expanded edges (bit-identical to
+    triangle_hit; used for leaf-ordered expanded scenes)."""
     h = _cross(d, e2)
     a = _dot(e1, h)
     if abs(a) < MIN_T:
@@ -127,6 +133,23 @@ def closest_hit(scene, o, d, max_t=None):
             best = dict(t=t, point=p, normal=_normalize((p - c).astype(np.float32)),
                         material_id=mid, kind="sphere", prim=i)
     tri_limit = closest
+    if "triangles_expanded" in scene:
+        # Leaf-ordered expanded triangles: the iteration (and therefore the
+        # exact-tie winner) follows the BVH's DFS leaf order — the order the
+        # reference's stack traversal tests triangles in via the
+        # triangle-index indirection (shader/src/bvh.rs:91-133). The
+        # original-index loop below instead models the brute-force path
+        # (shader/src/lib.rs test_all_triangles_brute_force); the two differ
+        # only on degenerate exact-t ties.
+        for j, (v0, e1, e2, mid) in enumerate(scene["triangles_expanded"]):
+            t, ok = triangle_hit_edges(o, d, v0, e1, e2, tri_limit)
+            if ok:
+                tri_limit = t
+                p = (o + d * t).astype(np.float32)
+                n = _normalize(_cross(e1, e2))
+                best = dict(t=t, point=p, normal=n, material_id=mid,
+                            kind="triangle", prim=j)
+        return best
     for j, (i0, i1, i2, mid) in enumerate(scene["triangles"]):
         v0 = scene["vertices"][i0]
         v1 = scene["vertices"][i1]
@@ -251,6 +274,13 @@ def scene_dict_from(scene) -> dict:
         up=onp.asarray(scene.camera.up),
         fov=float(scene.camera.fov),
     )
+    # Leaf-ordered expanded triangles (the device path's canonical order),
+    # so oracle exact-tie winners match the BVH traversal's. Padding
+    # triangles have zero edges → determinant 0 → always rejected.
+    tv0 = onp.asarray(scene.tri_v0, onp.float32)
+    te1 = onp.asarray(scene.tri_e1, onp.float32)
+    te2 = onp.asarray(scene.tri_e2, onp.float32)
+    tmm = onp.asarray(scene.tri_mat)
     return dict(
         camera=cam,
         spheres=[(onp.asarray(sp.center[i]), float(sp.radius[i]), int(sp.material_id[i]))
@@ -258,6 +288,8 @@ def scene_dict_from(scene) -> dict:
         vertices=onp.asarray(scene.mesh.vertices),
         triangles=[(int(a), int(b), int(c), int(mm)) for (a, b, c), mm in
                    zip(onp.asarray(scene.mesh.indices), onp.asarray(scene.mesh.material_id))],
+        triangles_expanded=[(tv0[i], te1[i], te2[i], int(tmm[i]))
+                            for i in range(tv0.shape[0])],
         materials=mats,
         lights=lights,
     )

@@ -25,6 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter start and latches
+# jax_platforms to "axon,cpu" — the env var above is then ignored, so force
+# the config directly (the CPU client initialises lazily, so the
+# host_platform_device_count flag still applies).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def default_scene():

@@ -135,6 +135,17 @@ def test_cornell_render_matches_oracle(tmp_path):
 
     path = write_gltf(tmp_path / "cornell.gltf", cornell_box_gltf())
     scene = scene_from_gltf(path)
+    # Nudge the camera off the box's symmetry axis: the centered view fires
+    # pixel rays exactly along wall seams, where hit/miss flips on 1-ulp
+    # f32 evaluation-order differences (XLA FMA vs NumPy scalar) — degenerate
+    # geometry, not a correctness signal. A generic viewpoint makes every
+    # inclusion test robust.
+    import jax.numpy as jnp
+    from gpu_raytracer_tpu.utils.pytree import replace
+    cam = scene.camera
+    scene = scene.with_camera(replace(
+        cam, position=cam.position + jnp.asarray([0.0137, 0.0071, 0.0043],
+                                                 jnp.float32)))
     W = H = 32
     img = render_image(scene, W, H)
     ref = oracle.render(oracle.scene_dict_from(scene), W, H)

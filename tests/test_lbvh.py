@@ -125,8 +125,9 @@ def test_lbvh_trace_parity_with_host_bvh(rng):
                                rtol=1e-6)
 
     # packet traversal over the LBVH agrees too
-    t_p, i_p, h_p = packet_traverse(bvh, v0, e1, e2, o, d, mt,
-                                    leaf_size=1, packet_size=512)
+    t_p, i_p, h_p, n_p, m_p = packet_traverse(bvh, v0, e1, e2, o, d, mt,
+                                              tri_mat=mat, leaf_size=1,
+                                              packet_size=512)
     np.testing.assert_array_equal(np.asarray(h_p), hmask)
     np.testing.assert_allclose(np.asarray(t_p)[hmask], np.asarray(t_l)[hmask],
                                rtol=1e-6)

@@ -72,8 +72,12 @@ def test_path_trace_terminates_and_is_finite(default_scene):
     rays = camera_wavefront_rays(default_scene.camera, W, H,
                                  jnp.asarray(px.reshape(-1)),
                                  jnp.asarray(py.reshape(-1)), 1)
-    rad = path_trace_pool(default_scene, rays, jax.random.PRNGKey(0),
-                          max_depth=4, shadows=True)
+    rad, counts = path_trace_pool(default_scene, rays, jax.random.PRNGKey(0),
+                                  max_depth=4, shadows=True)
+    counts = np.asarray(counts)
+    # depth 0 has the full pool active; populations shrink monotonically
+    assert counts[0] == W * H
+    assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
     rad = np.asarray(rad)
     assert np.isfinite(rad).all()
     assert (rad >= 0).all()
@@ -90,7 +94,7 @@ def test_depth_zero_equals_single_bounce_plus_continuation_energy(default_scene)
     rays = camera_wavefront_rays(default_scene.camera, W, H, px, py, 0)
     rad0 = np.asarray(path_trace_pool(default_scene, rays,
                                       jax.random.PRNGKey(1), max_depth=0,
-                                      rr_start=99, shadows=False))
+                                      rr_start=99, shadows=False)[0])
     single = np.asarray(wavefront_single_bounce(default_scene, px, py, W, H))
     np.testing.assert_allclose(rad0, single, atol=1e-5)
 
