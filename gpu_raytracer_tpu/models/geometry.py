@@ -50,6 +50,11 @@ class Mesh:
     vertices: jnp.ndarray     # [V,3] f32
     indices: jnp.ndarray      # [T,3] u32 (v0,v1,v2)
     material_id: jnp.ndarray  # [T] u32
+    # Per-vertex texture coordinates (TEXCOORD_0). The reference's 12-byte
+    # vertex carries positions only (shared/src/lib.rs:108-127) — one reason
+    # its texture bindings go unread; here UVs are first-class so texturing
+    # actually works. All-zeros when the asset has none.
+    uv: jnp.ndarray           # [V,2] f32
 
     @property
     def num_triangles(self) -> int:
@@ -67,21 +72,25 @@ class Mesh:
             vertices=np.zeros((1, 3), np.float32),
             indices=np.zeros((1, 3), np.uint32),
             material_id=np.zeros((1,), np.uint32),
+            uv=np.zeros((1, 2), np.float32),
         )
 
     @staticmethod
-    def from_arrays(vertices, indices, material_id) -> "Mesh":
+    def from_arrays(vertices, indices, material_id, uv=None) -> "Mesh":
         v = np.asarray(vertices, np.float32).reshape(-1, 3)
         i = np.asarray(indices, np.uint32).reshape(-1, 3)
         m = np.asarray(material_id, np.uint32).reshape(-1)
         assert i.shape[0] == m.shape[0]
         if i.shape[0] == 0:
             return Mesh.empty()
-        return Mesh(v, i, m)
+        t = (np.zeros((v.shape[0], 2), np.float32) if uv is None
+             else np.asarray(uv, np.float32).reshape(-1, 2))
+        assert t.shape[0] == v.shape[0]
+        return Mesh(v, i, m, t)
 
     def to_device(self) -> "Mesh":
         return Mesh(jnp.asarray(self.vertices), jnp.asarray(self.indices),
-                    jnp.asarray(self.material_id))
+                    jnp.asarray(self.material_id), jnp.asarray(self.uv))
 
 
 def dedup_triangles(tri_vertices: np.ndarray, material_ids: np.ndarray):
@@ -133,9 +142,12 @@ class Textures:
     width: jnp.ndarray    # [N] u32
     height: jnp.ndarray   # [N] u32
     format: jnp.ndarray   # [N] u32 (3 = RGBA8; everything is decoded to RGBA8)
-    offset: jnp.ndarray   # [N] u32 byte offset into data
+    offset: jnp.ndarray   # [N] u32 byte offset into the (conceptual) byte buffer
     size: jnp.ndarray     # [N] u32 byte size
-    data: jnp.ndarray     # [B] u8 flat texel bytes
+    # Texels stored pre-packed as little-endian RGBA-in-u32 — the layout the
+    # reference packs on upload (/root/reference/src/buffers.rs:423-431) —
+    # so a texel fetch is ONE u32 gather + vector bit unpacking.
+    data_u32: jnp.ndarray  # [B/4] u32 flat texels
 
     @property
     def count(self) -> int:
@@ -144,7 +156,7 @@ class Textures:
     @staticmethod
     def empty() -> "Textures":
         z = jnp.zeros((1,), jnp.uint32)
-        return Textures(z, z, z, z, z, jnp.zeros((4,), jnp.uint8))
+        return Textures(z, z, z, z, z, jnp.zeros((1,), jnp.uint32))
 
     @staticmethod
     def from_images(images: list[np.ndarray]) -> "Textures":
@@ -164,9 +176,10 @@ class Textures:
             chunks.append(img.reshape(-1))
             off += h * w * 4
         u32 = lambda x: jnp.asarray(np.asarray(x, np.uint32))
+        flat = np.concatenate(chunks)
         return Textures(
             width=u32(widths), height=u32(heights),
             format=u32([3] * len(images)),
             offset=u32(offsets), size=u32(sizes),
-            data=jnp.asarray(np.concatenate(chunks)),
+            data_u32=jnp.asarray(flat.view("<u4")),
         )

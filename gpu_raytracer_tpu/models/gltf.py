@@ -71,6 +71,7 @@ class LoadedScene:
     cameras: list = field(default_factory=list)    # list[Camera]
     images: list = field(default_factory=list)     # list[np.ndarray RGBA8]
     texture_image: list = field(default_factory=list)  # texture -> image idx
+    uvs: np.ndarray | None = None                  # [V,2] f32 TEXCOORD_0
 
 
 # ---------------------------------------------------------------- transforms
@@ -339,12 +340,14 @@ class GltfLoader:
         verts: list[np.ndarray] = []
         tris: list[np.ndarray] = []
         tmats: list[np.ndarray] = []
+        uvs: list[np.ndarray] = []
         self._vcount = 0
         for node_idx in scene.get("nodes", []):
             self._process_node(node_idx, np.eye(4, dtype=np.float32),
-                               out, verts, tris, tmats)
+                               out, verts, tris, tmats, uvs)
         if verts:
             out.vertices = np.concatenate(verts)
+            out.uvs = np.concatenate(uvs)
         if tris:
             out.triangles = np.concatenate(tris).astype(np.uint32)
             out.tri_materials = np.concatenate(tmats).astype(np.uint32)
@@ -365,20 +368,21 @@ class GltfLoader:
         for tex in self.doc.get("textures", []):
             out.texture_image.append(tex.get("source", 0))
 
-    def _process_node(self, node_idx, parent, out, verts, tris, tmats) -> None:
+    def _process_node(self, node_idx, parent, out, verts, tris, tmats,
+                      uvs) -> None:
         node = self.doc["nodes"][node_idx]
         m = parent @ _trs_matrix(node)
         if "mesh" in node:
             mesh = self.doc["meshes"][node["mesh"]]
             for prim in mesh.get("primitives", []):
-                self._process_primitive(prim, m, verts, tris, tmats)
+                self._process_primitive(prim, m, verts, tris, tmats, uvs)
         if "camera" in node:
             out.cameras.append(self._convert_camera(node["camera"], m))
         light_ext = node.get("extensions", {}).get("KHR_lights_punctual")
         if light_ext is not None:
             self._convert_light(light_ext["light"], m, out.lights)
         for child in node.get("children", []):
-            self._process_node(child, m, out, verts, tris, tmats)
+            self._process_node(child, m, out, verts, tris, tmats, uvs)
 
     def _convert_camera(self, cam_idx: int, m: np.ndarray) -> Camera:
         cam = self.doc["cameras"][cam_idx]
@@ -440,19 +444,31 @@ class GltfLoader:
             kw["thickness_factor"] = vol.get("thicknessFactor", 0.0)
             kw["attenuation_distance"] = vol.get("attenuationDistance", float("inf"))
             kw["attenuation_color"] = vol.get("attenuationColor", [1, 1, 1])
-        # texture slots in reference order (gltf_loader.rs:450-486)
+        # Fixed texture-slot assignment (models/material.py TEX_*): the
+        # reference packs present textures into consecutive slots
+        # (gltf_loader.rs:450-486), workable only because its kernel never
+        # samples them; fixed slots make the indices addressable by meaning.
+        from .material import (TEX_BASE_COLOR, TEX_METALLIC_ROUGHNESS,
+                               TEX_NORMAL, TEX_OCCLUSION, TEX_EMISSIVE,
+                               TEX_SG_SPECGLOSS)
         ti = np.full(8, 0xFFFFFFFF, np.uint32)
-        slot = 0
         pbr = gm.get("pbrMetallicRoughness", {})
-        for tex in (pbr.get("baseColorTexture"), pbr.get("metallicRoughnessTexture"),
-                    gm.get("normalTexture"), gm.get("emissiveTexture")):
-            if tex is not None and slot < 8:
+        slots = {
+            TEX_BASE_COLOR: (sg or {}).get("diffuseTexture")
+            or pbr.get("baseColorTexture"),
+            TEX_METALLIC_ROUGHNESS: pbr.get("metallicRoughnessTexture"),
+            TEX_NORMAL: gm.get("normalTexture"),
+            TEX_OCCLUSION: gm.get("occlusionTexture"),
+            TEX_EMISSIVE: gm.get("emissiveTexture"),
+            TEX_SG_SPECGLOSS: (sg or {}).get("specularGlossinessTexture"),
+        }
+        for slot, tex in slots.items():
+            if tex is not None:
                 ti[slot] = tex["index"]
-                slot += 1
         kw["texture_indices"] = ti
         mb.add(**kw)
 
-    def _process_primitive(self, prim, m, verts, tris, tmats) -> None:
+    def _process_primitive(self, prim, m, verts, tris, tmats, uvs) -> None:
         mode = prim.get("mode", MODE_TRIANGLES)
         if mode not in (MODE_TRIANGLES, MODE_TRIANGLE_STRIP, MODE_TRIANGLE_FAN):
             print(f"Warning: unsupported primitive mode {mode}")
@@ -460,6 +476,13 @@ class GltfLoader:
         if "POSITION" not in prim.get("attributes", {}):
             raise GltfError("Primitive missing position data")
         pos = self.read_accessor(prim["attributes"]["POSITION"]).astype(np.float32)
+        if "TEXCOORD_0" in prim["attributes"]:
+            uv = self.read_accessor(
+                prim["attributes"]["TEXCOORD_0"]).astype(np.float32)[:, :2]
+            if uv.shape[0] != pos.shape[0]:
+                uv = np.zeros((pos.shape[0], 2), np.float32)
+        else:
+            uv = np.zeros((pos.shape[0], 2), np.float32)
         material_id = prim.get("material", 0)
 
         if mode == MODE_TRIANGLES:
@@ -487,9 +510,14 @@ class GltfLoader:
         if idx.size == 0:
             return
         # transform then dedup by exact bits, per primitive, in first-appearance
-        # order of the corner stream (matches get_vertex_index semantics)
+        # order of the corner stream (matches get_vertex_index semantics). The
+        # key includes the UV bits: the reference dedups on position alone
+        # (its vertices carry nothing else); with UVs, two corners sharing a
+        # position but not texture coords must stay distinct.
         corners = _transform_points(m, pos[idx.reshape(-1)])
-        bits = corners.view(np.uint32)
+        corner_uv = uv[idx.reshape(-1)]
+        bits = np.concatenate([corners.view(np.uint32),
+                               corner_uv.view(np.uint32)], axis=1)
         _, first, inverse = np.unique(bits, axis=0, return_index=True,
                                       return_inverse=True)
         order = np.argsort(first, kind="stable")
@@ -499,6 +527,7 @@ class GltfLoader:
         local = rank[inverse].reshape(-1, 3)
 
         verts.append(unique_verts)
+        uvs.append(corner_uv[np.sort(first)])
         tris.append(local + self._vcount)
         self._vcount += unique_verts.shape[0]
         tmats.append(np.full(local.shape[0], material_id, np.uint32))
@@ -518,7 +547,8 @@ def scene_from_gltf(path: str, scene_index: int | None = None,
     loaded = load_gltf(path, scene_index)
     if camera is None:
         camera = loaded.cameras[0] if loaded.cameras else Camera.default()
-    mesh = Mesh.from_arrays(loaded.vertices, loaded.triangles, loaded.tri_materials)
+    mesh = Mesh.from_arrays(loaded.vertices, loaded.triangles,
+                            loaded.tri_materials, uv=loaded.uvs)
     # texture table: resolve texture -> image, pack RGBA8 atlas
     images = [loaded.images[i] for i in loaded.texture_image
               if i < len(loaded.images)]

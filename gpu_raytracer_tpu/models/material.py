@@ -20,6 +20,17 @@ from ..utils.pytree import pytree_dataclass
 
 NO_TEXTURE = np.uint32(0xFFFFFFFF)
 
+# Fixed texture-slot assignment within Material::texture_indices[8]. The
+# reference packs whichever textures exist into consecutive slots
+# (/root/reference/src/gltf_loader.rs:450-486) — workable only because its
+# kernel never samples them; fixed slots make the indices actually usable.
+TEX_BASE_COLOR = 0          # baseColorTexture / spec-gloss diffuseTexture
+TEX_METALLIC_ROUGHNESS = 1  # metallicRoughnessTexture (B=metal, G=rough)
+TEX_NORMAL = 2              # normalTexture
+TEX_OCCLUSION = 3           # occlusionTexture (R)
+TEX_EMISSIVE = 4            # emissiveTexture
+TEX_SG_SPECGLOSS = 5        # spec-gloss specularGlossinessTexture
+
 
 @pytree_dataclass
 class Materials:

@@ -40,6 +40,7 @@ class Scene:
     tri_e1: jnp.ndarray     # [Tp,3] f32  (v1 - v0)
     tri_e2: jnp.ndarray     # [Tp,3] f32  (v2 - v0)
     tri_mat: jnp.ndarray    # [Tp] i32
+    tri_uv: jnp.ndarray     # [Tp,3,2] f32 per-corner texture coordinates
 
     @property
     def num_triangles(self) -> int:
@@ -50,16 +51,18 @@ class Scene:
 
 
 def _expand_triangles(vertices: np.ndarray, indices: np.ndarray,
-                      material_id: np.ndarray, order: np.ndarray,
-                      pad_to: int):
-    """Gather + expand triangles into (v0, e1, e2, mat) in `order`, padding
-    with degenerate (zero-edge) triangles the intersector rejects."""
+                      material_id: np.ndarray, uv: np.ndarray,
+                      order: np.ndarray, pad_to: int):
+    """Gather + expand triangles into (v0, e1, e2, mat, uv) in `order`,
+    padding with degenerate (zero-edge) triangles the intersector rejects."""
     v = np.asarray(vertices, np.float32)
     idx = np.asarray(indices, np.int64)[order]
     mat = np.asarray(material_id, np.int64)[order]
+    t = np.asarray(uv, np.float32)
     v0 = v[idx[:, 0]]
     e1 = v[idx[:, 1]] - v0
     e2 = v[idx[:, 2]] - v0
+    tuv = t[idx]                               # [T,3,2]
     T = v0.shape[0]
     Tp = max(((T + pad_to - 1) // pad_to) * pad_to, pad_to)
     if Tp != T:
@@ -69,8 +72,9 @@ def _expand_triangles(vertices: np.ndarray, indices: np.ndarray,
         e1 = np.concatenate([e1, z])
         e2 = np.concatenate([e2, z])
         mat = np.concatenate([mat, np.zeros(pad, np.int64)])
+        tuv = np.concatenate([tuv, np.zeros((pad, 3, 2), np.float32)])
     return (jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
-            jnp.asarray(mat.astype(np.int32)))
+            jnp.asarray(mat.astype(np.int32)), jnp.asarray(tuv))
 
 
 def prepare_scene(
@@ -91,9 +95,9 @@ def prepare_scene(
     material_id = np.asarray(mesh.material_id)
     if bvh_result is None:
         bvh_result = build_bvh(vertices, indices, leaf_size=config.bvh_leaf_size)
-    tri_v0, tri_e1, tri_e2, tri_mat = _expand_triangles(
-        vertices, indices, material_id, bvh_result.tri_order,
-        pad_to=max(config.bvh_leaf_size, 8),
+    tri_v0, tri_e1, tri_e2, tri_mat, tri_uv = _expand_triangles(
+        vertices, indices, material_id, np.asarray(mesh.uv),
+        bvh_result.tri_order, pad_to=max(config.bvh_leaf_size, 8),
     )
     return Scene(
         camera=camera,
@@ -104,6 +108,7 @@ def prepare_scene(
         textures=textures if textures is not None else Textures.empty(),
         bvh=bvh_result.to_device(),
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=tri_mat,
+        tri_uv=tri_uv,
     )
 
 

@@ -61,8 +61,9 @@ def packet_traverse(
 
     N must be a multiple of packet_size (renderer pads).
     Returns (best_t [N], best_tri [N] leaf-order id or -1, hit [N],
-    normal [N,3] geometric unit normal of the winner, mat [N] material id).
-    normal/mat are zeros/-1 for misses and in any_hit mode.
+    normal [N,3] geometric unit normal of the winner, mat [N] material id,
+    bary [N,2] the winner's Möller-Trumbore barycentrics (v1,v2 weights)).
+    normal/mat/bary are zeros/-1 for misses and in any_hit mode.
     """
     N = orig.shape[0]
     P = packet_size
@@ -126,7 +127,7 @@ def packet_traverse(
 
         def flush(buf, cnt, best):
             def one_leaf(k, carry):
-                best_t, best_tri, best_n, best_m = carry
+                best_t, best_tri, best_n, best_m, best_uv = carry
                 live = k < cnt
                 rec = node_rec[buf[jnp.minimum(k, K - 1)]]
                 tri_s = f2i(rec[8])
@@ -164,7 +165,9 @@ def packet_traverse(
                     best_n = jnp.where(win[:, None], block[j, 9:12][None, :],
                                        best_n)
                     best_m = jnp.where(win, f2i(block[j, 12]), best_m)
-                return best_t, best_tri, best_n, best_m
+                    best_uv = jnp.where(win[:, None],
+                                        jnp.stack([u, v], axis=-1), best_uv)
+                return best_t, best_tri, best_n, best_m, best_uv
 
             return jax.lax.fori_loop(0, K, one_leaf, best)
 
@@ -185,18 +188,21 @@ def packet_traverse(
             return cursor, best, it
 
         best0 = (mt, jnp.full((P,), -1, jnp.int32),
-                 jnp.zeros((P, 3), jnp.float32), jnp.full((P,), -1, jnp.int32))
+                 jnp.zeros((P, 3), jnp.float32), jnp.full((P,), -1, jnp.int32),
+                 jnp.zeros((P, 2), jnp.float32))
         _, best, _ = jax.lax.while_loop(
             round_cond, round_body, (jnp.int32(0), best0, jnp.int32(0)))
         return best
 
-    best_t, best_tri, best_n, best_m = jax.vmap(per_packet)(o, d, inv_d, mt)
+    best_t, best_tri, best_n, best_m, best_uv = jax.vmap(per_packet)(
+        o, d, inv_d, mt)
     best_t = best_t.reshape(N)
     best_tri = best_tri.reshape(N)
     hit = best_tri >= 0
     normal = jnp.where(hit[:, None], best_n.reshape(N, 3), 0.0)
     mat = jnp.where(hit, best_m.reshape(N), -1)
-    return jnp.where(hit, best_t, MISS_T), best_tri, hit, normal, mat
+    bary = jnp.where(hit[:, None], best_uv.reshape(N, 2), 0.0)
+    return jnp.where(hit, best_t, MISS_T), best_tri, hit, normal, mat, bary
 
 
 def tiled_pixel_order(width: int, height: int, tile: int = 32):

@@ -25,9 +25,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..models.material import (
+    TEX_BASE_COLOR, TEX_EMISSIVE, TEX_METALLIC_ROUGHNESS, TEX_OCCLUSION)
 from ..models.scene import Scene
 from .f16 import f16_roundtrip, unpack_f16_high, unpack_f16_low
 from .linalg import dot, max0, normalize
+from .texture import sample_texture
 from .trace import Hit
 
 MAGENTA = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
@@ -50,6 +53,22 @@ def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = No
     albedo = m.albedo[mid]                                 # [N,3]
     emission = m.emission[mid]
     metallic = unpack_f16_low(m.metallic_roughness_f16[mid])  # [N]
+
+    # Texture factors (glTF: factors multiply texture samples). Static-gated
+    # on texture data being present so untextured scenes pay nothing; the
+    # reference bound this data but never sampled it (shader lib.rs:34-35).
+    ambient_occ = None
+    if scene.textures.data_u32.shape[0] > 1:
+        tex = scene.textures
+        ti = m.texture_indices[mid]                        # [N,8]
+        base = sample_texture(tex, ti[:, TEX_BASE_COLOR], hit.uv)
+        albedo = albedo * base[:, :3]
+        emission = emission * sample_texture(
+            tex, ti[:, TEX_EMISSIVE], hit.uv)[:, :3]
+        mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], hit.uv)
+        metallic = metallic * mr[:, 2]                     # B channel
+        ambient_occ = sample_texture(
+            tex, ti[:, TEX_OCCLUSION], hit.uv)[:, 0]       # R channel
 
     n = hit.normal                                          # [N,3]
     p = hit.point
@@ -82,6 +101,8 @@ def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = No
                  * (I * gate)[..., None] * L.color[None, :, :])         # [N,L,3]
 
     ambient = albedo * 0.1
+    if ambient_occ is not None:
+        ambient = ambient * ambient_occ[:, None]
     return ambient + jnp.sum(per_light, axis=1) + emission
 
 

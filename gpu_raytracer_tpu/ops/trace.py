@@ -25,8 +25,22 @@ from .bvh_traverse import bvh_traverse, bvh_traverse_threaded
 from .intersect import MISS_T, closest_select, sphere_intersect, triangle_intersect
 from .linalg import cross, normalize
 from .packet_trace import packet_traverse
+from .texture import interpolate_uv, sphere_uv
 
 PACKET_SIZE = 1024  # rays per shared-traversal packet (8x128 VPU tiles)
+
+
+def _mt_bary(orig, dirn, v0, e1, e2):
+    """Möller-Trumbore barycentrics (v1,v2 weights) of known-hit triangles,
+    one per ray (all args [N,...])."""
+    h = cross(dirn, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = 1.0 / jnp.where(a == 0.0, 1.0, a)
+    s = orig - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = cross(s, e1)
+    v = f * jnp.sum(dirn * q, axis=-1)
+    return u, v
 
 
 def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False):
@@ -34,9 +48,9 @@ def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False):
     the batch divides into packets (the renderer feeds tile-ordered batches),
     per-ray threaded traversal otherwise.
 
-    Returns (t, tri, hit, normal, mat): packet traversal extracts the winner
-    attributes densely during its flush; the threaded fallback expands them
-    with (small-batch) gathers here."""
+    Returns (t, tri, hit, normal, mat, bary): packet traversal extracts the
+    winner attributes densely during its flush; the threaded fallback expands
+    them with (small-batch) gathers here."""
     if orig.shape[0] % PACKET_SIZE == 0:
         return packet_traverse(
             scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
@@ -49,7 +63,10 @@ def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False):
     normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
     normal = jnp.where(hit[:, None], normal, 0.0)
     mat = jnp.where(hit, scene.tri_mat[ti], -1)
-    return t, tri, hit, normal, mat
+    bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
+                      scene.tri_e2[ti])
+    bary = jnp.where(hit[:, None], jnp.stack([bu, bv], axis=-1), 0.0)
+    return t, tri, hit, normal, mat, bary
 
 SPHERE, TRIANGLE = 0, 1
 _BRUTE_BLOCK = 512  # triangles per brute-force block (bounds the [N,K] tile)
@@ -67,6 +84,10 @@ class Hit:
     point: jnp.ndarray        # [N,3] f32
     normal: jnp.ndarray       # [N,3] f32
     material_id: jnp.ndarray  # [N] i32
+    # Texture coordinates at the hit: barycentric-interpolated TEXCOORD_0 for
+    # triangles, equirectangular for spheres (an addition — the reference's
+    # hit record carries none, its textures being unreadable without UVs).
+    uv: jnp.ndarray           # [N,2] f32
 
 
 def _trace_triangles_brute(scene: Scene, orig, dirn, max_t):
@@ -116,13 +137,16 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
 
     # --- triangles: BVH when built, brute force otherwise (lib.rs:192-211) ---
     if use_bvh and scene.bvh.num_nodes > 1:
-        tri_t, tri_i, tri_any, tri_normal, tri_m = _traverse(
+        tri_t, tri_i, tri_any, tri_normal, tri_m, tri_bary = _traverse(
             scene, orig, dirn, tri_limit, leaf_size)
     else:
         tri_t, tri_i, tri_any = _trace_triangles_brute(scene, orig, dirn, tri_limit)
         ti = jnp.clip(tri_i, 0, scene.tri_v0.shape[0] - 1)
         tri_normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
         tri_m = scene.tri_mat[ti]
+        bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
+                          scene.tri_e2[ti])
+        tri_bary = jnp.stack([bu, bv], axis=-1)
 
     use_tri = tri_any  # already strictly closer than any sphere hit
     t = jnp.where(use_tri, tri_t, jnp.where(sph_any, sph_t, MISS_T))
@@ -142,6 +166,15 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     material_id = jnp.where(use_tri, tri_m, sph_mat)
     material_id = jnp.where(hit, material_id, jnp.int32(-1))
 
+    if scene.textures.data_u32.shape[0] > 1:  # static: scene has texture data
+        ti = jnp.clip(tri_i, 0, scene.tri_v0.shape[0] - 1)
+        tex_uv = interpolate_uv(scene.tri_uv, ti,
+                                tri_bary[:, 0], tri_bary[:, 1])
+        uv = jnp.where(use_tri[:, None], tex_uv, sphere_uv(sphere_normal))
+        uv = jnp.where(hit[:, None], uv, 0.0)
+    else:
+        uv = jnp.zeros((N, 2), jnp.float32)
+
     return Hit(
         t=jnp.where(hit, t, MISS_T),
         hit=hit,
@@ -150,6 +183,7 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
         point=jnp.where(hit[:, None], point, 0.0),
         normal=normal,
         material_id=material_id,
+        uv=uv,
     )
 
 

@@ -223,6 +223,16 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
         albedo = mats.albedo[mid]
         metallic = unpack_f16_low(mats.metallic_roughness_f16[mid])
         roughness = unpack_f16_high(mats.metallic_roughness_f16[mid])
+        if scene.textures.data_u32.shape[0] > 1:  # textured scene (static)
+            from ..models.material import TEX_BASE_COLOR, TEX_METALLIC_ROUGHNESS
+            from .texture import sample_texture
+            ti = mats.texture_indices[mid]
+            albedo = albedo * sample_texture(
+                scene.textures, ti[:, TEX_BASE_COLOR], hit.uv)[:, :3]
+            mr = sample_texture(
+                scene.textures, ti[:, TEX_METALLIC_ROUGHNESS], hit.uv)
+            metallic = metallic * mr[:, 2]
+            roughness = roughness * mr[:, 1]
         base_ior = unpack_f16_low(mats.ior_transmission_f16[mid])
         transmission = unpack_f16_high(mats.ior_transmission_f16[mid])
 

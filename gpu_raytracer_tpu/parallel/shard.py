@@ -115,6 +115,13 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     mat = jnp.where(use_tri, scene.tri_mat[ti],
                     scene.spheres.material_id.astype(jnp.int32)[
                         jnp.clip(sph_i, 0, scene.spheres.count - 1)])
+    from ..ops.trace import _mt_bary
+    from ..ops.texture import interpolate_uv, sphere_uv
+    bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
+                      scene.tri_e2[ti])
+    uv = jnp.where(use_tri[:, None],
+                   interpolate_uv(scene.tri_uv, ti, bu, bv),
+                   sphere_uv(normalize(point - sc)))
     return Hit(
         t=jnp.where(hit, t, MISS_T), hit=hit,
         prim_kind=jnp.where(use_tri, TRIANGLE, SPHERE).astype(jnp.int32),
@@ -122,6 +129,7 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
         point=jnp.where(hit[:, None], point, 0.0),
         normal=jnp.where(hit[:, None], normal, 0.0),
         material_id=jnp.where(hit, mat, -1).astype(jnp.int32),
+        uv=jnp.where(hit[:, None], uv, 0.0),
     )
 
 

@@ -102,8 +102,10 @@ def test_lbvh_trace_parity_with_host_bvh(rng):
         jnp.zeros((n,), jnp.uint32))
 
     res = build_bvh(verts, idx, leaf_size=4)
-    hv0, he1, he2, hmat = _expand_triangles(verts, idx, np.zeros(n, np.uint32),
-                                            res.tri_order, 8)
+    hv0, he1, he2, hmat, _huv = _expand_triangles(
+        verts, idx, np.zeros(n, np.uint32), np.zeros((verts.shape[0], 2),
+                                                     np.float32),
+        res.tri_order, 8)
     host_bvh = res.to_device()
 
     m = 512
@@ -125,7 +127,7 @@ def test_lbvh_trace_parity_with_host_bvh(rng):
                                rtol=1e-6)
 
     # packet traversal over the LBVH agrees too
-    t_p, i_p, h_p, n_p, m_p = packet_traverse(bvh, v0, e1, e2, o, d, mt,
+    t_p, i_p, h_p, n_p, m_p, uv_p = packet_traverse(bvh, v0, e1, e2, o, d, mt,
                                               tri_mat=mat, leaf_size=1,
                                               packet_size=512)
     np.testing.assert_array_equal(np.asarray(h_p), hmask)
