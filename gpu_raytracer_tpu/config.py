@@ -30,8 +30,10 @@ class RaytracerConfig:
     ray_batch_size: int = 128 * 1024
     # BVH traversal stack depth (reference uses 64, shader/src/bvh.rs:35-38).
     bvh_stack_depth: int = 64
-    # Max triangles referenced by one BVH leaf (static unroll bound on device).
-    bvh_leaf_size: int = 4
+    # Max triangles referenced by one BVH leaf (static unroll bound on
+    # device). 8 fills the Pallas kernel's one-leaf-per-128-lane-row layout
+    # exactly (ops/pallas/traverse.py) and halves the node count.
+    bvh_leaf_size: int = 8
     # Wavefront path tracing.
     max_bounce_depth: int = 4            # PushConstants::new default (shared/src/lib.rs:1088)
     russian_roulette_start: int = 2      # bounce depth at which RR kicks in

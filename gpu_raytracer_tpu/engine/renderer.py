@@ -113,9 +113,27 @@ class Renderer:
         self.shadows = shadows
         self.sky = tuple(float(x) for x in sky)
         self.use_bvh = scene.bvh.num_nodes > 1
+        self._chunks = None  # cached device px/py chunks
 
     def set_camera(self, camera: Camera) -> None:
         self.scene = self.scene.with_camera(camera)
+
+    def _chunk_size(self, n: int) -> int:
+        """One dispatch per frame on the Pallas traversal path (each packet
+        already retires at its own path length, and every extra launch
+        re-stages the VMEM scene tables); bounded chunks on the XLA path,
+        where SMALLER dispatches cut the vmap-lockstep waste (all packets in
+        a dispatch run to the longest packet's trip count)."""
+        from ..ops.trace import PACKET_SIZE, _pallas_available
+        from ..ops.pallas.traverse import scene_vmem_bytes, VMEM_TABLE_BUDGET
+
+        pallas = (_pallas_available() and self.scene.bvh.leaf_align == 8
+                  and scene_vmem_bytes(self.scene.bvh.num_nodes,
+                                       self.scene.tri_v0.shape[0])
+                  <= VMEM_TABLE_BUDGET)
+        if pallas:
+            return max(-(-n // PACKET_SIZE) * PACKET_SIZE, PACKET_SIZE)
+        return min(self.config.ray_batch_size, max(n, 1024))
 
     def _pixel_order(self):
         """Tile-major pixel order (host arrays), padded to the chunk size."""
@@ -124,12 +142,23 @@ class Renderer:
         W, H = self.width, self.height
         px, py = tiled_pixel_order(W, H, tile=32)
         n = px.shape[0]
-        chunk = min(self.config.ray_batch_size, max(n, 1024))
+        chunk = self._chunk_size(n)
         pad = (-n) % chunk
         if pad:
             px = np.concatenate([px, np.full(pad, W - 1, np.int32)])
             py = np.concatenate([py, np.full(pad, H - 1, np.int32)])
         return px, py, chunk
+
+    def _device_chunks(self):
+        """Per-chunk device px/py arrays, uploaded once (the coordinates
+        never change per resolution — re-uploading 16 MB per frame through
+        the tunnel would dwarf the render)."""
+        if self._chunks is None:
+            px, py, chunk = self._pixel_order()
+            self._chunks = [
+                (jnp.asarray(px[s:s + chunk]), jnp.asarray(py[s:s + chunk]))
+                for s in range(0, px.shape[0], chunk)]
+        return self._chunks
 
     def render_device(self) -> jnp.ndarray:
         """Render the full frame, leaving it in HBM → device f32 [Npad,3] in
@@ -143,15 +172,10 @@ class Renderer:
         the reference where compute writes storage textures and present
         samples them (src/renderer.rs:778-818)."""
         W, H = self.width, self.height
-        px, py, chunk = self._pixel_order()
-        # Per-chunk dispatch measures faster than a lax.map-fused frame on
-        # the tunneled TPU (async dispatches pipeline; the fused executable
-        # serialises), so the frame is C pipelined launches + one concat.
         out = []
-        for s in range(0, px.shape[0], chunk):
+        for pxs, pys in self._device_chunks():
             rgb = render_chunk(
-                self.scene, jnp.asarray(px[s:s + chunk]),
-                jnp.asarray(py[s:s + chunk]),
+                self.scene, pxs, pys,
                 W, H, shadows=self.shadows, use_bvh=self.use_bvh,
                 leaf_size=self.config.bvh_leaf_size, sky=self.sky)
             out.append(rgb)

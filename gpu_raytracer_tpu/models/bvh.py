@@ -25,7 +25,7 @@ from .geometry import triangle_aabbs
 LEAF = -1  # child sentinel (reference: 0xFFFFFFFF, shared/src/lib.rs:157-158)
 
 
-@pytree_dataclass
+@pytree_dataclass(meta_fields=("leaf_align", "max_leaf"))
 class Bvh:
     node_min: jnp.ndarray   # [N,3] f32
     node_max: jnp.ndarray   # [N,3] f32
@@ -40,6 +40,14 @@ class Bvh:
     # stack (shader/src/bvh.rs:35-38) — pure gathers, zero scatters.
     hit_link: jnp.ndarray   # [N] i32
     miss_link: jnp.ndarray  # [N] i32
+    # Static (jit-cache-key) leaf alignment: every leaf's triangle range
+    # starts at a multiple of this and is padded to it (see align_leaves).
+    # 1 = unaligned; 8 enables the packed-row Pallas traversal kernel.
+    leaf_align: int = 1
+    # Static upper bound on triangles per leaf — the unroll bound device
+    # traversals MUST cover (a smaller static leaf_size would silently skip
+    # triangles in fuller leaves).
+    max_leaf: int = 4
 
     @property
     def num_nodes(self) -> int:
@@ -83,18 +91,21 @@ class BvhBuildResult:
     """Host-side build output (NumPy)."""
 
     def __init__(self, node_min, node_max, left, right, tri_start, tri_count,
-                 tri_order, max_depth):
+                 tri_order, max_depth, leaf_align: int = 1):
         self.node_min = node_min
         self.node_max = node_max
         self.left = left
         self.right = right
         self.tri_start = tri_start
         self.tri_count = tri_count
-        self.tri_order = tri_order      # [T] permutation: leaf order -> original id
+        self.tri_order = tri_order      # [T] slot -> original id (-1 = pad)
         self.max_depth = max_depth
+        self.leaf_align = leaf_align
 
     def to_device(self) -> Bvh:
         hit_link, miss_link = compute_links(self.left, self.right)
+        leaf_counts = np.asarray(self.tri_count)[np.asarray(self.left) < 0]
+        max_leaf = int(leaf_counts.max()) if leaf_counts.size else 0
         return Bvh(
             node_min=jnp.asarray(self.node_min),
             node_max=jnp.asarray(self.node_max),
@@ -104,7 +115,42 @@ class BvhBuildResult:
             tri_count=jnp.asarray(self.tri_count),
             hit_link=jnp.asarray(hit_link),
             miss_link=jnp.asarray(miss_link),
+            leaf_align=self.leaf_align,
+            max_leaf=max(max_leaf, 1),
         )
+
+
+def align_leaves(res: "BvhBuildResult", align: int = 8) -> "BvhBuildResult":
+    """Pad every leaf's triangle range to an `align` boundary with degenerate
+    slots (tri_order entry -1 → zero-edge triangle that can never hit).
+
+    After this pass each leaf occupies exactly ceil(count/align)·align
+    contiguous slots starting at a multiple of `align` — so a leaf maps to
+    whole 128-lane rows of the Pallas traversal kernel's packed triangle
+    table (ops/pallas/traverse.py) and leaf tests never straddle rows.
+    DFS/tie order is unchanged (padding never hits; real triangles keep
+    their relative order)."""
+    leaf_nodes = np.nonzero(res.left < 0)[0]
+    starts = res.tri_start[leaf_nodes]
+    by_start = np.argsort(starts, kind="stable")
+    new_order: list[np.ndarray] = []
+    new_start = res.tri_start.copy()
+    cur = 0
+    for li in by_start:
+        node = leaf_nodes[li]
+        s = int(res.tri_start[node])
+        c = int(res.tri_count[node])
+        new_start[node] = cur
+        new_order.append(res.tri_order[s:s + c])
+        pad = (-c) % align if c else align  # empty leaf still gets one row
+        if pad:
+            new_order.append(np.full(pad, -1, np.int64))
+        cur += c + pad
+    order = (np.concatenate(new_order) if new_order
+             else np.zeros((0,), np.int64))
+    return BvhBuildResult(res.node_min, res.node_max, res.left, res.right,
+                          new_start, res.tri_count, order, res.max_depth,
+                          leaf_align=align)
 
 
 _SAH_BINS = 16

@@ -22,7 +22,7 @@ from .camera import Camera
 from .geometry import Mesh, Spheres, Textures, dedup_triangles
 from .light import LightBuilder, Lights
 from .material import MaterialBuilder, Materials
-from .bvh import Bvh, build_bvh, BvhBuildResult
+from .bvh import Bvh, align_leaves, build_bvh, BvhBuildResult
 
 
 @pytree_dataclass
@@ -56,13 +56,23 @@ def _expand_triangles(vertices: np.ndarray, indices: np.ndarray,
     """Gather + expand triangles into (v0, e1, e2, mat, uv) in `order`,
     padding with degenerate (zero-edge) triangles the intersector rejects."""
     v = np.asarray(vertices, np.float32)
-    idx = np.asarray(indices, np.int64)[order]
-    mat = np.asarray(material_id, np.int64)[order]
+    order = np.asarray(order, np.int64)
+    pad_slot = order < 0                       # leaf-alignment padding
+    safe = np.where(pad_slot, 0, order)
+    idx = np.asarray(indices, np.int64)[safe]
+    mat = np.asarray(material_id, np.int64)[safe]
     t = np.asarray(uv, np.float32)
     v0 = v[idx[:, 0]]
     e1 = v[idx[:, 1]] - v0
     e2 = v[idx[:, 2]] - v0
     tuv = t[idx]                               # [T,3,2]
+    if pad_slot.any():
+        z = pad_slot[:, None]
+        v0 = np.where(z, 0.0, v0)
+        e1 = np.where(z, 0.0, e1)              # zero edges → det 0 → no hit
+        e2 = np.where(z, 0.0, e2)
+        mat = np.where(pad_slot, 0, mat)
+        tuv = np.where(pad_slot[:, None, None], 0.0, tuv)
     T = v0.shape[0]
     Tp = max(((T + pad_to - 1) // pad_to) * pad_to, pad_to)
     if Tp != T:
@@ -95,6 +105,10 @@ def prepare_scene(
     material_id = np.asarray(mesh.material_id)
     if bvh_result is None:
         bvh_result = build_bvh(vertices, indices, leaf_size=config.bvh_leaf_size)
+        # Align leaf ranges to 8-slot rows: enables the packed-row Pallas
+        # traversal kernel (ops/pallas/traverse.py) at <= (align-1)/leaf
+        # degenerate-slot overhead; hit results are unchanged.
+        bvh_result = align_leaves(bvh_result, 8)
     tri_v0, tri_e1, tri_e2, tri_mat, tri_uv = _expand_triangles(
         vertices, indices, material_id, np.asarray(mesh.uv),
         bvh_result.tri_order, pad_to=max(config.bvh_leaf_size, 8),

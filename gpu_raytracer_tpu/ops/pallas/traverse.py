@@ -1,0 +1,298 @@
+"""Pallas TPU kernel: per-packet BVH traversal.
+
+The XLA packet traversal (ops/packet_trace.py) vmaps one `while_loop` over
+all packets in a dispatch, so every packet pays the LONGEST packet's path
+(lockstep): measured on the 100k-triangle courtyard at 1080p, mean packet
+path is ~380 threaded-link steps but max is ~1900 — ~5x wasted work. This
+kernel runs the traversal as a Pallas grid with ONE PROGRAM PER PACKET, so
+each packet retires after exactly its own path.
+
+VMEM layout (the whole scene stays resident for the launch — constant
+index_map → one HBM→VMEM load):
+
+  * TPU VMEM rows are (sublane, 128-lane) tiles, so any table is charged 128
+    lanes per row regardless of use. Data is therefore packed lane-dense:
+    - `node rows`: 8 binary nodes per 128-lane f32 row, 16 lanes each
+      (min.xyz, max.xyz, then hit/miss/tri_start/leaf_count links stored as
+      exact small-int floats) — node i lives at row i>>3, lane group i&7;
+    - `leaf rows`: ONE LEAF = ONE ROW — 8 triangle slots x 16 lanes
+      (v0.xyz, e1.xyz, e2.xyz). models/bvh.py::align_leaves pads every
+      leaf's range to an 8-slot boundary with zero-edge degenerates, so a
+      leaf test is one row read + 8 dense Möller-Trumbore tests, no
+      membership masks, no straddling.
+  * rays are [B, 3, 8, 128]: component planes of (8,128) f32 VPU tiles.
+
+Each traversal step: one 16-lane dynamic-slice per table + dense (8,128)
+slab test; leaf steps run the 8 triangle tests inline (no collect/flush —
+there is no lockstep to amortise within one packet's program). The winner's
+normal/material/uv are NOT tracked in-kernel: the caller does one [N]
+gather at the end (one gather per ray beats one per step).
+
+Same DFS order and strict-< closest updates as the reference's stack
+traversal (/root/reference/shader/src/bvh.rs:40-85) → identical hit/winner
+records (t may differ by float evaluation order).
+
+ops/trace.py falls back to the XLA path when the scene exceeds the VMEM
+budget, the BVH is not leaf-aligned, or the batch is not packet-shaped.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.bvh import Bvh
+from ..intersect import MIN_T, MISS_T
+
+_MIN_T = float(MIN_T)  # Python scalar: jnp consts can't be captured in kernels
+
+SUB = 8          # sublanes per packet tile
+LANES = 128      # lanes per packet tile
+PACKET = SUB * LANES
+GROUP = 16       # lanes per node/triangle record
+ROW = 128 // GROUP  # records per row
+
+# VMEM budget for the resident tables, leaving room for ray blocks, carries
+# and pipeline headroom out of the 16 MB scoped limit.
+VMEM_TABLE_BUDGET = 14 * 1024 * 1024
+
+
+def scene_vmem_bytes(num_nodes: int, num_tris: int) -> int:
+    """Resident bytes: one node table + leaf rows, each 64 B/record charged
+    at full 128-lane rows."""
+    node_rows = -(-num_nodes // ROW)
+    tri_rows = -(-num_tris // ROW)
+    return (node_rows + tri_rows) * 128 * 4
+
+
+def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
+            t_ref, tri_out_ref, n_ref, m_ref, uv_ref, *, max_iters):
+    ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]        # [8,128] each
+    dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    def step(state):
+        cursor, it, best = state
+        best_t = best[0]
+        row = cursor // ROW
+        # Mosaic requires static lane offsets (dynamic starts must be
+        # 128-multiples), so the 16-lane group is picked with an 8-way
+        # switch over static slices. Slices stay 2D — 1D vector values
+        # crash Mosaic's layout inference. Links/leaf info are stored as
+        # exact small-int f32 values (< 2^24) so the whole record is one
+        # slice of one table.
+        def pick(g):
+            def f():
+                b = node_ref[pl.ds(row, 1), g * GROUP:(g + 1) * GROUP]
+                return (b[0, 0], b[0, 1], b[0, 2], b[0, 3], b[0, 4], b[0, 5],
+                        b[0, 6], b[0, 7], b[0, 8], b[0, 9])
+            return f
+        (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
+         hit_f, miss_f, tri_f, leaf_f) = jax.lax.switch(
+            cursor % ROW, [pick(g) for g in range(ROW)])
+        hit_l = hit_f.astype(jnp.int32)
+        miss_l = miss_f.astype(jnp.int32)
+        tri_s = tri_f.astype(jnp.int32)
+        leaf_c = leaf_f.astype(jnp.int32)
+
+        t1x = (bminx - ox) * ix
+        t2x = (bmaxx - ox) * ix
+        t1y = (bminy - oy) * iy
+        t2y = (bmaxy - oy) * iy
+        t1z = (bminz - oz) * iz
+        t2z = (bmaxz - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.minimum(t1z, t2z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                       jnp.maximum(t1y, t2y)),
+                           jnp.maximum(t1z, t2z))
+        ray_hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin <= best_t)
+        hit_any = jnp.any(ray_hit)
+
+        def test_leaf(carry):
+            (best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy) = carry
+            leaf_row = tri_s // ROW
+            tr = tri_ref[pl.ds(leaf_row, 1), :]                # [1,128] f32
+            for j in range(ROW):
+                g = j * GROUP
+                v0x, v0y, v0z = tr[0, g + 0], tr[0, g + 1], tr[0, g + 2]
+                e1x, e1y, e1z = tr[0, g + 3], tr[0, g + 4], tr[0, g + 5]
+                e2x, e2y, e2z = tr[0, g + 6], tr[0, g + 7], tr[0, g + 8]
+                # h = d x e2 (one shared triangle vs the packet's 1024 rays;
+                # degenerate padding slots have zero edges → det 0 → no hit)
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / a
+                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                ok = ((jnp.abs(a) >= _MIN_T)
+                      & (u >= 0.0) & (u <= 1.0)
+                      & (v >= 0.0) & (u + v <= 1.0)
+                      & (t > _MIN_T) & (t < best_t))
+                # winner attributes are the shared triangle's own scalars —
+                # geometric unit normal from e1 x e2 (scalar math), material
+                # id (exact small-int float, lane 9), interpolated TEXCOORD
+                # (corner uvs in lanes 10-15) — so closest-hit needs ZERO
+                # per-lane gathers anywhere, including hit expansion.
+                cnx = e1y * e2z - e1z * e2y
+                cny = e1z * e2x - e1x * e2z
+                cnz = e1x * e2y - e1y * e2x
+                rl = jax.lax.rsqrt(
+                    jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
+                w0 = 1.0 - u - v
+                uvx = tr[0, g + 10] * w0 + tr[0, g + 12] * u + tr[0, g + 14] * v
+                uvy = tr[0, g + 11] * w0 + tr[0, g + 13] * u + tr[0, g + 15] * v
+                best_t = jnp.where(ok, t, best_t)
+                best_tri = jnp.where(ok, tri_s + j, best_tri)
+                bnx = jnp.where(ok, cnx * rl, bnx)
+                bny = jnp.where(ok, cny * rl, bny)
+                bnz = jnp.where(ok, cnz * rl, bnz)
+                bm = jnp.where(ok, tr[0, g + 9], bm)
+                buvx = jnp.where(ok, uvx, buvx)
+                buvy = jnp.where(ok, uvy, buvy)
+            return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy
+
+        is_leaf_hit = hit_any & (leaf_c > 0)
+        best = jax.lax.cond(is_leaf_hit, test_leaf, lambda c: c, best)
+
+        cursor = jnp.where(hit_any, hit_l, miss_l)
+        return cursor, it + 1, best
+
+    def cond(state):
+        cursor, it = state[0], state[1]
+        return (cursor >= 0) & (it < max_iters)
+
+    zero = jnp.zeros((SUB, LANES), jnp.float32)
+    init = (jnp.int32(0), jnp.int32(0),
+            (mt_ref[0],                                         # best_t
+             jnp.full((SUB, LANES), -1, jnp.int32),             # best_tri
+             zero, zero, zero,                                  # normal
+             jnp.full((SUB, LANES), -1.0, jnp.float32),         # material
+             zero, zero))                                       # uv
+    _, _, best = jax.lax.while_loop(cond, step, init)
+
+    t_ref[0] = best[0]
+    tri_out_ref[0] = best[1]
+    n_ref[0, 0] = best[2]
+    n_ref[0, 1] = best[3]
+    n_ref[0, 2] = best[4]
+    m_ref[0] = best[5]
+    uv_ref[0, 0] = best[6]
+    uv_ref[0, 1] = best[7]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_packet_traverse(
+    bvh: Bvh,
+    tri_v0: jnp.ndarray,
+    tri_e1: jnp.ndarray,
+    tri_e2: jnp.ndarray,
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    max_t: jnp.ndarray,
+    tri_mat: jnp.ndarray | None = None,
+    tri_uv: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """Closest-hit for N rays (N a multiple of 1024)
+    → (t, tri, hit, normal [N,3], mat [N] i32, uv [N,2]).
+
+    Requires bvh.leaf_align == 8 (models/bvh.py::align_leaves) and the
+    leaf-aligned expanded triangle arrays. tri is the slot id of the winner
+    (-1 miss); normal is its geometric unit normal, mat its material id, uv
+    the barycentric-interpolated TEXCOORD — all extracted in-kernel, zero
+    gathers.
+    """
+    N = orig.shape[0]
+    assert N % PACKET == 0, "pallas traversal needs multiples of 1024 rays"
+    assert bvh.leaf_align == ROW, "pallas traversal needs an 8-aligned BVH"
+    B = N // PACKET
+    Tp = tri_v0.shape[0]
+    nn = bvh.left.shape[0]
+    nn_pad = (-nn) % ROW
+
+    def pad_nodes(a, fill):
+        return (jnp.concatenate([a, jnp.full((nn_pad,) + a.shape[1:], fill,
+                                             a.dtype)]) if nn_pad else a)
+
+    # node rows: [R,128] f32, node i at lanes (i%8)*16: min.xyz, max.xyz,
+    # then hit/miss/tri_start/leaf_count as exact small-int floats
+    zf = jnp.zeros((nn, GROUP - 10), jnp.float32)
+    leaf_count = jnp.where(bvh.left < 0, bvh.tri_count, 0)
+    asf = lambda a: a.astype(jnp.float32)[:, None]
+    node = jnp.concatenate(
+        [bvh.node_min, bvh.node_max,
+         asf(bvh.hit_link), asf(bvh.miss_link),
+         asf(bvh.tri_start), asf(leaf_count), zf], axis=1)
+    node_rows = pad_nodes(node, 0.0).reshape(-1, 128)
+    # leaf rows: [Tp/8,128] f32, slot j at lanes j*16:
+    # v0.xyz, e1.xyz, e2.xyz, material (exact small-int f32), uv0, uv1, uv2
+    if tri_mat is None:
+        tri_mat = jnp.zeros((Tp,), jnp.int32)
+    if tri_uv is None:
+        tri_uv = jnp.zeros((Tp, 3, 2), jnp.float32)
+    tri_rows = jnp.concatenate(
+        [tri_v0, tri_e1, tri_e2, tri_mat.astype(jnp.float32)[:, None],
+         tri_uv.reshape(Tp, 6)], axis=1).reshape(-1, 128)
+
+    o = orig.reshape(B, SUB, LANES, 3).transpose(0, 3, 1, 2)
+    d = dirn.reshape(B, SUB, LANES, 3).transpose(0, 3, 1, 2)
+    mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (N,))
+    mt = mt.reshape(B, SUB, LANES)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B, SUB, LANES), jnp.float32),   # t
+        jax.ShapeDtypeStruct((B, SUB, LANES), jnp.int32),     # tri slot
+        jax.ShapeDtypeStruct((B, 3, SUB, LANES), jnp.float32),  # normal
+        jax.ShapeDtypeStruct((B, SUB, LANES), jnp.float32),   # material
+        jax.ShapeDtypeStruct((B, 2, SUB, LANES), jnp.float32),  # uv
+    )
+    resident = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    per_packet = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+
+    kernel = partial(_kernel, max_iters=nn + 4)
+    t, tri_id, n, m, uvo = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            resident(node_rows.shape),
+            resident(tri_rows.shape),
+            per_packet((1, 3, SUB, LANES)),
+            per_packet((1, 3, SUB, LANES)),
+            per_packet((1, SUB, LANES)),
+        ],
+        out_specs=(
+            per_packet((1, SUB, LANES)),
+            per_packet((1, SUB, LANES)),
+            per_packet((1, 3, SUB, LANES)),
+            per_packet((1, SUB, LANES)),
+            per_packet((1, 2, SUB, LANES)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(node_rows, tri_rows, o, d, mt)
+
+    t = t.reshape(N)
+    tri_id = tri_id.reshape(N)
+    hit = tri_id >= 0
+    normal = n.transpose(0, 2, 3, 1).reshape(N, 3)
+    uv = uvo.transpose(0, 2, 3, 1).reshape(N, 2)
+    mat = jnp.where(hit, m.reshape(N).astype(jnp.int32), -1)
+    return (jnp.where(hit, t, MISS_T), tri_id, hit,
+            jnp.where(hit[:, None], normal, 0.0), mat,
+            jnp.where(hit[:, None], uv, 0.0))

@@ -29,6 +29,18 @@ from .texture import interpolate_uv, sphere_uv
 
 PACKET_SIZE = 1024  # rays per shared-traversal packet (8x128 VPU tiles)
 
+_PALLAS_BACKEND = None
+
+
+def _pallas_available() -> bool:
+    """Mosaic kernels need a real TPU; CPU tests use the XLA path (the
+    Pallas interpreter is orders of magnitude slower)."""
+    global _PALLAS_BACKEND
+    if _PALLAS_BACKEND is None:
+        import jax as _jax
+        _PALLAS_BACKEND = _jax.default_backend() not in ("cpu",)
+    return _PALLAS_BACKEND
+
 
 def _mt_bary(orig, dirn, v0, e1, e2):
     """Möller-Trumbore barycentrics (v1,v2 weights) of known-hit triangles,
@@ -43,30 +55,52 @@ def _mt_bary(orig, dirn, v0, e1, e2):
     return u, v
 
 
-def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False):
-    """Pick the fastest applicable triangle traversal: packet traversal when
-    the batch divides into packets (the renderer feeds tile-ordered batches),
-    per-ray threaded traversal otherwise.
+def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False,
+              want_uv=False):
+    """Pick the fastest applicable triangle traversal: the Pallas per-packet
+    kernel on TPU (when the scene's tables fit VMEM), XLA packet traversal
+    when the batch divides into packets (the renderer feeds tile-ordered
+    batches), per-ray threaded traversal otherwise.
 
-    Returns (t, tri, hit, normal, mat, bary): packet traversal extracts the
-    winner attributes densely during its flush; the threaded fallback expands
+    Returns (t, tri, hit, normal, mat, uv) with uv the winner's interpolated
+    TEXCOORD (zeros unless want_uv): the Pallas/packet paths extract winner
+    attributes densely in-kernel/in-flush; the threaded fallback expands
     them with (small-batch) gathers here."""
+    Tp = scene.tri_v0.shape[0]
+    if (not any_hit and orig.shape[0] % PACKET_SIZE == 0
+            and scene.bvh.leaf_align == 8 and _pallas_available()):
+        from .pallas.traverse import (
+            pallas_packet_traverse, scene_vmem_bytes, VMEM_TABLE_BUDGET)
+
+        nn = scene.bvh.left.shape[0]
+        if scene_vmem_bytes(nn, Tp) <= VMEM_TABLE_BUDGET:
+            return pallas_packet_traverse(
+                scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                orig, dirn, limit, tri_mat=scene.tri_mat,
+                tri_uv=scene.tri_uv if want_uv else None)
     if orig.shape[0] % PACKET_SIZE == 0:
-        return packet_traverse(
+        t, tri, hit, normal, mat, bary = packet_traverse(
             scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
             orig, dirn, limit, tri_mat=scene.tri_mat, leaf_size=leaf_size,
             packet_size=PACKET_SIZE, any_hit=any_hit)
-    t, tri, hit = bvh_traverse_threaded(
-        scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-        orig, dirn, limit, leaf_size=leaf_size, any_hit=any_hit)
-    ti = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
-    normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
-    normal = jnp.where(hit[:, None], normal, 0.0)
-    mat = jnp.where(hit, scene.tri_mat[ti], -1)
-    bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
-                      scene.tri_e2[ti])
-    bary = jnp.where(hit[:, None], jnp.stack([bu, bv], axis=-1), 0.0)
-    return t, tri, hit, normal, mat, bary
+    else:
+        t, tri, hit = bvh_traverse_threaded(
+            scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            orig, dirn, limit, leaf_size=leaf_size, any_hit=any_hit)
+        ti = jnp.clip(tri, 0, Tp - 1)
+        normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
+        normal = jnp.where(hit[:, None], normal, 0.0)
+        mat = jnp.where(hit, scene.tri_mat[ti], -1)
+        bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
+                          scene.tri_e2[ti])
+        bary = jnp.where(hit[:, None], jnp.stack([bu, bv], axis=-1), 0.0)
+    if want_uv:
+        ti = jnp.clip(tri, 0, Tp - 1)
+        uv = interpolate_uv(scene.tri_uv, ti, bary[:, 0], bary[:, 1])
+        uv = jnp.where(hit[:, None], uv, 0.0)
+    else:
+        uv = jnp.zeros((orig.shape[0], 2), jnp.float32)
+    return t, tri, hit, normal, mat, uv
 
 SPHERE, TRIANGLE = 0, 1
 _BRUTE_BLOCK = 512  # triangles per brute-force block (bounds the [N,K] tile)
@@ -122,8 +156,13 @@ def _trace_triangles_brute(scene: Scene, orig, dirn, max_t):
 
 
 def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
-          max_t=None, leaf_size: int = 4, use_bvh: bool = True) -> Hit:
-    """Closest hit for a ray batch. orig/dirn: [N,3]."""
+          max_t=None, leaf_size: int | None = None,
+          use_bvh: bool = True) -> Hit:
+    """Closest hit for a ray batch. orig/dirn: [N,3].
+
+    leaf_size is clamped up to the BVH's actual max leaf occupancy — a
+    smaller static unroll would silently skip triangles in fuller leaves."""
+    leaf_size = max(leaf_size or 1, scene.bvh.max_leaf)
     N = orig.shape[0]
     if max_t is None:
         max_t = MISS_T - 2.0  # f32::MAX - 2.0 seed (lib.rs:183)
@@ -135,18 +174,23 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     sph_t, sph_i, sph_any = closest_select(s_t, s_hit)
     tri_limit = jnp.where(sph_any, sph_t, max_t)  # strict < keeps sphere on tie
 
+    textured = scene.textures.data_u32.shape[0] > 1  # static
+
     # --- triangles: BVH when built, brute force otherwise (lib.rs:192-211) ---
     if use_bvh and scene.bvh.num_nodes > 1:
-        tri_t, tri_i, tri_any, tri_normal, tri_m, tri_bary = _traverse(
-            scene, orig, dirn, tri_limit, leaf_size)
+        tri_t, tri_i, tri_any, tri_normal, tri_m, tri_uv = _traverse(
+            scene, orig, dirn, tri_limit, leaf_size, want_uv=textured)
     else:
         tri_t, tri_i, tri_any = _trace_triangles_brute(scene, orig, dirn, tri_limit)
         ti = jnp.clip(tri_i, 0, scene.tri_v0.shape[0] - 1)
         tri_normal = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
         tri_m = scene.tri_mat[ti]
-        bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
-                          scene.tri_e2[ti])
-        tri_bary = jnp.stack([bu, bv], axis=-1)
+        if textured:
+            bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
+                              scene.tri_e2[ti])
+            tri_uv = interpolate_uv(scene.tri_uv, ti, bu, bv)
+        else:
+            tri_uv = jnp.zeros((N, 2), jnp.float32)
 
     use_tri = tri_any  # already strictly closer than any sphere hit
     t = jnp.where(use_tri, tri_t, jnp.where(sph_any, sph_t, MISS_T))
@@ -166,11 +210,8 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     material_id = jnp.where(use_tri, tri_m, sph_mat)
     material_id = jnp.where(hit, material_id, jnp.int32(-1))
 
-    if scene.textures.data_u32.shape[0] > 1:  # static: scene has texture data
-        ti = jnp.clip(tri_i, 0, scene.tri_v0.shape[0] - 1)
-        tex_uv = interpolate_uv(scene.tri_uv, ti,
-                                tri_bary[:, 0], tri_bary[:, 1])
-        uv = jnp.where(use_tri[:, None], tex_uv, sphere_uv(sphere_normal))
+    if textured:
+        uv = jnp.where(use_tri[:, None], tri_uv, sphere_uv(sphere_normal))
         uv = jnp.where(hit[:, None], uv, 0.0)
     else:
         uv = jnp.zeros((N, 2), jnp.float32)
@@ -188,9 +229,10 @@ def trace(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
 
 
 def occluded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
-             max_t: jnp.ndarray, leaf_size: int = 4,
+             max_t: jnp.ndarray, leaf_size: int | None = None,
              use_bvh: bool = True) -> jnp.ndarray:
     """Any-hit query for shadow rays: True where something blocks (MIN_T, max_t)."""
+    leaf_size = max(leaf_size or 1, scene.bvh.max_leaf)
     N = orig.shape[0]
     max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (N,))
     s_t, s_hit = sphere_intersect(orig, dirn, scene.spheres.center,
