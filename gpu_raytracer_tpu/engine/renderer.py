@@ -124,7 +124,7 @@ class Renderer:
         re-stages the VMEM scene tables); bounded chunks on the XLA path,
         where SMALLER dispatches cut the vmap-lockstep waste (all packets in
         a dispatch run to the longest packet's trip count)."""
-        from ..ops.trace import PACKET_SIZE, _pallas_available
+        from ..ops.trace import PALLAS_PACKET, _pallas_available
         from ..ops.pallas.traverse import scene_vmem_bytes, VMEM_TABLE_BUDGET
 
         pallas = (_pallas_available() and self.scene.bvh.leaf_align == 8
@@ -132,7 +132,7 @@ class Renderer:
                                        self.scene.tri_v0.shape[0])
                   <= VMEM_TABLE_BUDGET)
         if pallas:
-            return max(-(-n // PACKET_SIZE) * PACKET_SIZE, PACKET_SIZE)
+            return max(-(-n // PALLAS_PACKET) * PALLAS_PACKET, PALLAS_PACKET)
         return min(self.config.ray_batch_size, max(n, 1024))
 
     def _pixel_order(self):
@@ -140,7 +140,8 @@ class Renderer:
         from ..ops.packet_trace import tiled_pixel_order
 
         W, H = self.width, self.height
-        px, py = tiled_pixel_order(W, H, tile=32)
+        # 64x64 tiles = exactly one 4096-ray packet per tile (PALLAS_PACKET)
+        px, py = tiled_pixel_order(W, H, tile=64)
         n = px.shape[0]
         chunk = self._chunk_size(n)
         pad = (-n) % chunk

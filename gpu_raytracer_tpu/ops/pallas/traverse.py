@@ -174,12 +174,13 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
         cursor, it = state[0], state[1]
         return (cursor >= 0) & (it < max_iters)
 
-    zero = jnp.zeros((SUB, LANES), jnp.float32)
+    tile = mt_ref.shape[1:]                                     # (sub, 128)
+    zero = jnp.zeros(tile, jnp.float32)
     init = (jnp.int32(0), jnp.int32(0),
             (mt_ref[0],                                         # best_t
-             jnp.full((SUB, LANES), -1, jnp.int32),             # best_tri
+             jnp.full(tile, -1, jnp.int32),                     # best_tri
              zero, zero, zero,                                  # normal
-             jnp.full((SUB, LANES), -1.0, jnp.float32),         # material
+             jnp.full(tile, -1.0, jnp.float32),                 # material
              zero, zero))                                       # uv
     _, _, best = jax.lax.while_loop(cond, step, init)
 
@@ -193,7 +194,7 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
     uv_ref[0, 1] = best[7]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "packet_size"))
 def pallas_packet_traverse(
     bvh: Bvh,
     tri_v0: jnp.ndarray,
@@ -205,6 +206,7 @@ def pallas_packet_traverse(
     tri_mat: jnp.ndarray | None = None,
     tri_uv: jnp.ndarray | None = None,
     interpret: bool = False,
+    packet_size: int = PACKET,
 ):
     """Closest-hit for N rays (N a multiple of 1024)
     → (t, tri, hit, normal [N,3], mat [N] i32, uv [N,2]).
@@ -216,9 +218,11 @@ def pallas_packet_traverse(
     gathers.
     """
     N = orig.shape[0]
-    assert N % PACKET == 0, "pallas traversal needs multiples of 1024 rays"
+    sub = packet_size // LANES
+    assert packet_size % LANES == 0 and sub >= 8, "packet must be k*128, k>=8"
+    assert N % packet_size == 0, "ray count must divide into packets"
     assert bvh.leaf_align == ROW, "pallas traversal needs an 8-aligned BVH"
-    B = N // PACKET
+    B = N // packet_size
     Tp = tri_v0.shape[0]
     nn = bvh.left.shape[0]
     nn_pad = (-nn) % ROW
@@ -247,17 +251,17 @@ def pallas_packet_traverse(
         [tri_v0, tri_e1, tri_e2, tri_mat.astype(jnp.float32)[:, None],
          tri_uv.reshape(Tp, 6)], axis=1).reshape(-1, 128)
 
-    o = orig.reshape(B, SUB, LANES, 3).transpose(0, 3, 1, 2)
-    d = dirn.reshape(B, SUB, LANES, 3).transpose(0, 3, 1, 2)
+    o = orig.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
+    d = dirn.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
     mt = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), (N,))
-    mt = mt.reshape(B, SUB, LANES)
+    mt = mt.reshape(B, sub, LANES)
 
     out_shape = (
-        jax.ShapeDtypeStruct((B, SUB, LANES), jnp.float32),   # t
-        jax.ShapeDtypeStruct((B, SUB, LANES), jnp.int32),     # tri slot
-        jax.ShapeDtypeStruct((B, 3, SUB, LANES), jnp.float32),  # normal
-        jax.ShapeDtypeStruct((B, SUB, LANES), jnp.float32),   # material
-        jax.ShapeDtypeStruct((B, 2, SUB, LANES), jnp.float32),  # uv
+        jax.ShapeDtypeStruct((B, sub, LANES), jnp.float32),   # t
+        jax.ShapeDtypeStruct((B, sub, LANES), jnp.int32),     # tri slot
+        jax.ShapeDtypeStruct((B, 3, sub, LANES), jnp.float32),  # normal
+        jax.ShapeDtypeStruct((B, sub, LANES), jnp.float32),   # material
+        jax.ShapeDtypeStruct((B, 2, sub, LANES), jnp.float32),  # uv
     )
     resident = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -272,16 +276,16 @@ def pallas_packet_traverse(
         in_specs=[
             resident(node_rows.shape),
             resident(tri_rows.shape),
-            per_packet((1, 3, SUB, LANES)),
-            per_packet((1, 3, SUB, LANES)),
-            per_packet((1, SUB, LANES)),
+            per_packet((1, 3, sub, LANES)),
+            per_packet((1, 3, sub, LANES)),
+            per_packet((1, sub, LANES)),
         ],
         out_specs=(
-            per_packet((1, SUB, LANES)),
-            per_packet((1, SUB, LANES)),
-            per_packet((1, 3, SUB, LANES)),
-            per_packet((1, SUB, LANES)),
-            per_packet((1, 2, SUB, LANES)),
+            per_packet((1, sub, LANES)),
+            per_packet((1, sub, LANES)),
+            per_packet((1, 3, sub, LANES)),
+            per_packet((1, sub, LANES)),
+            per_packet((1, 2, sub, LANES)),
         ),
         out_shape=out_shape,
         interpret=interpret,

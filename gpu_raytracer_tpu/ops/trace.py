@@ -28,6 +28,10 @@ from .packet_trace import packet_traverse
 from .texture import interpolate_uv, sphere_uv
 
 PACKET_SIZE = 1024  # rays per shared-traversal packet (8x128 VPU tiles)
+# The Pallas kernel amortises its per-step scalar work (record fetch + link
+# chase) over the packet's vector lanes; 4096 lanes measured 2.1x faster
+# than 1024 on the courtyard benchmark, with 8192+ flat (vector-bound).
+PALLAS_PACKET = 4096
 
 _PALLAS_BACKEND = None
 
@@ -74,10 +78,12 @@ def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False,
 
         nn = scene.bvh.left.shape[0]
         if scene_vmem_bytes(nn, Tp) <= VMEM_TABLE_BUDGET:
+            P = (PALLAS_PACKET if orig.shape[0] % PALLAS_PACKET == 0
+                 else PACKET_SIZE)
             return pallas_packet_traverse(
                 scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
                 orig, dirn, limit, tri_mat=scene.tri_mat,
-                tri_uv=scene.tri_uv if want_uv else None)
+                tri_uv=scene.tri_uv if want_uv else None, packet_size=P)
     if orig.shape[0] % PACKET_SIZE == 0:
         t, tri, hit, normal, mat, bary = packet_traverse(
             scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
