@@ -69,6 +69,163 @@ def scene_vmem_bytes(num_nodes: int, num_tris: int) -> int:
     return (node_rows + tri_rows) * 128 * 4
 
 
+STACK = 96  # per-packet DFS stack bound (reference uses 64, bvh.rs:35-38)
+
+
+def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry):
+    """One leaf row (8 dense Möller-Trumbore tests) against the packet,
+    tracking winner t/slot/normal/material/uv — shared by both kernels."""
+    best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy = carry
+    leaf_row = tri_s // ROW
+    tr = tri_ref[pl.ds(leaf_row, 1), :]                # [1,128] f32
+    for j in range(ROW):
+        g = j * GROUP
+        v0x, v0y, v0z = tr[0, g + 0], tr[0, g + 1], tr[0, g + 2]
+        e1x, e1y, e1z = tr[0, g + 3], tr[0, g + 4], tr[0, g + 5]
+        e2x, e2y, e2z = tr[0, g + 6], tr[0, g + 7], tr[0, g + 8]
+        # h = d x e2 (one shared triangle vs the packet's rays; degenerate
+        # padding slots have zero edges → det 0 → no hit)
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = ((jnp.abs(a) >= _MIN_T)
+              & (u >= 0.0) & (u <= 1.0)
+              & (v >= 0.0) & (u + v <= 1.0)
+              & (t > _MIN_T) & (t < best_t))
+        # winner attributes are the shared triangle's own scalars —
+        # geometric unit normal from e1 x e2 (scalar math), material id
+        # (exact small-int float, lane 9), interpolated TEXCOORD (corner
+        # uvs in lanes 10-15) — closest-hit needs ZERO per-lane gathers.
+        cnx = e1y * e2z - e1z * e2y
+        cny = e1z * e2x - e1x * e2z
+        cnz = e1x * e2y - e1y * e2x
+        rl = jax.lax.rsqrt(
+            jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
+        w0 = 1.0 - u - v
+        uvx = tr[0, g + 10] * w0 + tr[0, g + 12] * u + tr[0, g + 14] * v
+        uvy = tr[0, g + 11] * w0 + tr[0, g + 13] * u + tr[0, g + 15] * v
+        best_t = jnp.where(ok, t, best_t)
+        best_tri = jnp.where(ok, tri_s + j, best_tri)
+        bnx = jnp.where(ok, cnx * rl, bnx)
+        bny = jnp.where(ok, cny * rl, bny)
+        bnz = jnp.where(ok, cnz * rl, bnz)
+        bm = jnp.where(ok, tr[0, g + 9], bm)
+        buvx = jnp.where(ok, uvx, buvx)
+        buvy = jnp.where(ok, uvy, buvy)
+    return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy
+
+
+def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
+                    t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
+                    *, max_iters):
+    """Near-child-first DFS with a per-packet SMEM stack.
+
+    Visiting the closer child first makes best_t tighten early, so the far
+    subtree is often culled by the slab test's `tmin <= best_t` — the classic
+    ordered-traversal win the reference's fixed left-first stack order
+    (shader/src/bvh.rs:74-83) leaves on the table. `near` is picked from the
+    packet's majority direction sign along the node's stored split axis
+    (exact for coherent tiles; a heuristic, never a correctness issue, for
+    incoherent packets). Winner selection keeps strict-< closest updates, so
+    results differ from the left-first kernels only on exact-t ties."""
+    ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
+    dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    s0 = jnp.sum(dx) >= 0.0
+    s1 = jnp.sum(dy) >= 0.0
+    s2 = jnp.sum(dz) >= 0.0
+
+    def step(state):
+        cursor, sp, it, best = state
+        best_t = best[0]
+        row = cursor // ROW
+
+        def pick(g):
+            def f():
+                b = node_ref[pl.ds(row, 1), g * GROUP:(g + 1) * GROUP]
+                return (b[0, 0], b[0, 1], b[0, 2], b[0, 3], b[0, 4], b[0, 5],
+                        b[0, 6], b[0, 7], b[0, 8], b[0, 9], b[0, 10])
+            return f
+        (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
+         left_f, right_f, tri_f, leaf_f, code_f) = jax.lax.switch(
+            cursor % ROW, [pick(g) for g in range(ROW)])
+        tri_s = tri_f.astype(jnp.int32)
+        leaf_c = leaf_f.astype(jnp.int32)
+        code = code_f.astype(jnp.int32)
+
+        t1x = (bminx - ox) * ix
+        t2x = (bmaxx - ox) * ix
+        t1y = (bminy - oy) * iy
+        t2y = (bmaxy - oy) * iy
+        t1z = (bminz - oz) * iz
+        t2z = (bmaxz - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.minimum(t1z, t2z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                       jnp.maximum(t1y, t2y)),
+                           jnp.maximum(t1z, t2z))
+        ray_hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin <= best_t)
+        hit_any = jnp.any(ray_hit)
+
+        is_leaf = leaf_c > 0
+        best = jax.lax.cond(
+            hit_any & is_leaf,
+            lambda c: _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, c),
+            lambda c: c, best)
+
+        descend = hit_any & ~is_leaf
+        axis = code >> 1
+        left_lower = (code & 1) == 1
+        dirpos = jnp.where(axis == 0, s0, jnp.where(axis == 1, s1, s2))
+        near_is_left = dirpos == left_lower
+        left_i = left_f.astype(jnp.int32)
+        right_i = right_f.astype(jnp.int32)
+        near = jnp.where(near_is_left, left_i, right_i)
+        far = jnp.where(near_is_left, right_i, left_i)
+
+        @pl.when(descend)
+        def _():
+            stack_ref[jnp.minimum(sp, STACK - 1)] = far
+
+        sp2 = sp + descend.astype(jnp.int32)
+        new_sp = jnp.where(descend, sp2, jnp.maximum(sp2 - 1, 0))
+        popped = stack_ref[new_sp]
+        cursor = jnp.where(descend, near,
+                           jnp.where(sp2 > 0, popped, jnp.int32(-1)))
+        return cursor, new_sp, it + 1, best
+
+    def cond(state):
+        cursor, _, it = state[0], state[1], state[2]
+        return (cursor >= 0) & (it < max_iters)
+
+    tile = mt_ref.shape[1:]
+    zero = jnp.zeros(tile, jnp.float32)
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            (mt_ref[0], jnp.full(tile, -1, jnp.int32),
+             zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
+             zero, zero))
+    _, _, _, best = jax.lax.while_loop(cond, step, init)
+
+    t_ref[0] = best[0]
+    tri_out_ref[0] = best[1]
+    n_ref[0, 0] = best[2]
+    n_ref[0, 1] = best[3]
+    n_ref[0, 2] = best[4]
+    m_ref[0] = best[5]
+    uv_ref[0, 0] = best[6]
+    uv_ref[0, 1] = best[7]
+
+
 def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
             t_ref, tri_out_ref, n_ref, m_ref, uv_ref, *, max_iters):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]        # [8,128] each
@@ -194,7 +351,7 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
     uv_ref[0, 1] = best[7]
 
 
-@partial(jax.jit, static_argnames=("interpret", "packet_size"))
+@partial(jax.jit, static_argnames=("interpret", "packet_size", "ordered"))
 def pallas_packet_traverse(
     bvh: Bvh,
     tri_v0: jnp.ndarray,
@@ -207,6 +364,7 @@ def pallas_packet_traverse(
     tri_uv: jnp.ndarray | None = None,
     interpret: bool = False,
     packet_size: int = PACKET,
+    ordered: bool = True,
 ):
     """Closest-hit for N rays (N a multiple of 1024)
     → (t, tri, hit, normal [N,3], mat [N] i32, uv [N,2]).
@@ -232,14 +390,31 @@ def pallas_packet_traverse(
                                              a.dtype)]) if nn_pad else a)
 
     # node rows: [R,128] f32, node i at lanes (i%8)*16: min.xyz, max.xyz,
-    # then hit/miss/tri_start/leaf_count as exact small-int floats
-    zf = jnp.zeros((nn, GROUP - 10), jnp.float32)
+    # then links/leaf info as exact small-int floats. Ordered layout stores
+    # (left, right, tri_start, leaf_count, code) where code = 2*split_axis +
+    # (left child center lower on that axis); threaded stores
+    # (hit_link, miss_link, tri_start, leaf_count).
     leaf_count = jnp.where(bvh.left < 0, bvh.tri_count, 0)
     asf = lambda a: a.astype(jnp.float32)[:, None]
-    node = jnp.concatenate(
-        [bvh.node_min, bvh.node_max,
-         asf(bvh.hit_link), asf(bvh.miss_link),
-         asf(bvh.tri_start), asf(leaf_count), zf], axis=1)
+    if ordered:
+        lc = jnp.clip(bvh.left, 0, nn - 1)
+        rc = jnp.clip(bvh.right, 0, nn - 1)
+        diff = ((bvh.node_min[rc] + bvh.node_max[rc])
+                - (bvh.node_min[lc] + bvh.node_max[lc]))      # [nn,3]
+        axis = jnp.argmax(jnp.abs(diff), axis=1)
+        left_lower = jnp.take_along_axis(diff, axis[:, None], 1)[:, 0] >= 0
+        code = (axis * 2 + left_lower).astype(jnp.int32)
+        zf = jnp.zeros((nn, GROUP - 11), jnp.float32)
+        node = jnp.concatenate(
+            [bvh.node_min, bvh.node_max,
+             asf(bvh.left), asf(bvh.right),
+             asf(bvh.tri_start), asf(leaf_count), asf(code), zf], axis=1)
+    else:
+        zf = jnp.zeros((nn, GROUP - 10), jnp.float32)
+        node = jnp.concatenate(
+            [bvh.node_min, bvh.node_max,
+             asf(bvh.hit_link), asf(bvh.miss_link),
+             asf(bvh.tri_start), asf(leaf_count), zf], axis=1)
     node_rows = pad_nodes(node, 0.0).reshape(-1, 128)
     # leaf rows: [Tp/8,128] f32, slot j at lanes j*16:
     # v0.xyz, e1.xyz, e2.xyz, material (exact small-int f32), uv0, uv1, uv2
@@ -269,10 +444,12 @@ def pallas_packet_traverse(
         shape, lambda i: (i,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
 
-    kernel = partial(_kernel, max_iters=nn + 4)
+    kernel = partial(_kernel_ordered if ordered else _kernel,
+                     max_iters=nn + 4)
     t, tri_id, n, m, uvo = pl.pallas_call(
         kernel,
         grid=(B,),
+        scratch_shapes=([pltpu.SMEM((STACK,), jnp.int32)] if ordered else []),
         in_specs=[
             resident(node_rows.shape),
             resident(tri_rows.shape),

@@ -28,10 +28,11 @@ from .packet_trace import packet_traverse
 from .texture import interpolate_uv, sphere_uv
 
 PACKET_SIZE = 1024  # rays per shared-traversal packet (8x128 VPU tiles)
-# The Pallas kernel amortises its per-step scalar work (record fetch + link
-# chase) over the packet's vector lanes; 4096 lanes measured 2.1x faster
-# than 1024 on the courtyard benchmark, with 8192+ flat (vector-bound).
-PALLAS_PACKET = 4096
+# The Pallas kernel amortises its per-step scalar work (record fetch + stack
+# bookkeeping) over the packet's vector lanes; 8192 lanes measured 2.4x
+# faster than 1024 on the courtyard benchmark, with 16384 flat (vector-bound
+# and padding-heavy at 1080p).
+PALLAS_PACKET = 8192
 
 _PALLAS_BACKEND = None
 
