@@ -22,15 +22,19 @@ index_map → one HBM→VMEM load):
       membership masks, no straddling.
   * rays are [B, 3, 8, 128]: component planes of (8,128) f32 VPU tiles.
 
-Each traversal step: one 16-lane dynamic-slice per table + dense (8,128)
-slab test; leaf steps run the 8 triangle tests inline (no collect/flush —
-there is no lockstep to amortise within one packet's program). The winner's
-normal/material/uv are NOT tracked in-kernel: the caller does one [N]
-gather at the end (one gather per ray beats one per step).
+Each traversal step: one 16-lane dynamic-slice from the node table + dense
+(sub,128) slab test; leaf steps run the 8 triangle tests inline (no
+collect/flush — there is no lockstep to amortise within one packet's
+program), tracking the winner's t/slot/normal/material/uv as vector carries
+so closest-hit needs zero per-lane gathers anywhere.
 
-Same DFS order and strict-< closest updates as the reference's stack
-traversal (/root/reference/shader/src/bvh.rs:40-85) → identical hit/winner
-records (t may differ by float evaluation order).
+Two kernels: `_kernel` follows the reference's left-first DFS exactly
+(threaded hit/miss links — same visit order as the stack traversal in
+/root/reference/shader/src/bvh.rs:40-85, identical winner records);
+`_kernel_ordered` (default) visits the near child first with a per-packet
+stack, which tightens best_t early and culls far subtrees — same closest
+hit, winners may differ only on exact-t ties (degenerate shared-edge
+geometry).
 
 ops/trace.py falls back to the XLA path when the scene exceeds the VMEM
 budget, the BVH is not leaf-aligned, or the batch is not packet-shaped.
@@ -72,9 +76,12 @@ def scene_vmem_bytes(num_nodes: int, num_tris: int) -> int:
 STACK = 96  # per-packet DFS stack bound (reference uses 64, bvh.rs:35-38)
 
 
-def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry):
+def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
+               any_hit=False):
     """One leaf row (8 dense Möller-Trumbore tests) against the packet,
-    tracking winner t/slot/normal/material/uv — shared by both kernels."""
+    tracking winner t/slot/normal/material (+uv when the scene is textured)
+    — shared by both kernels. any_hit mode records the first blocker and
+    skips attribute tracking."""
     best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy = carry
     leaf_row = tri_s // ROW
     tr = tri_ref[pl.ds(leaf_row, 1), :]                # [1,128] f32
@@ -101,6 +108,9 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry):
               & (u >= 0.0) & (u <= 1.0)
               & (v >= 0.0) & (u + v <= 1.0)
               & (t > _MIN_T) & (t < best_t))
+        if any_hit:
+            best_tri = jnp.where(ok, tri_s + j, best_tri)
+            continue
         # winner attributes are the shared triangle's own scalars —
         # geometric unit normal from e1 x e2 (scalar math), material id
         # (exact small-int float, lane 9), interpolated TEXCOORD (corner
@@ -110,23 +120,26 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry):
         cnz = e1x * e2y - e1y * e2x
         rl = jax.lax.rsqrt(
             jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
-        w0 = 1.0 - u - v
-        uvx = tr[0, g + 10] * w0 + tr[0, g + 12] * u + tr[0, g + 14] * v
-        uvy = tr[0, g + 11] * w0 + tr[0, g + 13] * u + tr[0, g + 15] * v
         best_t = jnp.where(ok, t, best_t)
         best_tri = jnp.where(ok, tri_s + j, best_tri)
         bnx = jnp.where(ok, cnx * rl, bnx)
         bny = jnp.where(ok, cny * rl, bny)
         bnz = jnp.where(ok, cnz * rl, bnz)
         bm = jnp.where(ok, tr[0, g + 9], bm)
-        buvx = jnp.where(ok, uvx, buvx)
-        buvy = jnp.where(ok, uvy, buvy)
+        if with_uv:
+            w0 = 1.0 - u - v
+            uvx = (tr[0, g + 10] * w0 + tr[0, g + 12] * u
+                   + tr[0, g + 14] * v)
+            uvy = (tr[0, g + 11] * w0 + tr[0, g + 13] * u
+                   + tr[0, g + 15] * v)
+            buvx = jnp.where(ok, uvx, buvx)
+            buvy = jnp.where(ok, uvy, buvy)
     return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy
 
 
 def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                     t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
-                    *, max_iters):
+                    *, max_iters, with_uv, any_hit=False):
     """Near-child-first DFS with a per-packet SMEM stack.
 
     Visiting the closer child first makes best_t tighten early, so the far
@@ -175,12 +188,15 @@ def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                                        jnp.maximum(t1y, t2y)),
                            jnp.maximum(t1z, t2z))
         ray_hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin <= best_t)
+        if any_hit:
+            ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
 
         is_leaf = leaf_c > 0
         best = jax.lax.cond(
             hit_any & is_leaf,
-            lambda c: _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, c),
+            lambda c: _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, c,
+                                 with_uv, any_hit),
             lambda c: c, best)
 
         descend = hit_any & ~is_leaf
@@ -206,7 +222,10 @@ def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
 
     def cond(state):
         cursor, _, it = state[0], state[1], state[2]
-        return (cursor >= 0) & (it < max_iters)
+        go = (cursor >= 0) & (it < max_iters)
+        if any_hit:
+            go = go & ~jnp.all(state[3][1] >= 0)
+        return go
 
     tile = mt_ref.shape[1:]
     zero = jnp.zeros(tile, jnp.float32)
@@ -227,7 +246,8 @@ def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
 
 
 def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
-            t_ref, tri_out_ref, n_ref, m_ref, uv_ref, *, max_iters):
+            t_ref, tri_out_ref, n_ref, m_ref, uv_ref, *, max_iters, with_uv,
+            any_hit=False):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]        # [8,128] each
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
@@ -269,67 +289,26 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                                        jnp.maximum(t1y, t2y)),
                            jnp.maximum(t1z, t2z))
         ray_hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin <= best_t)
+        if any_hit:
+            ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
 
-        def test_leaf(carry):
-            (best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy) = carry
-            leaf_row = tri_s // ROW
-            tr = tri_ref[pl.ds(leaf_row, 1), :]                # [1,128] f32
-            for j in range(ROW):
-                g = j * GROUP
-                v0x, v0y, v0z = tr[0, g + 0], tr[0, g + 1], tr[0, g + 2]
-                e1x, e1y, e1z = tr[0, g + 3], tr[0, g + 4], tr[0, g + 5]
-                e2x, e2y, e2z = tr[0, g + 6], tr[0, g + 7], tr[0, g + 8]
-                # h = d x e2 (one shared triangle vs the packet's 1024 rays;
-                # degenerate padding slots have zero edges → det 0 → no hit)
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                f = 1.0 / a
-                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = f * (dx * qx + dy * qy + dz * qz)
-                t = f * (e2x * qx + e2y * qy + e2z * qz)
-                ok = ((jnp.abs(a) >= _MIN_T)
-                      & (u >= 0.0) & (u <= 1.0)
-                      & (v >= 0.0) & (u + v <= 1.0)
-                      & (t > _MIN_T) & (t < best_t))
-                # winner attributes are the shared triangle's own scalars —
-                # geometric unit normal from e1 x e2 (scalar math), material
-                # id (exact small-int float, lane 9), interpolated TEXCOORD
-                # (corner uvs in lanes 10-15) — so closest-hit needs ZERO
-                # per-lane gathers anywhere, including hit expansion.
-                cnx = e1y * e2z - e1z * e2y
-                cny = e1z * e2x - e1x * e2z
-                cnz = e1x * e2y - e1y * e2x
-                rl = jax.lax.rsqrt(
-                    jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
-                w0 = 1.0 - u - v
-                uvx = tr[0, g + 10] * w0 + tr[0, g + 12] * u + tr[0, g + 14] * v
-                uvy = tr[0, g + 11] * w0 + tr[0, g + 13] * u + tr[0, g + 15] * v
-                best_t = jnp.where(ok, t, best_t)
-                best_tri = jnp.where(ok, tri_s + j, best_tri)
-                bnx = jnp.where(ok, cnx * rl, bnx)
-                bny = jnp.where(ok, cny * rl, bny)
-                bnz = jnp.where(ok, cnz * rl, bnz)
-                bm = jnp.where(ok, tr[0, g + 9], bm)
-                buvx = jnp.where(ok, uvx, buvx)
-                buvy = jnp.where(ok, uvy, buvy)
-            return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy
-
         is_leaf_hit = hit_any & (leaf_c > 0)
-        best = jax.lax.cond(is_leaf_hit, test_leaf, lambda c: c, best)
+        best = jax.lax.cond(
+            is_leaf_hit,
+            lambda c: _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, c,
+                                 with_uv, any_hit),
+            lambda c: c, best)
 
         cursor = jnp.where(hit_any, hit_l, miss_l)
         return cursor, it + 1, best
 
     def cond(state):
         cursor, it = state[0], state[1]
-        return (cursor >= 0) & (it < max_iters)
+        go = (cursor >= 0) & (it < max_iters)
+        if any_hit:
+            go = go & ~jnp.all(state[2][1] >= 0)
+        return go
 
     tile = mt_ref.shape[1:]                                     # (sub, 128)
     zero = jnp.zeros(tile, jnp.float32)
@@ -351,7 +330,8 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
     uv_ref[0, 1] = best[7]
 
 
-@partial(jax.jit, static_argnames=("interpret", "packet_size", "ordered"))
+@partial(jax.jit, static_argnames=("interpret", "packet_size", "ordered",
+                                   "any_hit"))
 def pallas_packet_traverse(
     bvh: Bvh,
     tri_v0: jnp.ndarray,
@@ -365,6 +345,7 @@ def pallas_packet_traverse(
     interpret: bool = False,
     packet_size: int = PACKET,
     ordered: bool = True,
+    any_hit: bool = False,
 ):
     """Closest-hit for N rays (N a multiple of 1024)
     → (t, tri, hit, normal [N,3], mat [N] i32, uv [N,2]).
@@ -445,7 +426,8 @@ def pallas_packet_traverse(
         memory_space=pltpu.VMEM)
 
     kernel = partial(_kernel_ordered if ordered else _kernel,
-                     max_iters=nn + 4)
+                     max_iters=nn + 4, with_uv=tri_uv is not None,
+                     any_hit=any_hit)
     t, tri_id, n, m, uvo = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -72,7 +72,7 @@ def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False,
     attributes densely in-kernel/in-flush; the threaded fallback expands
     them with (small-batch) gathers here."""
     Tp = scene.tri_v0.shape[0]
-    if (not any_hit and orig.shape[0] % PACKET_SIZE == 0
+    if (orig.shape[0] % PACKET_SIZE == 0
             and scene.bvh.leaf_align == 8 and _pallas_available()):
         from .pallas.traverse import (
             pallas_packet_traverse, scene_vmem_bytes, VMEM_TABLE_BUDGET)
@@ -84,7 +84,8 @@ def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False,
             return pallas_packet_traverse(
                 scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
                 orig, dirn, limit, tri_mat=scene.tri_mat,
-                tri_uv=scene.tri_uv if want_uv else None, packet_size=P)
+                tri_uv=scene.tri_uv if want_uv else None, packet_size=P,
+                any_hit=any_hit)
     if orig.shape[0] % PACKET_SIZE == 0:
         t, tri, hit, normal, mat, bary = packet_traverse(
             scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,

@@ -1,0 +1,85 @@
+"""Pallas traversal kernel parity (interpret mode on CPU).
+
+The kernels (ops/pallas/traverse.py) are validated against the XLA packet
+traversal, which is itself oracle'd against brute force — so agreement here
+chains back to the NumPy reference semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_raytracer_tpu.config import RaytracerConfig
+from gpu_raytracer_tpu.ops.camera_rays import generate_rays
+from gpu_raytracer_tpu.ops.packet_trace import packet_traverse, tiled_pixel_order
+from gpu_raytracer_tpu.ops.pallas.traverse import (
+    pallas_packet_traverse, scene_vmem_bytes)
+from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+
+MAX_T = np.float32(3.4028235e38 - 2.0)
+
+
+@pytest.fixture(scope="module")
+def courtyard():
+    return make_courtyard_scene(2000, seed=1)
+
+
+@pytest.fixture(scope="module")
+def rays(courtyard):
+    W = H = 32
+    px, py = tiled_pixel_order(W, H, 32)
+    o, d = generate_rays(courtyard.camera, W, H,
+                         jnp.asarray(px), jnp.asarray(py))
+    return o, d, jnp.full((o.shape[0],), MAX_T, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def xla_result(courtyard, rays):
+    o, d, mt = rays
+    s = courtyard
+    return packet_traverse(s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
+                           tri_mat=s.tri_mat, leaf_size=8, packet_size=1024)
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_parity_with_xla_packet(courtyard, rays, xla_result, ordered):
+    o, d, mt = rays
+    s = courtyard
+    t_x, tri_x, hit_x, n_x, m_x, uv_x = xla_result
+    t_p, tri_p, hit_p, n_p, m_p, uv_p = pallas_packet_traverse(
+        s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
+        tri_mat=s.tri_mat, tri_uv=s.tri_uv, interpret=True, ordered=ordered)
+    hx = np.asarray(hit_x)
+    np.testing.assert_array_equal(hx, np.asarray(hit_p))
+    assert hx.sum() > 100
+    # closest t is visit-order invariant; winner ids can differ only on
+    # exact-t ties (none in this random soup)
+    np.testing.assert_array_equal(np.asarray(tri_x), np.asarray(tri_p))
+    np.testing.assert_allclose(np.asarray(t_x)[hx], np.asarray(t_p)[hx],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_p))
+    np.testing.assert_allclose(np.asarray(n_x)[hx], np.asarray(n_p)[hx],
+                               atol=1e-5)
+
+
+def test_uv_interpolation_matches_xla(courtyard, rays):
+    """UV tracked in-kernel equals the XLA path's interpolate_uv."""
+    from gpu_raytracer_tpu.ops.texture import interpolate_uv
+
+    o, d, mt = rays
+    s = courtyard
+    t_x, tri_x, hit_x, n_x, m_x, bary = packet_traverse(
+        s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
+        tri_mat=s.tri_mat, leaf_size=8, packet_size=1024)
+    ti = jnp.clip(tri_x, 0, s.tri_v0.shape[0] - 1)
+    uv_ref = np.asarray(interpolate_uv(s.tri_uv, ti, bary[:, 0], bary[:, 1]))
+    _, _, hit_p, _, _, uv_p = pallas_packet_traverse(
+        s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
+        tri_mat=s.tri_mat, tri_uv=s.tri_uv, interpret=True, ordered=True)
+    h = np.asarray(hit_x)
+    np.testing.assert_allclose(uv_ref[h], np.asarray(uv_p)[h], atol=1e-5)
+
+
+def test_vmem_budget_formula():
+    # 8 records per 128-lane f32 row, one node table + leaf rows
+    assert scene_vmem_bytes(8, 8) == 2 * 128 * 4
+    assert scene_vmem_bytes(9, 16) == (2 + 2) * 128 * 4
