@@ -52,9 +52,25 @@ class PathTracer:
         self.samples = 0
         self.perf = PerformanceState(config.performance_stats_interval,
                                      verbose=False)
-        py, px = np.mgrid[0:height, 0:width]
-        self._px = jnp.asarray(px.reshape(-1).astype(np.int32))
-        self._py = jnp.asarray(py.reshape(-1).astype(np.int32))
+        # Tile-major pixel order: rays in a traversal packet share a 64x64
+        # tile, keeping primary-bounce packets coherent (same trick as
+        # engine/renderer.py) — unlike the renderer, WITHOUT clamped padding
+        # (each accumulator row must be a distinct pixel's running sum).
+        # `render` reorders on the host when assembling the image.
+        T = 64
+        pxs, pys = [], []
+        for ty in range(0, height, T):
+            for tx in range(0, width, T):
+                gy, gx = np.mgrid[ty:min(ty + T, height),
+                                  tx:min(tx + T, width)]
+                pxs.append(gx.reshape(-1))
+                pys.append(gy.reshape(-1))
+        px = np.concatenate(pxs).astype(np.int32)
+        py = np.concatenate(pys).astype(np.int32)
+        self._px_host = px
+        self._py_host = py
+        self._px = jnp.asarray(px)
+        self._py = jnp.asarray(py)
 
     def set_camera(self, camera) -> None:
         self.scene = self.scene.with_camera(camera)
@@ -67,7 +83,20 @@ class PathTracer:
 
     def _chunks(self):
         n = self.width * self.height
-        c = min(self.config.ray_batch_size, n)
+        # Whole-frame pools on the Pallas traversal path (fewer launches =
+        # fewer VMEM table re-stages; pool state lives in HBM either way);
+        # bounded chunks on the XLA fallback, where smaller dispatches cut
+        # the vmap-lockstep waste.
+        from ..ops.trace import _pallas_available
+        from ..ops.pallas.traverse import scene_vmem_bytes, VMEM_TABLE_BUDGET
+
+        if (_pallas_available() and self.scene.bvh.leaf_align == 8
+                and scene_vmem_bytes(self.scene.bvh.num_nodes,
+                                     self.scene.tri_v0.shape[0])
+                <= VMEM_TABLE_BUDGET):
+            c = n
+        else:
+            c = min(self.config.ray_batch_size, n)
         for s in range(0, n, c):
             e = min(s + c, n)
             if e - s < c:  # pad tail chunk to the compiled shape
@@ -127,8 +156,10 @@ class PathTracer:
 
     def image(self) -> np.ndarray:
         n = max(self.samples, 1)
-        img = self.accum / n
-        return np.asarray(img).reshape(self.height, self.width, 3)
+        flat = np.asarray(self.accum / n)            # rows in tile-ray order
+        fb = np.zeros((self.height, self.width, 3), np.float32)
+        fb[self._py_host, self._px_host] = flat
+        return fb
 
     # ---- checkpoint / resume (an addition: the reference has none —
     # SURVEY.md §5 "Checkpoint/resume: none"; a recompute restarts from
