@@ -161,18 +161,35 @@ class Renderer:
                 for s in range(0, px.shape[0], chunk)]
         return self._chunks
 
+    def _use_fused(self) -> bool:
+        """Fused raygen→trace→shade Pallas kernel (ops/pallas/render.py):
+        ~3.5x over the chunked XLA pipeline (no Hit materialisation, no
+        HBM round-trips between stages)."""
+        from ..ops.trace import _pallas_available
+        from ..ops.pallas.render import fused_render_eligible
+
+        return (_pallas_available() and self.use_bvh
+                and fused_render_eligible(self.scene))
+
     def render_device(self) -> jnp.ndarray:
         """Render the full frame, leaving it in HBM → device f32 [Npad,3] in
         tile-major ray order (see `_pixel_order`).
 
-        Pixels are fed in 32x32-tile order so ray packets stay coherent for
-        the shared-cursor traversal (ops/packet_trace.py). The frame stays in
-        ray order on device — the pixel-order shuffle happens host-side after
-        readback, because a 2M-row device scatter is the one thing a TPU does
-        catastrophically slowly. Display readback is a separate step, as in
-        the reference where compute writes storage textures and present
-        samples them (src/renderer.rs:778-818)."""
+        Pixels are fed in 64x64-tile order so ray packets stay coherent for
+        the packet traversal. The frame stays in ray order on device — the
+        pixel-order shuffle happens host-side after readback, because a
+        2M-row device scatter is the one thing a TPU does catastrophically
+        slowly. Display readback is a separate step, as in the reference
+        where compute writes storage textures and present samples them
+        (src/renderer.rs:778-818)."""
         W, H = self.width, self.height
+        if self._use_fused():
+            from ..ops.pallas.render import pallas_render_primary
+
+            out = [pallas_render_primary(
+                self.scene, pxs, pys, W, H, shadows=self.shadows,
+                sky=self.sky) for pxs, pys in self._device_chunks()]
+            return jnp.concatenate(out) if len(out) > 1 else out[0]
         out = []
         for pxs, pys in self._device_chunks():
             rgb = render_chunk(

@@ -137,10 +137,10 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
     return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy
 
 
-def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
-                    t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
-                    *, max_iters, with_uv, any_hit=False):
-    """Near-child-first DFS with a per-packet SMEM stack.
+def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
+                      mt0, max_iters, with_uv, any_hit=False):
+    """Near-child-first DFS with a per-packet SMEM stack → best tuple
+    (t, tri_slot, nx, ny, nz, mat_f32, uvx, uvy), all packet-tile vectors.
 
     Visiting the closer child first makes best_t tighten early, so the far
     subtree is often culled by the slab test's `tmin <= best_t` — the classic
@@ -150,8 +150,6 @@ def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
     (exact for coherent tiles; a heuristic, never a correctness issue, for
     incoherent packets). Winner selection keeps strict-< closest updates, so
     results differ from the left-first kernels only on exact-t ties."""
-    ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
-    dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     s0 = jnp.sum(dx) >= 0.0
     s1 = jnp.sum(dy) >= 0.0
@@ -227,14 +225,24 @@ def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
             go = go & ~jnp.all(state[3][1] >= 0)
         return go
 
-    tile = mt_ref.shape[1:]
+    tile = mt0.shape
     zero = jnp.zeros(tile, jnp.float32)
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            (mt_ref[0], jnp.full(tile, -1, jnp.int32),
+            (mt0, jnp.full(tile, -1, jnp.int32),
              zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
              zero, zero))
     _, _, _, best = jax.lax.while_loop(cond, step, init)
+    return best
 
+
+def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
+                    t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
+                    *, max_iters, with_uv, any_hit=False):
+    ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
+    dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+    best = _ordered_traverse(node_ref, tri_ref, stack_ref,
+                             ox, oy, oz, dx, dy, dz, mt_ref[0],
+                             max_iters, with_uv, any_hit)
     t_ref[0] = best[0]
     tri_out_ref[0] = best[1]
     n_ref[0, 0] = best[2]
