@@ -60,28 +60,33 @@ def main():
     rpc_lat = (time.perf_counter() - t0) / 5
     log(f"RPC fetch latency: {rpc_lat*1e3:.1f}ms")
 
-    def frame():
-        """Device-complete frame, proven by a scalar fetch."""
-        fb = renderer.render_device()
-        return float(fb[-1, 0])
-
     t0 = time.time()
-    frame()
+    fb = renderer.render_device()
+    float(fb[-1, 0])
     log(f"compile+first frame: {time.time()-t0:.1f}s")
 
-    # The shared TPU pool shows 2-3x frame-to-frame contention variance;
-    # best-of-N isolates our own cost, median reports the observed average.
-    times = []
-    for _ in range(8):
+    # Frame timing: dispatch a BURST of K frames and fetch once — the device
+    # queue serialises them, so (wall - one fetch) / K is per-frame time with
+    # the tunnel's ~30ms RPC fetch amortised instead of (noisily) subtracted
+    # per frame. Best-of-N bursts isolates our cost from pool contention.
+    K = 8
+
+    def burst():
         t0 = time.perf_counter()
-        frame()
-        times.append(max(time.perf_counter() - t0 - rpc_lat, 1e-6))
-    best = min(times)
+        for _ in range(K):
+            fb = renderer.render_device()
+        float(fb[-1, 0])
+        return (time.perf_counter() - t0 - rpc_lat) / K
+
+    burst()
+    times = [burst() for _ in range(4)]
+    best = max(min(times), 1e-5)
     med = sorted(times)[len(times) // 2]
     rays = n * 3  # reference-equivalent: 3 channel passes per pixel
     mrays = rays / best / 1e6
-    log(f"frame times: best={best*1e3:.1f}ms median={med*1e3:.1f}ms "
-        f"-> {mrays:.1f} Mrays/s (ref-equiv) best, {n/best/1e6:.1f} Mpaths/s raw")
+    log(f"frame times (burst of {K}): best={best*1e3:.1f}ms "
+        f"median={med*1e3:.1f}ms -> {mrays:.1f} Mrays/s (ref-equiv) best, "
+        f"{n/best/1e6:.1f} Mpaths/s raw")
 
     t0 = time.perf_counter()
     renderer.render_u8()

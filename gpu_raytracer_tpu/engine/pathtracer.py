@@ -88,12 +88,11 @@ class PathTracer:
         # bounded chunks on the XLA fallback, where smaller dispatches cut
         # the vmap-lockstep waste.
         from ..ops.trace import _pallas_available
-        from ..ops.pallas.traverse import scene_vmem_bytes, VMEM_TABLE_BUDGET
+        from ..ops.pallas.traverse import pallas_scene_ok
 
-        if (_pallas_available() and self.scene.bvh.leaf_align == 8
-                and scene_vmem_bytes(self.scene.bvh.num_nodes,
-                                     self.scene.tri_v0.shape[0])
-                <= VMEM_TABLE_BUDGET):
+        if (_pallas_available()
+                and pallas_scene_ok(self.scene.bvh,
+                                    self.scene.tri_v0.shape[0])):
             c = n
         else:
             c = min(self.config.ray_batch_size, n)

@@ -125,12 +125,11 @@ class Renderer:
         where SMALLER dispatches cut the vmap-lockstep waste (all packets in
         a dispatch run to the longest packet's trip count)."""
         from ..ops.trace import PALLAS_PACKET, _pallas_available
-        from ..ops.pallas.traverse import scene_vmem_bytes, VMEM_TABLE_BUDGET
+        from ..ops.pallas.traverse import pallas_scene_ok
 
-        pallas = (_pallas_available() and self.scene.bvh.leaf_align == 8
-                  and scene_vmem_bytes(self.scene.bvh.num_nodes,
-                                       self.scene.tri_v0.shape[0])
-                  <= VMEM_TABLE_BUDGET)
+        pallas = (_pallas_available()
+                  and pallas_scene_ok(self.scene.bvh,
+                                      self.scene.tri_v0.shape[0]))
         if pallas:
             return max(-(-n // PALLAS_PACKET) * PALLAS_PACKET, PALLAS_PACKET)
         return min(self.config.ray_batch_size, max(n, 1024))

@@ -103,15 +103,24 @@ def prepare_scene(
     vertices = np.asarray(mesh.vertices)
     indices = np.asarray(mesh.indices)
     material_id = np.asarray(mesh.material_id)
+    textured = textures is not None and int(
+        np.prod(np.asarray(textures.data_u32).shape)) > 1
     if bvh_result is None:
-        bvh_result = build_bvh(vertices, indices, leaf_size=config.bvh_leaf_size)
-        # Align leaf ranges to 8-slot rows: enables the packed-row Pallas
-        # traversal kernel (ops/pallas/traverse.py) at <= (align-1)/leaf
-        # degenerate-slot overhead; hit results are unchanged.
-        bvh_result = align_leaves(bvh_result, 8)
+        # Align leaf ranges to whole 128-lane rows of the Pallas traversal
+        # kernels' packed triangle table (ops/pallas/traverse.py). Default is
+        # 8 x 16-lane slots; large UNTEXTURED scenes switch to 12 x 10-lane
+        # slots (1.5x more triangles per VMEM byte — Sponza-class scenes keep
+        # the fast path at ~12 extra tri-tests/leaf). Hit results are
+        # unchanged (padding slots are degenerate).
+        big = indices.shape[0] > 1_200_000
+        align = 12 if (big and not textured) else 8
+        bvh_result = build_bvh(vertices, indices,
+                               leaf_size=max(config.bvh_leaf_size, align))
+        bvh_result = align_leaves(bvh_result, align)
     tri_v0, tri_e1, tri_e2, tri_mat, tri_uv = _expand_triangles(
         vertices, indices, material_id, np.asarray(mesh.uv),
-        bvh_result.tri_order, pad_to=max(config.bvh_leaf_size, 8),
+        bvh_result.tri_order,
+        pad_to=max(config.bvh_leaf_size, bvh_result.leaf_align, 8),
     )
     return Scene(
         camera=camera,

@@ -34,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.scene import Scene
 from ..f16 import unpack_f16_high, unpack_f16_low
 from .traverse import (
-    GROUP, LANES, ROW, STACK, VMEM_TABLE_BUDGET,
-    _ordered_traverse, scene_vmem_bytes,
+    GROUP, LANES, ROW, STACK, TRI_FORMATS, VMEM_HEADROOM,
+    _ordered_traverse, pallas_scene_ok, scene_vmem_bytes,
 )
 
 _MIN_T = 1e-5
@@ -52,13 +52,11 @@ _TRANS_BASE = (0.2, 0.2, 0.3)
 
 def fused_render_eligible(scene: Scene) -> bool:
     """Static preconditions for the fused kernel (checked at trace time)."""
-    return (scene.bvh.leaf_align == ROW
-            and scene.textures.data_u32.shape[0] <= 1
-            and scene.materials.count <= MAX_MATERIALS
+    return (scene.textures.data_u32.shape[0] <= 1
+            and 1 <= scene.materials.count <= MAX_MATERIALS
             and scene.lights.count <= MAX_LIGHTS
             and scene.spheres.count <= MAX_SPHERES
-            and scene_vmem_bytes(scene.bvh.num_nodes, scene.tri_v0.shape[0])
-            <= VMEM_TABLE_BUDGET)
+            and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0]))
 
 
 def _max0(x):
@@ -68,7 +66,7 @@ def _max0(x):
 def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             px_ref, py_ref, rgb_ref, stack_ref, *,
             max_iters, width, height, n_mats, n_lights, n_spheres,
-            shadows, sky):
+            shadows, sky, slots):
     # ---- camera rays (ray.rs:22-53; pixel centres, unnormalised basis) ----
     cam = cam_ref[0:1, :]
     posx, posy, posz = cam[0, 0], cam[0, 1], cam[0, 2]
@@ -127,7 +125,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     # (strict < keeps the sphere on exact ties, lib.rs:183-248) ----
     best = _ordered_traverse(node_ref, tri_ref, stack_ref,
                              ox, oy, oz, dx, dy, dz, sph_t,
-                             max_iters, with_uv=False)
+                             max_iters, with_uv=False, slots=slots)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -219,7 +217,8 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             sb = _ordered_traverse(
                 node_ref, tri_ref, stack_ref,
                 px_hit + nx * 1e-3, py_hit + ny * 1e-3, pz_hit + nz * 1e-3,
-                sdx, sdy, sdz, smax, max_iters, with_uv=False, any_hit=True)
+                sdx, sdy, sdz, smax, max_iters, with_uv=False, any_hit=True,
+                slots=slots)
             blocked = (sb[1] >= 0).astype(jnp.float32)
             # sphere occluders (tiny count, test directly)
             for k in range(n_spheres):
@@ -315,10 +314,18 @@ def pallas_render_primary(
         node = jnp.concatenate(
             [node, jnp.zeros((nn_pad, GROUP), jnp.float32)])
     node_rows = node.reshape(-1, 128)
-    tri_rows = jnp.concatenate(
-        [scene.tri_v0, scene.tri_e1, scene.tri_e2,
-         scene.tri_mat.astype(jnp.float32)[:, None],
-         jnp.zeros((Tp, 6), jnp.float32)], axis=1).reshape(-1, 128)
+    slots = scene.bvh.leaf_align
+    tg = TRI_FORMATS[slots]
+    parts = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
+             scene.tri_mat.astype(jnp.float32)[:, None]]
+    if tg == 16:
+        parts.append(jnp.zeros((Tp, 6), jnp.float32))
+        tri_rows = jnp.concatenate(parts, axis=1).reshape(-1, 128)
+    else:
+        flat = jnp.concatenate(parts, axis=1).reshape(-1, slots * tg)
+        tri_rows = jnp.concatenate(
+            [flat, jnp.zeros((flat.shape[0], 128 - slots * tg),
+                             jnp.float32)], axis=1)
 
     # camera row: pos, forward, up, fov_scale
     cam = scene.camera
@@ -368,7 +375,7 @@ def pallas_render_primary(
     kernel = partial(
         _kernel, max_iters=nn + 4, width=float(width), height=float(height),
         n_mats=m.count, n_lights=L.count, n_spheres=S.count,
-        shadows=shadows, sky=tuple(float(x) for x in sky))
+        shadows=shadows, sky=tuple(float(x) for x in sky), slots=slots)
     rgb = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -385,6 +392,8 @@ def pallas_render_primary(
         ],
         out_specs=per_packet((1, 3, sub, LANES)),
         out_shape=jax.ShapeDtypeStruct((B, 3, sub, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
         interpret=interpret,
     )(node_rows, tri_rows, cam_row, mat_rows, light_rows, sph_rows, pxb, pyb)
 

@@ -57,36 +57,55 @@ _MIN_T = float(MIN_T)  # Python scalar: jnp consts can't be captured in kernels
 SUB = 8          # sublanes per packet tile
 LANES = 128      # lanes per packet tile
 PACKET = SUB * LANES
-GROUP = 16       # lanes per node/triangle record
-ROW = 128 // GROUP  # records per row
+GROUP = 16       # lanes per node record (8 nodes per 128-lane row)
+ROW = 128 // GROUP  # node records per row
+# Triangle slot formats: ONE LEAF = ONE 128-lane ROW either way.
+#   textured   — 8 slots x 16 lanes (v0,e1,e2, mat, uv0,uv1,uv2)
+#   untextured — 12 slots x 10 lanes (v0,e1,e2, mat): 1.5x more triangles
+#                per VMEM byte (the Sponza-class headroom)
+TRI_FORMATS = {8: 16, 12: 10}  # leaf_align/slots -> lanes per slot
 
-# VMEM budget for the resident tables, leaving room for ray blocks, carries
-# and pipeline headroom out of the 16 MB scoped limit.
-VMEM_TABLE_BUDGET = 14 * 1024 * 1024
+# VMEM budget for the resident tables. v5e has 128 MB of VMEM; the Mosaic
+# default scoped limit is only 16 MB, so kernels pass an explicit
+# vmem_limit_bytes sized to the tables + pipeline headroom.
+VMEM_TABLE_BUDGET = 100 * 1024 * 1024
+VMEM_HEADROOM = 16 * 1024 * 1024  # ray blocks, carries, double-buffering
 
 
-def scene_vmem_bytes(num_nodes: int, num_tris: int) -> int:
-    """Resident bytes: one node table + leaf rows, each 64 B/record charged
-    at full 128-lane rows."""
+def scene_vmem_bytes(num_nodes: int, num_tris: int, slots: int = 8) -> int:
+    """Resident bytes: node table (8 nodes/row) + leaf rows (`slots`
+    triangle slots/row), charged at full 128-lane f32 rows."""
     node_rows = -(-num_nodes // ROW)
-    tri_rows = -(-num_tris // ROW)
+    tri_rows = -(-num_tris // slots)
     return (node_rows + tri_rows) * 128 * 4
+
+
+def pallas_scene_ok(bvh, num_tris: int, want_uv: bool = False) -> bool:
+    """Static check: BVH leaf-aligned to a known slot format (uv needs the
+    16-lane 8-slot format) and the packed tables fit the VMEM budget."""
+    if bvh.leaf_align not in TRI_FORMATS:
+        return False
+    if want_uv and bvh.leaf_align != 8:
+        return False
+    return (scene_vmem_bytes(bvh.num_nodes, num_tris, bvh.leaf_align)
+            <= VMEM_TABLE_BUDGET)
 
 
 STACK = 96  # per-packet DFS stack bound (reference uses 64, bvh.rs:35-38)
 
 
 def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
-               any_hit=False):
+               any_hit=False, slots=8):
     """One leaf row (8 dense Möller-Trumbore tests) against the packet,
     tracking winner t/slot/normal/material (+uv when the scene is textured)
     — shared by both kernels. any_hit mode records the first blocker and
     skips attribute tracking."""
     best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy = carry
-    leaf_row = tri_s // ROW
+    tg = TRI_FORMATS[slots]
+    leaf_row = tri_s // slots
     tr = tri_ref[pl.ds(leaf_row, 1), :]                # [1,128] f32
-    for j in range(ROW):
-        g = j * GROUP
+    for j in range(slots):
+        g = j * tg
         v0x, v0y, v0z = tr[0, g + 0], tr[0, g + 1], tr[0, g + 2]
         e1x, e1y, e1z = tr[0, g + 3], tr[0, g + 4], tr[0, g + 5]
         e2x, e2y, e2z = tr[0, g + 6], tr[0, g + 7], tr[0, g + 8]
@@ -138,7 +157,7 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
 
 
 def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
-                      mt0, max_iters, with_uv, any_hit=False):
+                      mt0, max_iters, with_uv, any_hit=False, slots=8):
     """Near-child-first DFS with a per-packet SMEM stack → best tuple
     (t, tri_slot, nx, ny, nz, mat_f32, uvx, uvy), all packet-tile vectors.
 
@@ -194,7 +213,7 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
         best = jax.lax.cond(
             hit_any & is_leaf,
             lambda c: _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, c,
-                                 with_uv, any_hit),
+                                 with_uv, any_hit, slots),
             lambda c: c, best)
 
         descend = hit_any & ~is_leaf
@@ -237,12 +256,12 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
 
 def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                     t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
-                    *, max_iters, with_uv, any_hit=False):
+                    *, max_iters, with_uv, any_hit=False, slots=8):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     best = _ordered_traverse(node_ref, tri_ref, stack_ref,
                              ox, oy, oz, dx, dy, dz, mt_ref[0],
-                             max_iters, with_uv, any_hit)
+                             max_iters, with_uv, any_hit, slots)
     t_ref[0] = best[0]
     tri_out_ref[0] = best[1]
     n_ref[0, 0] = best[2]
@@ -255,7 +274,7 @@ def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
 
 def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
             t_ref, tri_out_ref, n_ref, m_ref, uv_ref, *, max_iters, with_uv,
-            any_hit=False):
+            any_hit=False, slots=8):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]        # [8,128] each
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
@@ -305,7 +324,7 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
         best = jax.lax.cond(
             is_leaf_hit,
             lambda c: _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, c,
-                                 with_uv, any_hit),
+                                 with_uv, any_hit, slots),
             lambda c: c, best)
 
         cursor = jnp.where(hit_any, hit_l, miss_l)
@@ -368,7 +387,11 @@ def pallas_packet_traverse(
     sub = packet_size // LANES
     assert packet_size % LANES == 0 and sub >= 8, "packet must be k*128, k>=8"
     assert N % packet_size == 0, "ray count must divide into packets"
-    assert bvh.leaf_align == ROW, "pallas traversal needs an 8-aligned BVH"
+    slots = bvh.leaf_align
+    assert slots in TRI_FORMATS, "pallas traversal needs a leaf-aligned BVH"
+    tg = TRI_FORMATS[slots]
+    assert not (tri_uv is not None and tg < 16), \
+        "uv tracking needs the 16-lane (8-slot) leaf format"
     B = N // packet_size
     Tp = tri_v0.shape[0]
     nn = bvh.left.shape[0]
@@ -405,15 +428,20 @@ def pallas_packet_traverse(
              asf(bvh.hit_link), asf(bvh.miss_link),
              asf(bvh.tri_start), asf(leaf_count), zf], axis=1)
     node_rows = pad_nodes(node, 0.0).reshape(-1, 128)
-    # leaf rows: [Tp/8,128] f32, slot j at lanes j*16:
-    # v0.xyz, e1.xyz, e2.xyz, material (exact small-int f32), uv0, uv1, uv2
+    # leaf rows: [Tp/slots,128] f32, slot j at lanes j*tg:
+    # v0.xyz, e1.xyz, e2.xyz, material (exact small-int f32)[, uv0,uv1,uv2]
     if tri_mat is None:
         tri_mat = jnp.zeros((Tp,), jnp.int32)
-    if tri_uv is None:
-        tri_uv = jnp.zeros((Tp, 3, 2), jnp.float32)
-    tri_rows = jnp.concatenate(
-        [tri_v0, tri_e1, tri_e2, tri_mat.astype(jnp.float32)[:, None],
-         tri_uv.reshape(Tp, 6)], axis=1).reshape(-1, 128)
+    parts = [tri_v0, tri_e1, tri_e2, tri_mat.astype(jnp.float32)[:, None]]
+    if tg == 16:
+        parts.append(tri_uv.reshape(Tp, 6) if tri_uv is not None
+                     else jnp.zeros((Tp, 6), jnp.float32))
+        tri_rows = jnp.concatenate(parts, axis=1).reshape(-1, 128)
+    else:
+        flat = jnp.concatenate(parts, axis=1).reshape(-1, slots * tg)
+        tri_rows = jnp.concatenate(
+            [flat, jnp.zeros((flat.shape[0], 128 - slots * tg),
+                             jnp.float32)], axis=1)
 
     o = orig.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
     d = dirn.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
@@ -435,7 +463,7 @@ def pallas_packet_traverse(
 
     kernel = partial(_kernel_ordered if ordered else _kernel,
                      max_iters=nn + 4, with_uv=tri_uv is not None,
-                     any_hit=any_hit)
+                     any_hit=any_hit, slots=slots)
     t, tri_id, n, m, uvo = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -455,6 +483,8 @@ def pallas_packet_traverse(
             per_packet((1, 2, sub, LANES)),
         ),
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
         interpret=interpret,
     )(node_rows, tri_rows, o, d, mt)
 

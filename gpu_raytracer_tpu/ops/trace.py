@@ -72,13 +72,10 @@ def _traverse(scene, orig, dirn, limit, leaf_size, any_hit=False,
     attributes densely in-kernel/in-flush; the threaded fallback expands
     them with (small-batch) gathers here."""
     Tp = scene.tri_v0.shape[0]
-    if (orig.shape[0] % PACKET_SIZE == 0
-            and scene.bvh.leaf_align == 8 and _pallas_available()):
-        from .pallas.traverse import (
-            pallas_packet_traverse, scene_vmem_bytes, VMEM_TABLE_BUDGET)
+    if orig.shape[0] % PACKET_SIZE == 0 and _pallas_available():
+        from .pallas.traverse import pallas_packet_traverse, pallas_scene_ok
 
-        nn = scene.bvh.left.shape[0]
-        if scene_vmem_bytes(nn, Tp) <= VMEM_TABLE_BUDGET:
+        if pallas_scene_ok(scene.bvh, Tp, want_uv=want_uv):
             P = (PALLAS_PACKET if orig.shape[0] % PALLAS_PACKET == 0
                  else PACKET_SIZE)
             return pallas_packet_traverse(

@@ -37,7 +37,8 @@ def xla_result(courtyard, rays):
     o, d, mt = rays
     s = courtyard
     return packet_traverse(s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
-                           tri_mat=s.tri_mat, leaf_size=8, packet_size=1024)
+                           tri_mat=s.tri_mat, leaf_size=s.bvh.max_leaf,
+                           packet_size=1024)
 
 
 @pytest.mark.parametrize("ordered", [False, True])
@@ -47,7 +48,7 @@ def test_parity_with_xla_packet(courtyard, rays, xla_result, ordered):
     t_x, tri_x, hit_x, n_x, m_x, uv_x = xla_result
     t_p, tri_p, hit_p, n_p, m_p, uv_p = pallas_packet_traverse(
         s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
-        tri_mat=s.tri_mat, tri_uv=s.tri_uv, interpret=True, ordered=ordered)
+        tri_mat=s.tri_mat, interpret=True, ordered=ordered)
     hx = np.asarray(hit_x)
     np.testing.assert_array_equal(hx, np.asarray(hit_p))
     assert hx.sum() > 100
@@ -62,11 +63,24 @@ def test_parity_with_xla_packet(courtyard, rays, xla_result, ordered):
 
 
 def test_uv_interpolation_matches_xla(courtyard, rays):
-    """UV tracked in-kernel equals the XLA path's interpolate_uv."""
-    from gpu_raytracer_tpu.ops.texture import interpolate_uv
+    """UV tracked in-kernel equals the XLA path's interpolate_uv.
+
+    uv tracking requires the 8-slot (16-lane) leaf format, which scene prep
+    picks for TEXTURED scenes — rebuild the courtyard with an 8-aligned BVH
+    to exercise it."""
+    import numpy as onp
+    from gpu_raytracer_tpu.models.bvh import align_leaves, build_bvh
+    from gpu_raytracer_tpu.models.scene import prepare_scene
 
     o, d, mt = rays
-    s = courtyard
+    c = courtyard
+    res = align_leaves(build_bvh(onp.asarray(c.mesh.vertices),
+                                 onp.asarray(c.mesh.indices), leaf_size=8),
+                       8)
+    s = prepare_scene(c.camera, c.spheres, c.mesh, c.materials, c.lights,
+                      bvh_result=res)
+    assert s.bvh.leaf_align == 8
+    from gpu_raytracer_tpu.ops.texture import interpolate_uv
     t_x, tri_x, hit_x, n_x, m_x, bary = packet_traverse(
         s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
         tri_mat=s.tri_mat, leaf_size=8, packet_size=1024)
