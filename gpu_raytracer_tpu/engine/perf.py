@@ -114,3 +114,29 @@ def block_on(x):
     import jax
 
     return jax.block_until_ready(x)
+
+
+class DeviceProfiler:
+    """jax.profiler wrapper: captures an XLA/TPU trace viewable in
+    TensorBoard or Perfetto — the device-timeline upgrade over the
+    reference's host-side wall-clock instrumentation (SURVEY.md §5
+    "No GPU timestamps").
+
+        with DeviceProfiler("/tmp/rt_trace"):
+            renderer.render_device()
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

@@ -72,29 +72,6 @@ def render_chunk(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
     return shade(scene, hit, shadow_mask=mask, sky_color=sky)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "shadows", "use_bvh",
-                                   "leaf_size", "sky"))
-def render_frame_fused(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
-                       width: int, height: int, shadows: bool = False,
-                       use_bvh: bool = True, leaf_size: int = 4,
-                       sky: tuple = (0.0, 0.0, 0.0)) -> jnp.ndarray:
-    """Whole frame in ONE executable: px/py [C, chunk] → RGB [C, chunk, 3].
-
-    `lax.map` sequences the chunk pipeline inside the program, so a frame is
-    a single dispatch instead of C round-trips — the equivalent of the
-    reference batching all tile dispatches into one command buffer submit
-    (src/compute.rs:137-166)."""
-
-    def one(pxy):
-        pxs, pys = pxy
-        orig, dirn = generate_rays(scene.camera, width, height, pxs, pys)
-        hit = trace(scene, orig, dirn, leaf_size=leaf_size, use_bvh=use_bvh)
-        mask = _shadow_mask(scene, hit, leaf_size, use_bvh) if shadows else None
-        return shade(scene, hit, shadow_mask=mask, sky_color=sky)
-
-    return jax.lax.map(one, (px, py))
-
-
 class Renderer:
     """Whole-frame renderer with chunked execution.
 
