@@ -53,3 +53,27 @@ def branchless_u32_if(condition: bool, if_true: int, if_false: int) -> int:
     c = 1 if condition else 0
     mask = (c - 1) & 0xFFFFFFFF
     return (if_true ^ ((if_true ^ if_false) & mask)) & 0xFFFFFFFF
+
+
+F32_MAX = 3.4028235e38
+
+
+def branchless_float_if(condition, if_true, if_false):
+    """NaN-safe branchless float select → (value, is_valid), matching the
+    reference macro's semantics (shared/src/lib.rs:1294-1316, tests
+    lib.rs:1333-1365): NaN arms are clamped to f32::MAX (Rust `min` returns
+    the non-NaN operand), a NaN arm yields the OTHER arm regardless of the
+    condition, both-NaN yields (f32::MAX, False). Works on scalars and
+    jnp/np arrays alike."""
+    import jax.numpy as jnp
+
+    mx = jnp.float32(F32_MAX)
+    lim = jnp.float32(F32_MAX - 1.0)
+    t = jnp.asarray(if_true, jnp.float32)
+    f = jnp.asarray(if_false, jnp.float32)
+    at = jnp.where(jnp.isnan(t), mx, jnp.minimum(t, mx))
+    af = jnp.where(jnp.isnan(f), mx, jnp.minimum(f, mx))
+    true_contrib = jnp.where(at < lim, at, af)
+    false_contrib = jnp.where(af < lim, af, at)
+    res = jnp.where(condition, true_contrib, false_contrib)
+    return res, res < lim
