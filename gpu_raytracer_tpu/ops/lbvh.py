@@ -202,7 +202,8 @@ def lbvh_from_mesh_device(vertices: jnp.ndarray, indices: jnp.ndarray,
      order) = build_lbvh_arrays(tri_min, tri_max)
     bvh = Bvh(node_min=nmin, node_max=nmax, left=left, right=right,
               tri_start=tri_start, tri_count=tri_count,
-              hit_link=hit, miss_link=miss)
+              hit_link=hit, miss_link=miss,
+              leaf_align=1, max_leaf=1)  # Karras leaves hold one triangle
     v0 = a[order]
     e1 = b[order] - v0
     e2 = c[order] - v0

@@ -15,12 +15,14 @@ index_map → one HBM→VMEM load):
     - `node rows`: 8 binary nodes per 128-lane f32 row, 16 lanes each
       (min.xyz, max.xyz, then hit/miss/tri_start/leaf_count links stored as
       exact small-int floats) — node i lives at row i>>3, lane group i&7;
-    - `leaf rows`: ONE LEAF = ONE ROW — 8 triangle slots x 16 lanes
-      (v0.xyz, e1.xyz, e2.xyz). models/bvh.py::align_leaves pads every
-      leaf's range to an 8-slot boundary with zero-edge degenerates, so a
-      leaf test is one row read + 8 dense Möller-Trumbore tests, no
-      membership masks, no straddling.
-  * rays are [B, 3, 8, 128]: component planes of (8,128) f32 VPU tiles.
+    - `leaf rows`: ONE LEAF = ONE ROW — 8 slots x 16 lanes (v0, e1, e2,
+      mat, 3 corner uvs) for textured scenes, or 12 slots x 10 lanes
+      (no uv) for large untextured ones (TRI_FORMATS).
+      models/bvh.py::align_leaves pads every leaf's range to a slot-count
+      boundary with zero-edge degenerates, so a leaf test is one row read
+      + slot-count dense Möller-Trumbore tests, no membership masks, no
+      straddling.
+  * rays are [B, 3, sub, 128]: component planes of (sub,128) f32 VPU tiles.
 
 Each traversal step: one 16-lane dynamic-slice from the node table + dense
 (sub,128) slab test; leaf steps run the 8 triangle tests inline (no
