@@ -26,10 +26,9 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                   max_depth, rr_start, shadows, leaf_size, use_bvh, jitter):
     rays = camera_wavefront_rays(scene.camera, width, height, px, py, channel,
                                  jitter=jitter)
-    radiance, _counts = path_trace_pool(scene, rays, key, max_depth=max_depth,
-                                        rr_start=rr_start, shadows=shadows,
-                                        leaf_size=leaf_size, use_bvh=use_bvh)
-    return radiance
+    return path_trace_pool(scene, rays, key, max_depth=max_depth,
+                           rr_start=rr_start, shadows=shadows,
+                           leaf_size=leaf_size, use_bvh=use_bvh)
 
 
 class PathTracer:
@@ -71,6 +70,7 @@ class PathTracer:
         self._py_host = py
         self._px = jnp.asarray(px)
         self._py = jnp.asarray(py)
+        self._last_counts = None
 
     def set_camera(self, camera) -> None:
         self.scene = self.scene.with_camera(camera)
@@ -107,6 +107,7 @@ class PathTracer:
 
     def step(self) -> None:
         """Trace one sample per pixel and accumulate."""
+        self._last_counts = None  # per-step device tallies (lazy fetch)
         skey = jax.random.fold_in(self.key, self.samples)
         md = self.config.max_bounce_depth
         rr = self.config.russian_roulette_start
@@ -118,21 +119,27 @@ class PathTracer:
             jit_key = jax.random.fold_in(skey, s)
             jitter = (jax.random.uniform(jit_key, (idx.shape[0], 2))
                       if self.antialias else None)
+            counts = jnp.zeros((md + 1,), jnp.int32)
             if self.spectral:
                 rgb = []
                 for c in range(3):
-                    rad = _sample_chunk(self.scene, px, py, self.width,
-                                        self.height,
-                                        jax.random.fold_in(jit_key, 100 + c),
-                                        c, md, rr, self.shadows, ls,
-                                        self.use_bvh, jitter)
+                    rad, cnt = _sample_chunk(self.scene, px, py, self.width,
+                                             self.height,
+                                             jax.random.fold_in(jit_key, 100 + c),
+                                             c, md, rr, self.shadows, ls,
+                                             self.use_bvh, jitter)
                     rgb.append(rad[:, c])
+                    counts = counts + cnt
                 contrib = jnp.stack(rgb, axis=-1)
             else:
-                contrib = _sample_chunk(self.scene, px, py, self.width,
-                                        self.height, jit_key, 1, md, rr,
-                                        self.shadows, ls, self.use_bvh, jitter)
+                contrib, cnt = _sample_chunk(self.scene, px, py, self.width,
+                                             self.height, jit_key, 1, md, rr,
+                                             self.shadows, ls, self.use_bvh,
+                                             jitter)
+                counts = counts + cnt
             updates.append((s, e, contrib))
+            self._last_counts = (counts if self._last_counts is None
+                                 else self._last_counts + counts)
         for s, e, contrib in updates:
             self.accum = jax.lax.dynamic_update_slice(
                 self.accum, self.accum[s:e] + contrib[: e - s], (s, 0))
@@ -152,6 +159,21 @@ class PathTracer:
         if progress:
             timing.print_summary()
         return self.image()
+
+    def counters(self):
+        """Per-bounce-depth ray accounting for the LAST step as a
+        WavefrontCounters — the reference's struct fed with REAL device
+        counts instead of its simulated 0.7^depth decay
+        (/root/reference/src/compute.rs:467-474). Fetches from the device;
+        call after step()."""
+        from ..ops.wavefront import WavefrontCounters
+
+        wc = WavefrontCounters(self.config.max_bounce_depth,
+                               frame_seed=self.samples)
+        if self._last_counts is not None:
+            for depth, cnt in enumerate(np.asarray(self._last_counts)):
+                wc.add_rays(depth, int(cnt))
+        return wc
 
     def image(self) -> np.ndarray:
         n = max(self.samples, 1)

@@ -127,3 +127,18 @@ def test_spectral_mode_runs(default_scene):
     img = pt.render(2)
     assert img.shape == (8, 8, 3)
     assert np.isfinite(img).all()
+
+
+def test_pathtracer_counters_real_device_counts(default_scene):
+    """WavefrontCounters populated with REAL per-depth actives (the
+    reference fills them with a simulated 0.7^depth decay,
+    src/compute.rs:467-474)."""
+    from gpu_raytracer_tpu.engine.pathtracer import PathTracer
+
+    pt = PathTracer(default_scene, 32, 32, spectral=False, shadows=False)
+    pt.step()
+    wc = pt.counters()
+    assert wc.has_any_active_rays()
+    assert wc.get_ray_count(0) == 32 * 32          # all camera rays active
+    assert wc.get_ray_count(1) <= wc.get_ray_count(0)
+    assert wc.next_active_bounce_depth(0) in (1, None)
