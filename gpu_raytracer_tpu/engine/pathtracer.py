@@ -23,9 +23,13 @@ from .perf import PerformanceState, ProgressiveTiming, Timer, block_on
 
 
 def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
-                  max_depth, rr_start, shadows, leaf_size, use_bvh, jitter):
+                  max_depth, rr_start, shadows, leaf_size, use_bvh, jitter,
+                  live=None):
     rays = camera_wavefront_rays(scene.camera, width, height, px, py, channel,
                                  jitter=jitter)
+    if live is not None:  # tail-chunk padding lanes: excluded from counts
+        from ..utils.pytree import replace
+        rays = replace(rays, active=rays.active & live)
     return path_trace_pool(scene, rays, key, max_depth=max_depth,
                            rr_start=rr_start, shadows=shadows,
                            leaf_size=leaf_size, use_bvh=use_bvh)
@@ -90,7 +94,9 @@ class PathTracer:
         from ..ops.trace import _pallas_available
         from ..ops.pallas.traverse import pallas_scene_ok
 
-        if (_pallas_available()
+        from ..ops.trace import PACKET_SIZE
+
+        if (_pallas_available() and n % PACKET_SIZE == 0
                 and pallas_scene_ok(self.scene.bvh,
                                     self.scene.tri_v0.shape[0])):
             c = n
@@ -108,6 +114,7 @@ class PathTracer:
     def step(self) -> None:
         """Trace one sample per pixel and accumulate."""
         self._last_counts = None  # per-step device tallies (lazy fetch)
+        self._last_seed = self.samples  # the fold used for THIS step
         skey = jax.random.fold_in(self.key, self.samples)
         md = self.config.max_bounce_depth
         rr = self.config.russian_roulette_start
@@ -116,6 +123,8 @@ class PathTracer:
         for s, e, idx in self._chunks():
             px = self._px[idx]
             py = self._py[idx]
+            live = (jnp.arange(idx.shape[0]) < (e - s)
+                    if e - s < idx.shape[0] else None)
             jit_key = jax.random.fold_in(skey, s)
             jitter = (jax.random.uniform(jit_key, (idx.shape[0], 2))
                       if self.antialias else None)
@@ -127,7 +136,7 @@ class PathTracer:
                                              self.height,
                                              jax.random.fold_in(jit_key, 100 + c),
                                              c, md, rr, self.shadows, ls,
-                                             self.use_bvh, jitter)
+                                             self.use_bvh, jitter, live)
                     rgb.append(rad[:, c])
                     counts = counts + cnt
                 contrib = jnp.stack(rgb, axis=-1)
@@ -135,7 +144,7 @@ class PathTracer:
                 contrib, cnt = _sample_chunk(self.scene, px, py, self.width,
                                              self.height, jit_key, 1, md, rr,
                                              self.shadows, ls, self.use_bvh,
-                                             jitter)
+                                             jitter, live)
                 counts = counts + cnt
             updates.append((s, e, contrib))
             self._last_counts = (counts if self._last_counts is None
@@ -169,10 +178,11 @@ class PathTracer:
         from ..ops.wavefront import WavefrontCounters
 
         wc = WavefrontCounters(self.config.max_bounce_depth,
-                               frame_seed=self.samples)
+                               frame_seed=getattr(self, "_last_seed", 0))
         if self._last_counts is not None:
             for depth, cnt in enumerate(np.asarray(self._last_counts)):
-                wc.add_rays(depth, int(cnt))
+                if cnt > 0:  # zero-count depths are NOT active
+                    wc.add_rays(depth, int(cnt))
         return wc
 
     def image(self) -> np.ndarray:

@@ -93,7 +93,7 @@ def pallas_scene_ok(bvh, num_tris: int, want_uv: bool = False) -> bool:
             <= VMEM_TABLE_BUDGET)
 
 
-STACK = 96  # per-packet DFS stack bound (reference uses 64, bvh.rs:35-38)
+STACK = 128  # per-packet DFS stack bound (reference uses 64, bvh.rs:35-38)
 
 
 def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
@@ -206,7 +206,11 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
         tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                        jnp.maximum(t1y, t2y)),
                            jnp.maximum(t1z, t2z))
-        ray_hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin <= best_t)
+        # entry distance clamped to 0: hits can't occur at t < 0, so this
+        # prunes strictly more (and lets max_t=0 dead lanes reject even
+        # boxes that CONTAIN the ray origin, where tmin < 0)
+        ray_hit = ((tmax >= 0.0) & (tmin <= tmax)
+                   & (jnp.maximum(tmin, 0.0) <= best_t))
         if any_hit:
             ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
@@ -232,9 +236,11 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
         def _():
             stack_ref[jnp.minimum(sp, STACK - 1)] = far
 
-        sp2 = sp + descend.astype(jnp.int32)
+        # sp is clamped so a deeper-than-STACK tree cannot read out of
+        # bounds (it would drop far subtrees — builders stay well under 128)
+        sp2 = jnp.minimum(sp + descend.astype(jnp.int32), STACK)
         new_sp = jnp.where(descend, sp2, jnp.maximum(sp2 - 1, 0))
-        popped = stack_ref[new_sp]
+        popped = stack_ref[jnp.minimum(new_sp, STACK - 1)]
         cursor = jnp.where(descend, near,
                            jnp.where(sp2 > 0, popped, jnp.int32(-1)))
         return cursor, new_sp, it + 1, best
@@ -317,7 +323,11 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
         tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                        jnp.maximum(t1y, t2y)),
                            jnp.maximum(t1z, t2z))
-        ray_hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin <= best_t)
+        # entry distance clamped to 0: hits can't occur at t < 0, so this
+        # prunes strictly more (and lets max_t=0 dead lanes reject even
+        # boxes that CONTAIN the ray origin, where tmin < 0)
+        ray_hit = ((tmax >= 0.0) & (tmin <= tmax)
+                   & (jnp.maximum(tmin, 0.0) <= best_t))
         if any_hit:
             ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
