@@ -1,0 +1,492 @@
+"""Fused wavefront-bounce Pallas kernel: trace → NEE shade → BSDF sample.
+
+One path-tracer bounce for a ray-pool packet in a single program — the
+device-side realisation of the reference's per-depth wavefront dispatch
+(/root/reference/src/compute.rs:443-466) with the continuation-ray stage its
+kernel left as a stub (shader/src/wavefront.rs:340-355). The XLA wavefront
+loop (ops/wavefront.py) spends ~540 ms/spp at 1M rays in fusions AROUND its
+~140 ms of Pallas traversals (profiler-measured): pool updates, shading,
+sampling and shadow-ray construction all round-trip HBM. Here the closest
+hit, sphere pass, direct lighting with in-program any-hit shadow rays,
+dispersion, BSDF sampling (diffuse / rough-mirror / Fresnel glass with
+per-wavelength IOR) and Russian roulette happen on VMEM-resident packet
+state; the only HBM traffic is the pool fields themselves.
+
+The per-bounce coherence sort (13x for incoherent rays) stays OUTSIDE in
+XLA — it is a global reorder. ops/wavefront.py drives this kernel from a
+static Python loop over depths when the scene qualifies, and falls back to
+its lax.while_loop XLA body otherwise.
+
+Formulas mirror ops/shading.py, ops/sampling.py and ops/pallas/render.py
+exactly (which in turn cite the reference's lighting.rs / material.rs /
+lib.rs lines); randoms u[0..4] keep the same roles as the XLA body so both
+paths consume the identical jax.random stream.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.scene import Scene
+from ..f16 import unpack_f16_high, unpack_f16_low
+from .traverse import (
+    GROUP, LANES, ROW, STACK, TRI_FORMATS, VMEM_HEADROOM,
+    _ordered_traverse, pallas_scene_ok, scene_vmem_bytes,
+)
+from .render import MAX_LIGHTS, MAX_MATERIALS, MAX_SPHERES, _max0
+
+_MIN_T = 1e-5
+_MAX_SEED = 3.4028235e38 - 2.0
+_SKY = (0.1, 0.2, 0.3)               # wavefront.rs:148
+_DISPERSION = (-0.018, 0.0, 0.035)   # material.rs:48-53
+_TRANS_BASE = (0.2, 0.2, 0.3)
+_PI = 3.14159265358979
+
+
+def fused_bounce_eligible(scene: Scene) -> bool:
+    return (scene.textures.data_u32.shape[0] <= 1
+            and 1 <= scene.materials.count <= MAX_MATERIALS
+            and scene.lights.count <= MAX_LIGHTS
+            and scene.spheres.count <= MAX_SPHERES
+            and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0]))
+
+
+def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
+            o_ref, d_ref, thr_ref, med_ref, chan_ref, act_ref, u_ref,
+            no_ref, nd_ref, nthr_ref, nmed_ref, nact_ref, rad_ref,
+            stack_ref, *,
+            max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr):
+    ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
+    dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+    thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
+    active = act_ref[0] > 0.0
+    tile = dx.shape
+
+    # dead lanes trace with max_t=0 → one clamped-entry slab test retires
+    # them (ops/wavefront.py dead-lane masking)
+    limit = jnp.where(active, jnp.float32(_MAX_SEED), 0.0)
+
+    # ---- spheres, exhaustive strict < (lib.rs:252-269) ----
+    sph_t = limit
+    sph_m = jnp.full(tile, -1.0, jnp.float32)
+    scx = jnp.zeros(tile, jnp.float32)
+    scy = jnp.zeros(tile, jnp.float32)
+    scz = jnp.zeros(tile, jnp.float32)
+    for k in range(n_spheres):
+        row = sph_ref[k:k + 1, :]
+        cx_, cy_, cz_, rad_s, mid = (row[0, 0], row[0, 1], row[0, 2],
+                                     row[0, 3], row[0, 4])
+        ocx, ocy, ocz = ox - cx_, oy - cy_, oz - cz_
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad_s * rad_s
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        t = jnp.where(t1 > _MIN_T, t1, t2)
+        ok = (disc >= 0.0) & (t > _MIN_T) & (t < sph_t)
+        sph_t = jnp.where(ok, t, sph_t)
+        sph_m = jnp.where(ok, mid, sph_m)
+        scx = jnp.where(ok, cx_, scx)
+        scy = jnp.where(ok, cy_, scy)
+        scz = jnp.where(ok, cz_, scz)
+    sph_any = sph_m >= 0.0
+
+    # ---- triangles pruned at the sphere t ----
+    best = _ordered_traverse(node_ref, tri_ref, stack_ref,
+                             ox, oy, oz, dx, dy, dz, sph_t,
+                             max_iters, with_uv=False, slots=slots)
+    tri_t, tri_id = best[0], best[1]
+    use_tri = tri_id >= 0
+    hit = use_tri | sph_any
+    hit_live = active & hit
+    miss_live = active & ~hit
+
+    t = jnp.where(use_tri, tri_t, sph_t)
+    phx = ox + dx * t
+    phy = oy + dy * t
+    phz = oz + dz * t
+    snx = phx - scx
+    sny = phy - scy
+    snz = phz - scz
+    snl = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+    nx = jnp.where(use_tri, best[2], snx * snl)
+    ny = jnp.where(use_tri, best[3], sny * snl)
+    nz = jnp.where(use_tri, best[4], snz * snl)
+    mat_id = jnp.where(use_tri, best[5], sph_m)
+
+    # ---- radiance: sky on miss (wavefront.rs:146-151) ----
+    rad_r = jnp.where(miss_live, _SKY[0] * thr_r, 0.0)
+    rad_g = jnp.where(miss_live, _SKY[1] * thr_g, 0.0)
+    rad_b = jnp.where(miss_live, _SKY[2] * thr_b, 0.0)
+
+    # ---- material params: static mask-select (no gathers) ----
+    alb_r = jnp.zeros(tile, jnp.float32)
+    alb_g = jnp.zeros(tile, jnp.float32)
+    alb_b = jnp.zeros(tile, jnp.float32)
+    emi_r = jnp.zeros(tile, jnp.float32)
+    emi_g = jnp.zeros(tile, jnp.float32)
+    emi_b = jnp.zeros(tile, jnp.float32)
+    metal = jnp.zeros(tile, jnp.float32)
+    rough = jnp.zeros(tile, jnp.float32)
+    iorv = jnp.ones(tile, jnp.float32)
+    trans = jnp.zeros(tile, jnp.float32)
+    for m in range(n_mats):
+        row = mat_ref[m:m + 1, :]
+        sel = mat_id == float(m)
+        alb_r = jnp.where(sel, row[0, 0], alb_r)
+        alb_g = jnp.where(sel, row[0, 1], alb_g)
+        alb_b = jnp.where(sel, row[0, 2], alb_b)
+        emi_r = jnp.where(sel, row[0, 3], emi_r)
+        emi_g = jnp.where(sel, row[0, 4], emi_g)
+        emi_b = jnp.where(sel, row[0, 5], emi_b)
+        metal = jnp.where(sel, row[0, 6], metal)
+        rough = jnp.where(sel, row[0, 7], rough)
+        iorv = jnp.where(sel, row[0, 8], iorv)
+        trans = jnp.where(sel, row[0, 9], trans)
+
+    # ---- direct lighting (lighting.rs:20-139) + shadows ----
+    tot_r = alb_r * 0.1
+    tot_g = alb_g * 0.1
+    tot_b = alb_b * 0.1
+    is_metal_f = (metal > 0.5).astype(jnp.float32)
+    brdf = is_metal_f * 0.5 + (1.0 - is_metal_f) * (1.0 / _PI)
+    for li in range(n_lights):
+        row = light_ref[li:li + 1, :]
+        lpx, lpy, lpz = row[0, 0], row[0, 1], row[0, 2]
+        ltype = row[0, 3]
+        lcr, lcg, lcb = row[0, 4], row[0, 5], row[0, 6]
+        lint = row[0, 7]
+        ldx, ldy, ldz = row[0, 8], row[0, 9], row[0, 10]
+
+        dir_I = _max0(-(nx * ldx + ny * ldy + nz * ldz)) * lint
+        tlx, tly, tlz = lpx - phx, lpy - phy, lpz - phz
+        dist2 = tlx * tlx + tly * tly + tlz * tlz
+        dist = jnp.sqrt(dist2)
+        inv_dist = 1.0 / dist
+        plx, ply, plz = tlx * inv_dist, tly * inv_dist, tlz * inv_dist
+        atten = 1.0 / (1.0 + dist2 * 0.01)
+        ui = jax.lax.bitcast_convert_type(atten, jnp.int32)
+        ui = (ui + (0x0FFF + ((ui >> 13) & 1))) & ~0x1FFF
+        atten = jax.lax.bitcast_convert_type(ui, jnp.float32)
+        point_I = _max0(nx * plx + ny * ply + nz * plz) * lint * atten
+        spot_I = point_I * _max0(-(ldx * plx + ldy * ply + ldz * plz))
+        I = (dir_I * (ltype == 0.0) + point_I * (ltype == 1.0)
+             + spot_I * (ltype == 2.0))
+
+        if shadows:
+            sdx = jnp.where(ltype == 0.0, -ldx, plx)
+            sdy = jnp.where(ltype == 0.0, -ldy, ply)
+            sdz = jnp.where(ltype == 0.0, -ldz, plz)
+            smax = jnp.where(ltype == 0.0, jnp.float32(3.0e38), dist - 1e-3)
+            smax = jnp.where(hit_live & (I > 0.0), smax, 0.0)
+            sb = _ordered_traverse(
+                node_ref, tri_ref, stack_ref,
+                phx + nx * 1e-3, phy + ny * 1e-3, phz + nz * 1e-3,
+                sdx, sdy, sdz, smax, max_iters, with_uv=False, any_hit=True,
+                slots=slots)
+            blocked = (sb[1] >= 0).astype(jnp.float32)
+            for k in range(n_spheres):
+                srow = sph_ref[k:k + 1, :]
+                kcx, kcy, kcz, rad_s = (srow[0, 0], srow[0, 1], srow[0, 2],
+                                        srow[0, 3])
+                ocx = phx + nx * 1e-3 - kcx
+                ocy = phy + ny * 1e-3 - kcy
+                ocz = phz + nz * 1e-3 - kcz
+                a = sdx * sdx + sdy * sdy + sdz * sdz
+                b = 2.0 * (ocx * sdx + ocy * sdy + ocz * sdz)
+                c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad_s * rad_s
+                disc = b * b - 4.0 * a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-b - sq) / (2.0 * a)
+                t2 = (-b + sq) / (2.0 * a)
+                st = jnp.where(t1 > _MIN_T, t1, t2)
+                occ = (disc >= 0.0) & (st > _MIN_T) & (st < smax)
+                blocked = jnp.maximum(blocked, occ.astype(jnp.float32))
+            I = I * (1.0 - blocked)
+
+        gate = (I > 0.0).astype(jnp.float32)
+        w = brdf * I * gate
+        tot_r = tot_r + alb_r * w * lcr
+        tot_g = tot_g + alb_g * w * lcg
+        tot_b = tot_b + alb_b * w * lcb
+
+    tot_r = tot_r + emi_r
+    tot_g = tot_g + emi_g
+    tot_b = tot_b + emi_b
+
+    # dispersion blend (lib.rs:322-337) + invalid-material magenta
+    trans_c = jnp.clip(trans, 0.0, 1.0)
+    inv_den = 1.0 / (iorv - 1.0)
+    has_trans = trans_c > 0.0
+    shaded = []
+    for ci, (doff, tb) in enumerate(zip(_DISPERSION, _TRANS_BASE)):
+        dispf = (iorv + doff - 1.0) * inv_den
+        tot = (tot_r, tot_g, tot_b)[ci]
+        blended = tot * (1.0 - trans_c) + tb * dispf * trans_c
+        shaded.append(jnp.where(has_trans, blended, tot))
+    invalid = hit & (mat_id >= float(n_mats))
+    magenta = (1.0, 0.0, 1.0)
+    shaded = [jnp.where(invalid, magenta[c], shaded[c]) for c in range(3)]
+
+    rad_r = rad_r + jnp.where(hit_live, shaded[0] * thr_r, 0.0)
+    rad_g = rad_g + jnp.where(hit_live, shaded[1] * thr_g, 0.0)
+    rad_b = rad_b + jnp.where(hit_live, shaded[2] * thr_b, 0.0)
+    rad_ref[0, 0] = rad_r
+    rad_ref[0, 1] = rad_g
+    rad_ref[0, 2] = rad_b
+
+    # ---- continuation sampling (ops/sampling.py formulas) ----
+    u0 = u_ref[0, 0]
+    u1 = u_ref[0, 1]
+    u2 = u_ref[0, 2]
+    u3 = u_ref[0, 3]
+    u4 = u_ref[0, 4]
+
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    entering = d_dot_n < 0.0
+    fnx = jnp.where(entering, nx, -nx)
+    fny = jnp.where(entering, ny, -ny)
+    fnz = jnp.where(entering, nz, -nz)
+
+    # diffuse: cosine hemisphere about the faceted normal (Duff ONB)
+    s = jnp.where(fnz >= 0.0, 1.0, -1.0)
+    a_onb = -1.0 / (s + fnz)
+    b_onb = fnx * fny * a_onb
+    txx = 1.0 + s * fnx * fnx * a_onb
+    txy = s * b_onb
+    txz = -s * fnx
+    uxx = b_onb
+    uxy = s + fny * fny * a_onb
+    uxz = -fny
+    r_ = jnp.sqrt(u0)
+    phi = (2.0 * _PI) * u1
+    xh = r_ * jnp.cos(phi)
+    yh = r_ * jnp.sin(phi)
+    zh = jnp.sqrt(jnp.maximum(1.0 - u0, 0.0))
+    ddx = txx * xh + uxx * yh + fnx * zh
+    ddy = txy * xh + uxy * yh + fny * zh
+    ddz = txz * xh + uxz * yh + fnz * zh
+    dl = jax.lax.rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
+    dif_x, dif_y, dif_z = ddx * dl, ddy * dl, ddz * dl
+
+    # metal: mirror + roughness fuzz
+    d_dot_fn = dx * fnx + dy * fny + dz * fnz
+    rfx = dx - 2.0 * d_dot_fn * fnx
+    rfy = dy - 2.0 * d_dot_fn * fny
+    rfz = dz - 2.0 * d_dot_fn * fnz
+    mx = rfx + rough * (u0 * 2.0 - 1.0)
+    my = rfy + rough * (u1 * 2.0 - 1.0)
+    mz = rfz + rough * (u2 * 2.0 - 1.0)
+    ml = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+    met_x, met_y, met_z = mx * ml, my * ml, mz * ml
+    metal_absorbed = (met_x * fnx + met_y * fny + met_z * fnz) <= 0.0
+
+    # glass: Fresnel-weighted reflect/refract with per-channel IOR
+    chan = chan_ref[0]
+    doff = jnp.where(chan == 0.0, jnp.float32(_DISPERSION[0]),
+                     jnp.where(chan == 1.0, jnp.float32(_DISPERSION[1]),
+                               jnp.where(chan == 2.0,
+                                         jnp.float32(_DISPERSION[2]), 0.0)))
+    mat_ior = iorv + doff
+    med = med_ref[0]
+    n1 = jnp.where(entering, med, mat_ior)
+    n2 = jnp.where(entering, mat_ior, jnp.float32(1.0))
+    eta = n1 / n2
+    cos_i = jnp.abs(d_dot_fn)
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # refract(d, n_face, eta) with reflect fallback, normalised (sampling.py)
+    rrx = eta * dx + (eta * cos_i - cos_t) * fnx
+    rry = eta * dy + (eta * cos_i - cos_t) * fny
+    rrz = eta * dz + (eta * cos_i - cos_t) * fnz
+    rrx = jnp.where(tir, rfx, rrx)
+    rry = jnp.where(tir, rfy, rry)
+    rrz = jnp.where(tir, rfz, rrz)
+    rl_ = jax.lax.rsqrt(jnp.maximum(rrx * rrx + rry * rry + rrz * rrz, 1e-30))
+    refr_x, refr_y, refr_z = rrx * rl_, rry * rl_, rrz * rl_
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    om = 1.0 - cos_i
+    fres = jnp.clip(r0 + (1.0 - r0) * om * om * om * om * om, 0.0, 1.0)
+    do_reflect = tir | (u3 < fres)
+    gls_x = jnp.where(do_reflect, rfx, refr_x)
+    gls_y = jnp.where(do_reflect, rfy, refr_y)
+    gls_z = jnp.where(do_reflect, rfz, refr_z)
+    new_medium = jnp.where(do_reflect, med,
+                           jnp.where(entering, mat_ior, jnp.float32(1.0)))
+
+    is_glass = trans > 0.0
+    is_metal = (~is_glass) & (metal > 0.5)
+    ndx = jnp.where(is_glass, gls_x, jnp.where(is_metal, met_x, dif_x))
+    ndy = jnp.where(is_glass, gls_y, jnp.where(is_metal, met_y, dif_y))
+    ndz = jnp.where(is_glass, gls_z, jnp.where(is_metal, met_z, dif_z))
+    off_sign = jnp.where(ndx * fnx + ndy * fny + ndz * fnz >= 0.0, 1.0, -1.0)
+    nox = phx + fnx * off_sign * 1e-3
+    noy = phy + fny * off_sign * 1e-3
+    noz = phz + fnz * off_sign * 1e-3
+
+    nthr_r = thr_r * alb_r
+    nthr_g = thr_g * alb_g
+    nthr_b = thr_b * alb_b
+    alive = hit_live & ~(is_metal & metal_absorbed)
+
+    if do_rr:  # Russian roulette (shared/src/lib.rs:969-978)
+        p = jnp.clip(jnp.maximum(nthr_r, jnp.maximum(nthr_g, nthr_b)),
+                     0.05, 0.95)
+        survive = u4 <= p
+        keep = alive & survive
+        inv_p = 1.0 / p
+        nthr_r = jnp.where(keep, nthr_r * inv_p, nthr_r)
+        nthr_g = jnp.where(keep, nthr_g * inv_p, nthr_g)
+        nthr_b = jnp.where(keep, nthr_b * inv_p, nthr_b)
+        alive = keep
+
+    no_ref[0, 0] = jnp.where(alive, nox, ox)
+    no_ref[0, 1] = jnp.where(alive, noy, oy)
+    no_ref[0, 2] = jnp.where(alive, noz, oz)
+    nd_ref[0, 0] = jnp.where(alive, ndx, dx)
+    nd_ref[0, 1] = jnp.where(alive, ndy, dy)
+    nd_ref[0, 2] = jnp.where(alive, ndz, dz)
+    nthr_ref[0, 0] = jnp.where(alive, nthr_r, thr_r)
+    nthr_ref[0, 1] = jnp.where(alive, nthr_g, thr_g)
+    nthr_ref[0, 2] = jnp.where(alive, nthr_b, thr_b)
+    nmed_ref[0] = jnp.where(alive & is_glass, new_medium, med)
+    nact_ref[0] = alive.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
+                                   "interpret"))
+def pallas_bounce(
+    scene: Scene,
+    origin: jnp.ndarray,      # [N,3]
+    direction: jnp.ndarray,   # [N,3]
+    throughput: jnp.ndarray,  # [N,3]
+    medium_ior: jnp.ndarray,  # [N]
+    channel: jnp.ndarray,     # [N] i32 wavelength channel
+    active: jnp.ndarray,      # [N] bool
+    u: jnp.ndarray,           # [N,5] uniforms
+    shadows: bool,
+    do_rr: bool,
+    packet_size: int = 8192,
+    interpret: bool = False,
+):
+    """One bounce for the whole pool → (origin', direction', throughput',
+    medium', active', radiance_delta [N,3])."""
+    N = origin.shape[0]
+    sub = packet_size // LANES
+    assert N % packet_size == 0
+    B = N // packet_size
+    bvh = scene.bvh
+    nn = bvh.left.shape[0]
+    Tp = scene.tri_v0.shape[0]
+    slots = bvh.leaf_align
+    tg = TRI_FORMATS[slots]
+    nn_pad = (-nn) % ROW
+
+    leaf_count = jnp.where(bvh.left < 0, bvh.tri_count, 0)
+    asf = lambda a: a.astype(jnp.float32)[:, None]
+    lc = jnp.clip(bvh.left, 0, nn - 1)
+    rc = jnp.clip(bvh.right, 0, nn - 1)
+    diff = ((bvh.node_min[rc] + bvh.node_max[rc])
+            - (bvh.node_min[lc] + bvh.node_max[lc]))
+    axis = jnp.argmax(jnp.abs(diff), axis=1)
+    left_lower = jnp.take_along_axis(diff, axis[:, None], 1)[:, 0] >= 0
+    code = (axis * 2 + left_lower).astype(jnp.int32)
+    zf = jnp.zeros((nn, GROUP - 11), jnp.float32)
+    node = jnp.concatenate(
+        [bvh.node_min, bvh.node_max, asf(bvh.left), asf(bvh.right),
+         asf(bvh.tri_start), asf(leaf_count), asf(code), zf], axis=1)
+    if nn_pad:
+        node = jnp.concatenate([node, jnp.zeros((nn_pad, GROUP), jnp.float32)])
+    node_rows = node.reshape(-1, 128)
+    parts = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
+             scene.tri_mat.astype(jnp.float32)[:, None]]
+    if tg == 16:
+        parts.append(jnp.zeros((Tp, 6), jnp.float32))
+        tri_rows = jnp.concatenate(parts, axis=1).reshape(-1, 128)
+    else:
+        flat = jnp.concatenate(parts, axis=1).reshape(-1, slots * tg)
+        tri_rows = jnp.concatenate(
+            [flat, jnp.zeros((flat.shape[0], 128 - slots * tg),
+                             jnp.float32)], axis=1)
+
+    m = scene.materials
+    mat_rows = jnp.concatenate(
+        [m.albedo, m.emission,
+         unpack_f16_low(m.metallic_roughness_f16)[:, None],
+         unpack_f16_high(m.metallic_roughness_f16)[:, None],
+         unpack_f16_low(m.ior_transmission_f16)[:, None],
+         unpack_f16_high(m.ior_transmission_f16)[:, None],
+         jnp.zeros((m.count, 6), jnp.float32)], axis=1)
+    L = scene.lights
+    dlen = jnp.sqrt(jnp.sum(L.direction * L.direction, axis=1, keepdims=True))
+    light_rows = jnp.concatenate(
+        [L.position, L.light_type.astype(jnp.float32)[:, None], L.color,
+         L.intensity[:, None], L.direction / dlen,
+         jnp.zeros((L.count, 5), jnp.float32)], axis=1)
+    S = scene.spheres
+    sph_rows = jnp.concatenate(
+        [S.center, jnp.maximum(S.radius, 1e-30)[:, None],
+         S.material_id.astype(jnp.float32)[:, None],
+         jnp.zeros((S.count, 11), jnp.float32)], axis=1)
+
+    shape3 = (B, 3, sub, LANES)
+    shape1 = (B, sub, LANES)
+    o = origin.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
+    d = direction.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
+    thr = throughput.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
+    med = medium_ior.reshape(shape1)
+    chan = channel.astype(jnp.float32).reshape(shape1)
+    act = active.astype(jnp.float32).reshape(shape1)
+    uu = u.reshape(B, sub, LANES, 5).transpose(0, 3, 1, 2)
+
+    resident = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
+    per_packet = lambda shp: pl.BlockSpec(
+        shp, lambda i: (i,) + (0,) * (len(shp) - 1), memory_space=pltpu.VMEM)
+
+    kernel = partial(_kernel, max_iters=nn + 4, n_mats=m.count,
+                     n_lights=L.count, n_spheres=S.count, slots=slots,
+                     shadows=shadows, do_rr=do_rr)
+    no, nd, nthr, nmed, nact, rad = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        in_specs=[
+            resident(node_rows.shape), resident(tri_rows.shape),
+            resident(mat_rows.shape), resident(light_rows.shape),
+            resident(sph_rows.shape),
+            per_packet((1, 3, sub, LANES)), per_packet((1, 3, sub, LANES)),
+            per_packet((1, 3, sub, LANES)), per_packet((1, sub, LANES)),
+            per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
+            per_packet((1, 5, sub, LANES)),
+        ],
+        out_specs=(
+            per_packet((1, 3, sub, LANES)), per_packet((1, 3, sub, LANES)),
+            per_packet((1, 3, sub, LANES)), per_packet((1, sub, LANES)),
+            per_packet((1, sub, LANES)), per_packet((1, 3, sub, LANES)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape3, jnp.float32),
+            jax.ShapeDtypeStruct(shape3, jnp.float32),
+            jax.ShapeDtypeStruct(shape3, jnp.float32),
+            jax.ShapeDtypeStruct(shape1, jnp.float32),
+            jax.ShapeDtypeStruct(shape1, jnp.float32),
+            jax.ShapeDtypeStruct(shape3, jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
+        interpret=interpret,
+    )(node_rows, tri_rows, mat_rows, light_rows, sph_rows,
+      o, d, thr, med, chan, act, uu)
+
+    unpack3 = lambda a: a.transpose(0, 2, 3, 1).reshape(N, 3)
+    return (unpack3(no), unpack3(nd), unpack3(nthr),
+            nmed.reshape(N), nact.reshape(N) > 0.0, unpack3(rad))

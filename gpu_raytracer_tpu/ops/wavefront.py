@@ -171,6 +171,72 @@ def _shadow_mask_points(scene, point, normal, hit_mask, leaf_size, use_bvh):
     return jnp.where(hit_mask[:, None], mask, 1.0)
 
 
+def _sort_perm(scene: Scene, o, d, active):
+    """Stream compaction + ray sorting permutation (SURVEY.md §7 P4):
+    (direction octant | coarse origin Morton) keeps traversal packets
+    coherent after a bounce scrambles them — measured 13x on bounce-1 of
+    the courtyard. Dead lanes key to the maximum so they compact into whole
+    packets that the max_t=0 prune retires in one step."""
+    N = o.shape[0]
+    octant = (((d[:, 0] >= 0).astype(jnp.int32) << 2)
+              | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
+              | (d[:, 2] >= 0).astype(jnp.int32))
+    lo = scene.bvh.node_min[0]
+    hi = scene.bvh.node_max[0]
+    q = jnp.clip(((o - lo) / (hi - lo + 1e-6) * 16.0).astype(jnp.int32),
+                 0, 15)
+    morton = jnp.zeros((N,), jnp.int32)
+    for b in range(4):
+        morton = (morton
+                  | (((q[:, 0] >> b) & 1) << (3 * b + 2))
+                  | (((q[:, 1] >> b) & 1) << (3 * b + 1))
+                  | (((q[:, 2] >> b) & 1) << (3 * b)))
+    sort_key = jnp.where(active, (octant << 12) | morton, jnp.int32(2**30))
+    return jnp.argsort(sort_key)
+
+
+def _fused_pool_ok(scene: Scene, n: int, use_bvh: bool) -> bool:
+    from .pallas.bounce import fused_bounce_eligible
+    from .trace import _pallas_available
+
+    return (use_bvh and scene.bvh.num_nodes > 1 and n % 1024 == 0
+            and _pallas_available() and fused_bounce_eligible(scene))
+
+
+def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
+                           max_depth: int, rr_start: int, shadows: bool,
+                           interpret: bool = False):
+    """Static Python loop over depths driving the fused bounce kernel
+    (ops/pallas/bounce.py); the coherence sort stays in XLA between bounces.
+    Same jax.random stream and formulas as the lax.while_loop body below."""
+    from .pallas.bounce import pallas_bounce
+
+    N = rays.count
+    P = 8192 if N % 8192 == 0 else 1024
+    o, d = rays.origin, rays.direction
+    thr = rays.throughput
+    med = rays.medium_ior
+    chan = rays.wavelength_channel
+    act = rays.active
+    radiance = jnp.zeros((N, 3), jnp.float32)
+    orig_lane = jnp.arange(N, dtype=jnp.int32)
+    counts = []
+    for depth in range(max_depth + 1):
+        counts.append(jnp.sum(act.astype(jnp.int32)))
+        perm = _sort_perm(scene, o, d, act)
+        o, d, thr, med, chan, act, radiance, orig_lane = (
+            a[perm] for a in (o, d, thr, med, chan, act, radiance, orig_lane))
+        u = jax.random.uniform(jax.random.fold_in(key, depth), (N, 5),
+                               jnp.float32)
+        o, d, thr, med, act, rad = pallas_bounce(
+            scene, o, d, thr, med, chan, act, u, shadows=shadows,
+            do_rr=(max_depth >= rr_start and depth >= rr_start),
+            packet_size=P, interpret=interpret)
+        radiance = radiance + rad
+    radiance = jnp.zeros_like(radiance).at[orig_lane].set(radiance)
+    return radiance, jnp.stack(counts)
+
+
 @partial(jax.jit, static_argnames=("max_depth", "rr_start", "shadows",
                                    "leaf_size", "use_bvh"))
 def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
@@ -190,36 +256,18 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
     N = rays.count
     mats = scene.materials
 
+    if _fused_pool_ok(scene, N, use_bvh):
+        return _path_trace_pool_fused(scene, rays, key, max_depth, rr_start,
+                                      shadows)
+
     def cond(state):
         depth, r, radiance, counts, orig_lane = state
         return (depth <= max_depth) & jnp.any(r.active)
 
     def _coherence_sort(r, radiance, orig_lane):
-        """Stream compaction + ray sorting (SURVEY.md §7 P4): reorder the
-        pool by (direction octant, coarse origin Morton) so traversal
-        packets stay coherent after the bounce scrambles them — measured
-        13x on bounce-1 of the courtyard (936ms → 72ms per 1M rays incl.
-        the sort). Dead lanes key to the maximum so they compact into
-        whole packets that the max_t=0 prune retires in one step. The
-        original lane index rides along; radiance is unscrambled once at
-        the end of the loop."""
-        d = r.direction
-        o = r.origin
-        octant = (((d[:, 0] >= 0).astype(jnp.int32) << 2)
-                  | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
-                  | (d[:, 2] >= 0).astype(jnp.int32))
-        lo = scene.bvh.node_min[0]
-        hi = scene.bvh.node_max[0]
-        q = jnp.clip(((o - lo) / (hi - lo + 1e-6) * 16.0).astype(jnp.int32),
-                     0, 15)
-        morton = jnp.zeros((N,), jnp.int32)
-        for b in range(4):
-            morton = (morton
-                      | (((q[:, 0] >> b) & 1) << (3 * b + 2))
-                      | (((q[:, 1] >> b) & 1) << (3 * b + 1))
-                      | (((q[:, 2] >> b) & 1) << (3 * b)))
-        sort_key = jnp.where(r.active, (octant << 12) | morton, jnp.int32(2**30))
-        perm = jnp.argsort(sort_key)
+        """Pool reorder by _sort_perm; the original lane index rides along
+        and radiance is unscrambled once at the end of the loop."""
+        perm = _sort_perm(scene, r.origin, r.direction, r.active)
         take = lambda a: a[perm]
         return (jax.tree_util.tree_map(take, r), radiance[perm],
                 orig_lane[perm])
