@@ -10,14 +10,16 @@ ray after its first hit (shader/src/lib.rs:142-146).
 
 This module implements the design for real, the TPU way:
 
-* the ray pool is a fixed-capacity SoA pytree (XLA static shapes); rays stay
-  pinned to their pixel slot, so radiance accumulation is a masked add, not a
-  scatter;
-* `lax.while_loop` over bounce depth is the breadth-first scheduler — each
-  step traces the whole pool in lockstep, with terminated lanes masked (the
-  SIMD analogue of the reference's per-depth dispatch), and exits as soon as
-  every lane is dead (the device-side replacement for the host-simulated
-  counters);
+* the ray pool is a fixed-capacity SoA pytree (XLA static shapes); every
+  bounce re-sorts it by (direction octant | origin Morton) for traversal
+  coherence, carrying the original lane index so radiance unscrambles once
+  at the end;
+* the breadth-first per-depth scheduler is either a static Python loop
+  driving the fused bounce kernel (ops/pallas/bounce.py — trace, shade,
+  shadow rays, BSDF sampling and Russian roulette in one program per
+  packet; TPU + eligible scenes) or a `lax.while_loop` XLA body with the
+  identical math and jax.random stream (everything else), with terminated
+  lanes masked to max_t=0 so they retire at the BVH root;
 * spectral mode traces one ray per wavelength channel (the reference's
   3-channel tile dispatch, compute.rs:432-441) so refraction can use the
   per-channel IOR dispersion table;
