@@ -78,21 +78,23 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
         all_mats.append(mat_ids)
         voffset += verts.shape[0]
 
-    # floor heightfield (gentle ripple) — consumes about half the budget
-    hf_tris = max(target_triangles // 2, 2)
-    n = int(np.sqrt(hf_tris / 2)) + 1
-    hv, hfc = _heightfield(n, n, -30, 30, -30, 30,
-                           lambda x, z: 0.15 * np.sin(x * 0.8) * np.cos(z * 0.7))
-    add(hv, hfc, np.full(hfc.shape[0], m_floor, np.uint32))
-
-    # columns + crates fill the other half (12 tris per box)
-    n_boxes = max((target_triangles - hfc.shape[0]) // 12, 1)
+    # columns + crates on a CONSTANT-SPACING grid (12 tris per box): the
+    # scene extent grows with the triangle budget, so boxes never merge into
+    # a solid mass and the camera always has sight lines through the field —
+    # a constant-extent grid packs solid at ~100k tris, which makes every
+    # camera ray terminate on the nearest wall and the benchmark trivially
+    # easy (and the image a flat ambient wall).
+    n_boxes = max(target_triangles // 24, 1)
     grid = int(np.ceil(np.sqrt(n_boxes)))
+    spacing = 1.75
+    extent = grid * spacing / 2.0
+    # centers at half-spacing offsets regardless of grid parity, so the
+    # lines x = k*spacing (in particular x = 0) are always clear lanes
     gx, gz = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
     pos = np.stack([
-        (gx.reshape(-1) - grid / 2) * (56.0 / max(grid, 1)),
+        (gx.reshape(-1) - grid // 2 + 0.5) * spacing,
         np.zeros(grid * grid),
-        (gz.reshape(-1) - grid / 2) * (56.0 / max(grid, 1)),
+        (gz.reshape(-1) - grid // 2 + 0.5) * spacing,
     ], axis=1)[:n_boxes].astype(np.float32)
     heights = rng.uniform(0.5, 4.0, n_boxes).astype(np.float32)
     widths = rng.uniform(0.3, 1.2, (n_boxes, 2)).astype(np.float32)
@@ -104,6 +106,14 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
                                       m_glass, m_red], np.uint32),
                           size=n_boxes)
     add(bv, bf, np.repeat(box_mats, 12))
+
+    # floor heightfield (gentle ripple) sized to the box field, consuming
+    # the rest of the budget
+    hf_tris = max(target_triangles - n_boxes * 12, 2)
+    n = int(np.sqrt(hf_tris / 2)) + 1
+    hv, hfc = _heightfield(n, n, -extent, extent, -extent, extent,
+                           lambda x, z: 0.15 * np.sin(x * 0.8) * np.cos(z * 0.7))
+    add(hv, hfc, np.full(hfc.shape[0], m_floor, np.uint32))
 
     mesh = Mesh.from_arrays(np.concatenate(all_verts),
                             np.concatenate(all_faces),
@@ -118,7 +128,10 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
         p[1] = rng.uniform(2, 6)
         lb.add_point(tuple(p), tuple(rng.uniform(0.5, 1.0, 3)), 2.0)
 
-    camera = Camera.create(position=(0.0, 2.5, 24.0), direction=(0.0, -0.12, -1.0),
-                           fov=55.0)
+    # camera on the x = 0 lane (always clear, see the half-offset centres),
+    # at a z-lane crossing just inside the field edge, looking down the lane
+    cam_z = float(np.floor(extent * 0.9 / spacing) * spacing)
+    camera = Camera.create(position=(0.0, 2.5, cam_z),
+                           direction=(0.0, -0.12, -1.0), fov=55.0)
     return prepare_scene(camera, Spheres.from_rows([]), mesh, mats.build(),
                          lb.build(), config=config)
