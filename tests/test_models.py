@@ -96,3 +96,25 @@ def test_camera_controller_semantics(default_scene):
     for _ in range(100):
         cc.rotate(0.0, -1000.0)
     assert cc.direction[1] <= 0.995
+
+
+def test_courtyard_scene_is_a_real_workload():
+    """Guard against benchmark-scene degeneration: at the bench scale the
+    box grid must NOT merge into a solid wall around the camera (which once
+    made every camera ray terminate ~5cm in and the benchmark trivial)."""
+    import jax.numpy as jnp
+    from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+    from gpu_raytracer_tpu.ops.camera_rays import generate_rays
+    from gpu_raytracer_tpu.ops.trace import trace
+
+    scene = make_courtyard_scene(100_000, seed=0)
+    W, H = 32, 18
+    py, px = np.mgrid[0:H, 0:W]
+    o, d = generate_rays(scene.camera, W, H,
+                         jnp.asarray(px.reshape(-1).astype(np.int32)),
+                         jnp.asarray(py.reshape(-1).astype(np.int32)))
+    h = trace(scene, o, d)
+    t = np.asarray(h.t)[np.asarray(h.hit)]
+    mats = np.unique(np.asarray(h.material_id)[np.asarray(h.hit)])
+    assert t.max() / max(t.min(), 1e-3) > 20      # depth variety
+    assert len(mats) >= 3                         # material variety
