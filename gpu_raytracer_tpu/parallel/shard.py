@@ -146,3 +146,41 @@ def render_frame_multichip(scene: Scene, width: int, height: int, mesh: Mesh,
                               jnp.asarray(py, jnp.int32), width, height, mesh,
                               leaf_size=leaf_size, use_bvh=use_bvh)
     return np.asarray(rgb)[:n].reshape(height, width, 3)
+
+
+def render_frame_fused_multichip(scene, width: int, height: int, mesh,
+                                 shadows: bool = False,
+                                 interpret: bool = False) -> np.ndarray:
+    """Whole frame through the fused raygen→trace→shade Pallas kernel
+    (ops/pallas/render.py), ray-sharded over the mesh: every chip holds the
+    replicated scene tables and renders its slice of the tile-ordered pixel
+    stream — the data-parallel layout where the only collective is the
+    implicit output gather (ICI-friendly; no cross-chip traffic during the
+    frame). `interpret=True` runs the kernel in the Pallas interpreter for
+    virtual-CPU-mesh validation."""
+    from ..ops.packet_trace import tiled_pixel_order
+    from ..ops.pallas.render import pallas_render_primary
+
+    n_dev = mesh.devices.size
+    px, py = tiled_pixel_order(width, height, tile=64)
+    n = px.shape[0]
+    pad = (-n) % (n_dev * 128)
+    if pad:
+        px = np.concatenate([px, np.full(pad, width - 1, np.int32)])
+        py = np.concatenate([py, np.full(pad, height - 1, np.int32)])
+    per_dev = px.shape[0] // n_dev
+    packet = max(k for k in (8192, 4096, 1024, 512, 256, 128)
+                 if per_dev % k == 0)
+
+    def shard_fn(scene, pxs, pys):
+        return pallas_render_primary(scene, pxs, pys, width, height,
+                                     shadows=shadows, packet_size=packet,
+                                     interpret=interpret)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+                       out_specs=P(RAY_AXIS), check_vma=False)
+    flat = np.asarray(jax.jit(fn)(scene, jnp.asarray(px), jnp.asarray(py)))
+    fb = np.zeros((height, width, 3), np.float32)
+    fb[py, px] = flat
+    return fb

@@ -66,3 +66,19 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (128 * 128, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_8
+def test_fused_megakernel_ray_sharded(default_scene):
+    """The fused Pallas render kernel under shard_map matches the
+    single-device XLA pipeline (interpreter mode on the CPU mesh)."""
+    from gpu_raytracer_tpu.parallel.mesh import make_mesh
+    from gpu_raytracer_tpu.parallel.shard import render_frame_fused_multichip
+    from gpu_raytracer_tpu.engine.renderer import render_image
+
+    W = H = 32
+    mesh = make_mesh(8)
+    fb = render_frame_fused_multichip(default_scene, W, H, mesh,
+                                      interpret=True)
+    ref = render_image(default_scene, W, H)
+    np.testing.assert_allclose(fb, ref, atol=2e-5)
