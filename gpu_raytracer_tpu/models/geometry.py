@@ -144,6 +144,7 @@ class Textures:
     format: jnp.ndarray   # [N] u32 (3 = RGBA8; everything is decoded to RGBA8)
     offset: jnp.ndarray   # [N] u32 byte offset into the (conceptual) byte buffer
     size: jnp.ndarray     # [N] u32 byte size
+    wrap: jnp.ndarray     # [N] u32 sampler wrap: 0=REPEAT 1=CLAMP 2=MIRRORED
     # Texels stored pre-packed as little-endian RGBA-in-u32 — the layout the
     # reference packs on upload (/root/reference/src/buffers.rs:423-431) —
     # so a texel fetch is ONE u32 gather + vector bit unpacking.
@@ -156,11 +157,13 @@ class Textures:
     @staticmethod
     def empty() -> "Textures":
         z = jnp.zeros((1,), jnp.uint32)
-        return Textures(z, z, z, z, z, jnp.zeros((1,), jnp.uint32))
+        return Textures(z, z, z, z, z, z, jnp.zeros((1,), jnp.uint32))
 
     @staticmethod
-    def from_images(images: list[np.ndarray]) -> "Textures":
-        """images: list of [H,W,4] uint8 arrays."""
+    def from_images(images: list[np.ndarray],
+                    wrap: list[int] | None = None) -> "Textures":
+        """images: list of [H,W,4] uint8 arrays; wrap: per-texture sampler
+        wrap modes (0=REPEAT, the glTF default)."""
         if not images:
             return Textures.empty()
         widths, heights, offsets, sizes, chunks = [], [], [], [], []
@@ -181,5 +184,6 @@ class Textures:
             width=u32(widths), height=u32(heights),
             format=u32([3] * len(images)),
             offset=u32(offsets), size=u32(sizes),
+            wrap=u32(wrap if wrap is not None else [0] * len(images)),
             data_u32=jnp.asarray(flat.view("<u4")),
         )

@@ -71,6 +71,7 @@ class LoadedScene:
     cameras: list = field(default_factory=list)    # list[Camera]
     images: list = field(default_factory=list)     # list[np.ndarray RGBA8]
     texture_image: list = field(default_factory=list)  # texture -> image idx
+    texture_wrap: list = field(default_factory=list)   # texture -> wrap mode
     uvs: np.ndarray | None = None                  # [V,2] f32 TEXCOORD_0
 
 
@@ -365,8 +366,13 @@ class GltfLoader:
                 out.images.append(decode_png(bytes(raw)))
             except GltfError:
                 out.images.append(np.full((1, 1, 4), 255, np.uint8))  # placeholder
+        samplers = self.doc.get("samplers", [])
+        wrap_codes = {10497: 0, 33071: 1, 33648: 2}  # REPEAT/CLAMP/MIRRORED
         for tex in self.doc.get("textures", []):
             out.texture_image.append(tex.get("source", 0))
+            smp = samplers[tex["sampler"]] if "sampler" in tex and \
+                tex["sampler"] < len(samplers) else {}
+            out.texture_wrap.append(wrap_codes.get(smp.get("wrapS", 10497), 0))
 
     def _process_node(self, node_idx, parent, out, verts, tris, tmats,
                       uvs) -> None:
@@ -550,9 +556,13 @@ def scene_from_gltf(path: str, scene_index: int | None = None,
     mesh = Mesh.from_arrays(loaded.vertices, loaded.triangles,
                             loaded.tri_materials, uv=loaded.uvs)
     # texture table: resolve texture -> image, pack RGBA8 atlas
-    images = [loaded.images[i] for i in loaded.texture_image
-              if i < len(loaded.images)]
-    textures = Textures.from_images(images) if images else None
+    images, wraps = [], []
+    for ti, i in enumerate(loaded.texture_image):
+        if i < len(loaded.images):
+            images.append(loaded.images[i])
+            wraps.append(loaded.texture_wrap[ti]
+                         if ti < len(loaded.texture_wrap) else 0)
+    textures = Textures.from_images(images, wrap=wraps) if images else None
     print(f"Loaded glTF scene: {mesh.num_triangles} triangles, "
           f"{mesh.num_vertices} vertices, {len(loaded.materials)} materials, "
           f"{len(loaded.lights)} lights, {len(loaded.cameras)} cameras, "

@@ -48,10 +48,16 @@ def _fetch_texel(tex: Textures, idx: jnp.ndarray, tx: jnp.ndarray,
     return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
 
 
-def _wrap(coord: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
-    """REPEAT wrap of integer texel coords to [0, size)."""
+def _wrap(coord: jnp.ndarray, size: jnp.ndarray,
+          mode: jnp.ndarray) -> jnp.ndarray:
+    """Sampler wrap of integer texel coords to [0, size):
+    mode 0 = REPEAT, 1 = CLAMP_TO_EDGE, 2 = MIRRORED_REPEAT."""
     size = jnp.maximum(size.astype(jnp.int32), 1)
-    return jnp.mod(jnp.mod(coord, size) + size, size)
+    repeat = jnp.mod(jnp.mod(coord, size) + size, size)
+    clamp = jnp.clip(coord, 0, size - 1)
+    per = jnp.mod(jnp.mod(coord, 2 * size) + 2 * size, 2 * size)
+    mirror = jnp.where(per < size, per, 2 * size - 1 - per)
+    return jnp.where(mode == 1, clamp, jnp.where(mode == 2, mirror, repeat))
 
 
 @partial(jax.jit, static_argnames=("bilinear",))
@@ -69,6 +75,7 @@ def sample_texture(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
 
     w = tex.width[safe].astype(jnp.int32)
     h = tex.height[safe].astype(jnp.int32)
+    mode = tex.wrap[safe].astype(jnp.int32)
     u = uv[..., 0] * w.astype(jnp.float32)
     v = uv[..., 1] * h.astype(jnp.float32)
 
@@ -81,16 +88,19 @@ def sample_texture(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
         y0 = jnp.floor(vf).astype(jnp.int32)
         fx = (uf - x0.astype(jnp.float32))[..., None]
         fy = (vf - y0.astype(jnp.float32))[..., None]
-        c00 = _fetch_texel(tex, safe, _wrap(x0, w), _wrap(y0, h))
-        c10 = _fetch_texel(tex, safe, _wrap(x0 + 1, w), _wrap(y0, h))
-        c01 = _fetch_texel(tex, safe, _wrap(x0, w), _wrap(y0 + 1, h))
-        c11 = _fetch_texel(tex, safe, _wrap(x0 + 1, w), _wrap(y0 + 1, h))
+        c00 = _fetch_texel(tex, safe, _wrap(x0, w, mode), _wrap(y0, h, mode))
+        c10 = _fetch_texel(tex, safe, _wrap(x0 + 1, w, mode),
+                           _wrap(y0, h, mode))
+        c01 = _fetch_texel(tex, safe, _wrap(x0, w, mode),
+                           _wrap(y0 + 1, h, mode))
+        c11 = _fetch_texel(tex, safe, _wrap(x0 + 1, w, mode),
+                           _wrap(y0 + 1, h, mode))
         top = c00 * (1.0 - fx) + c10 * fx
         bot = c01 * (1.0 - fx) + c11 * fx
         rgba = top * (1.0 - fy) + bot * fy
     else:
-        x = _wrap(jnp.floor(u).astype(jnp.int32), w)
-        y = _wrap(jnp.floor(v).astype(jnp.int32), h)
+        x = _wrap(jnp.floor(u).astype(jnp.int32), w, mode)
+        y = _wrap(jnp.floor(v).astype(jnp.int32), h, mode)
         rgba = _fetch_texel(tex, safe, x, y)
 
     return jnp.where(valid[..., None], rgba, 1.0)

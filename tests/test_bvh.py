@@ -137,3 +137,29 @@ def test_occlusion_matches_closest(rng):
     hit = trace(scene, o, d)
     occ = occluded(scene, o, d, jnp.full((n,), 1e30, jnp.float32))
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(hit.hit))
+
+
+def test_degenerate_scene_coincident_triangles(rng):
+    """Pathological input — thousands of near-coincident triangles (zero
+    centroid spread defeats median/SAH splits): build must terminate, the
+    traversal stack must stay bounded, and hits must match brute force."""
+    base = np.asarray([[0.0, 0.0, -3.0], [1.0, 0.0, -3.0], [0.0, 1.0, -3.0]],
+                      np.float32)
+    jit = rng.normal(0, 1e-6, (2000, 3, 3)).astype(np.float32)
+    verts = (base[None] + jit).reshape(-1, 3)
+    idx = np.arange(verts.shape[0], dtype=np.uint32).reshape(-1, 3)
+    mesh = Mesh.from_arrays(verts, idx, np.zeros(2000, np.uint32))
+    mb = MaterialBuilder(); mb.add_diffuse((0.5, 0.5, 0.5))
+    lb = LightBuilder(); lb.add_point((0, 0, 0), (1, 1, 1), 1.0)
+    scene = prepare_scene(Camera.default(), Spheres.from_rows([]), mesh,
+                          mb.build(), lb.build())
+
+    n = 1024  # one full packet so the packet paths run
+    o = np.tile(np.asarray([[0.2, 0.2, 1.0]], np.float32), (n, 1))
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    h_bvh = trace(scene, jnp.asarray(o), jnp.asarray(d), use_bvh=True)
+    h_bf = trace(scene, jnp.asarray(o), jnp.asarray(d), use_bvh=False)
+    np.testing.assert_array_equal(np.asarray(h_bvh.hit), np.asarray(h_bf.hit))
+    assert np.asarray(h_bvh.hit).all()
+    np.testing.assert_allclose(np.asarray(h_bvh.t), np.asarray(h_bf.t),
+                               rtol=1e-5)

@@ -144,3 +144,21 @@ def test_textured_triangle_render():
     center = img[8:56, 8:56]
     assert (center[..., 0] > 2 * center[..., 2]).any()
     assert (center[..., 2] > 2 * center[..., 0]).any()
+
+
+def test_wrap_modes():
+    """Sampler wrap: REPEAT / CLAMP_TO_EDGE / MIRRORED_REPEAT."""
+    grad = np.zeros((1, 4, 4), np.uint8)
+    grad[0, :, 0] = [0, 85, 170, 255]   # R ramp across x
+    grad[0, :, 3] = 255
+    # u=1.125 lands at texel x=4.5: REPEAT -> texel 0, CLAMP -> texel 3,
+    # MIRRORED -> texel 3 (folded back)
+    for mode, u_out, want_r in ((0, 1.125, 0 / 255),
+                                (1, 1.5, 255 / 255),
+                                (2, 1.125, 255 / 255)):
+        tex = Textures.from_images([grad], wrap=[mode])
+        got = np.asarray(sample_texture(tex, jnp.zeros((1,), jnp.uint32),
+                                        jnp.asarray([[u_out, 0.5]],
+                                                    jnp.float32),
+                                        bilinear=False))
+        assert abs(got[0, 0] - want_r) < 1e-6, (mode, got[0])
