@@ -14,7 +14,11 @@ from .models.geometry import Mesh, Spheres, Textures, dedup_triangles
 from .models.material import Materials, MaterialBuilder
 from .models.light import Lights, LightBuilder
 from .models.bvh import Bvh, build_bvh
+from .models.gltf import (GltfLoader, load_gltf, scene_from_gltf,
+                          scene_from_gltf_or_default)
 from .engine.renderer import Renderer, render_image, render_chunk
+from .engine.pathtracer import PathTracer, render_pathtraced
+from .engine.viewer import Viewer
 
 __version__ = "0.1.0"
 
@@ -25,5 +29,7 @@ __all__ = [
     "Mesh", "Spheres", "Textures", "dedup_triangles",
     "Materials", "MaterialBuilder", "Lights", "LightBuilder",
     "Bvh", "build_bvh",
+    "GltfLoader", "load_gltf", "scene_from_gltf", "scene_from_gltf_or_default",
     "Renderer", "render_image", "render_chunk",
+    "PathTracer", "render_pathtraced", "Viewer",
 ]
