@@ -91,6 +91,7 @@ class Renderer:
         self.sky = tuple(float(x) for x in sky)
         self.use_bvh = scene.bvh.num_nodes > 1
         self._chunks = None  # cached device px/py chunks
+        self._sphere_uv_ok = None  # lazy host check (see _use_deferred)
 
     def set_camera(self, camera: Camera) -> None:
         self.scene = self.scene.with_camera(camera)
@@ -147,6 +148,24 @@ class Renderer:
         return (_pallas_available() and self.use_bvh
                 and fused_render_eligible(self.scene))
 
+    def _use_deferred(self) -> bool:
+        """Two-phase fused kernel (trace + light sums in Pallas, material /
+        texture apply in one XLA gather pass) — textured scenes and
+        unbounded material counts stay off the slow chunked path."""
+        from ..ops.trace import _pallas_available
+        from ..ops.pallas.render import fused_deferred_eligible
+
+        if not (_pallas_available() and self.use_bvh):
+            return False
+        if self._sphere_uv_ok is None:
+            # One host fetch per Renderer: radius-0 guard spheres
+            # (Spheres.from_rows([])) can never hit, so the kernel's missing
+            # sphere equirect-UV (Mosaic has no atan2) is unreachable.
+            self._sphere_uv_ok = bool(
+                np.all(np.asarray(self.scene.spheres.radius) == 0.0))
+        return fused_deferred_eligible(self.scene,
+                                       sphere_uv_ok=self._sphere_uv_ok)
+
     def render_device(self) -> jnp.ndarray:
         """Render the full frame, leaving it in HBM → device f32 [Npad,3] in
         tile-major ray order (see `_pixel_order`).
@@ -163,6 +182,13 @@ class Renderer:
             from ..ops.pallas.render import pallas_render_primary
 
             out = [pallas_render_primary(
+                self.scene, pxs, pys, W, H, shadows=self.shadows,
+                sky=self.sky) for pxs, pys in self._device_chunks()]
+            return jnp.concatenate(out) if len(out) > 1 else out[0]
+        if self._use_deferred():
+            from ..ops.pallas.render import pallas_render_deferred
+
+            out = [pallas_render_deferred(
                 self.scene, pxs, pys, W, H, shadows=self.shadows,
                 sky=self.sky) for pxs, pys in self._device_chunks()]
             return jnp.concatenate(out) if len(out) > 1 else out[0]

@@ -35,10 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.scene import Scene
 from ..f16 import unpack_f16_high, unpack_f16_low
 from .traverse import (
-    GROUP, LANES, ROW, STACK, TRI_FORMATS, VMEM_HEADROOM,
-    _ordered_traverse, pallas_scene_ok, scene_vmem_bytes,
+    LANES, STACK, VMEM_HEADROOM,
+    _ordered_traverse, pack_node_rows, pack_tri_rows, pallas_scene_ok,
+    scene_vmem_bytes,
 )
-from .render import MAX_LIGHTS, MAX_MATERIALS, MAX_SPHERES, _max0
+from .render import (
+    MAX_LIGHTS, MAX_MATERIALS, MAX_SPHERES,
+    _light_I, _light_rows, _sphere_pass, _sphere_rows,
+)
 
 _MIN_T = 1e-5
 _MAX_SEED = 3.4028235e38 - 2.0
@@ -72,30 +76,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     limit = jnp.where(active, jnp.float32(_MAX_SEED), 0.0)
 
     # ---- spheres, exhaustive strict < (lib.rs:252-269) ----
-    sph_t = limit
-    sph_m = jnp.full(tile, -1.0, jnp.float32)
-    scx = jnp.zeros(tile, jnp.float32)
-    scy = jnp.zeros(tile, jnp.float32)
-    scz = jnp.zeros(tile, jnp.float32)
-    for k in range(n_spheres):
-        row = sph_ref[k:k + 1, :]
-        cx_, cy_, cz_, rad_s, mid = (row[0, 0], row[0, 1], row[0, 2],
-                                     row[0, 3], row[0, 4])
-        ocx, ocy, ocz = ox - cx_, oy - cy_, oz - cz_
-        a = dx * dx + dy * dy + dz * dz
-        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-        c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad_s * rad_s
-        disc = b * b - 4.0 * a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b - sq) / (2.0 * a)
-        t2 = (-b + sq) / (2.0 * a)
-        t = jnp.where(t1 > _MIN_T, t1, t2)
-        ok = (disc >= 0.0) & (t > _MIN_T) & (t < sph_t)
-        sph_t = jnp.where(ok, t, sph_t)
-        sph_m = jnp.where(ok, mid, sph_m)
-        scx = jnp.where(ok, cx_, scx)
-        scy = jnp.where(ok, cy_, scy)
-        scz = jnp.where(ok, cz_, scz)
+    sph_t, sph_m, scx, scy, scz = _sphere_pass(
+        sph_ref, n_spheres, ox, oy, oz, dx, dy, dz, limit)
     sph_any = sph_m >= 0.0
 
     # ---- triangles pruned at the sphere t ----
@@ -158,59 +140,11 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     is_metal_f = (metal > 0.5).astype(jnp.float32)
     brdf = is_metal_f * 0.5 + (1.0 - is_metal_f) * (1.0 / _PI)
     for li in range(n_lights):
-        row = light_ref[li:li + 1, :]
-        lpx, lpy, lpz = row[0, 0], row[0, 1], row[0, 2]
-        ltype = row[0, 3]
-        lcr, lcg, lcb = row[0, 4], row[0, 5], row[0, 6]
-        lint = row[0, 7]
-        ldx, ldy, ldz = row[0, 8], row[0, 9], row[0, 10]
-
-        dir_I = _max0(-(nx * ldx + ny * ldy + nz * ldz)) * lint
-        tlx, tly, tlz = lpx - phx, lpy - phy, lpz - phz
-        dist2 = tlx * tlx + tly * tly + tlz * tlz
-        dist = jnp.sqrt(dist2)
-        inv_dist = 1.0 / dist
-        plx, ply, plz = tlx * inv_dist, tly * inv_dist, tlz * inv_dist
-        atten = 1.0 / (1.0 + dist2 * 0.01)
-        ui = jax.lax.bitcast_convert_type(atten, jnp.int32)
-        ui = (ui + (0x0FFF + ((ui >> 13) & 1))) & ~0x1FFF
-        atten = jax.lax.bitcast_convert_type(ui, jnp.float32)
-        point_I = _max0(nx * plx + ny * ply + nz * plz) * lint * atten
-        spot_I = point_I * _max0(-(ldx * plx + ldy * ply + ldz * plz))
-        I = (dir_I * (ltype == 0.0) + point_I * (ltype == 1.0)
-             + spot_I * (ltype == 2.0))
-
-        if shadows:
-            sdx = jnp.where(ltype == 0.0, -ldx, plx)
-            sdy = jnp.where(ltype == 0.0, -ldy, ply)
-            sdz = jnp.where(ltype == 0.0, -ldz, plz)
-            smax = jnp.where(ltype == 0.0, jnp.float32(3.0e38), dist - 1e-3)
-            smax = jnp.where(hit_live & (I > 0.0), smax, 0.0)
-            sb = _ordered_traverse(
-                node_ref, tri_ref, stack_ref,
-                phx + nx * 1e-3, phy + ny * 1e-3, phz + nz * 1e-3,
-                sdx, sdy, sdz, smax, max_iters, with_uv=False, any_hit=True,
-                slots=slots)
-            blocked = (sb[1] >= 0).astype(jnp.float32)
-            for k in range(n_spheres):
-                srow = sph_ref[k:k + 1, :]
-                kcx, kcy, kcz, rad_s = (srow[0, 0], srow[0, 1], srow[0, 2],
-                                        srow[0, 3])
-                ocx = phx + nx * 1e-3 - kcx
-                ocy = phy + ny * 1e-3 - kcy
-                ocz = phz + nz * 1e-3 - kcz
-                a = sdx * sdx + sdy * sdy + sdz * sdz
-                b = 2.0 * (ocx * sdx + ocy * sdy + ocz * sdz)
-                c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad_s * rad_s
-                disc = b * b - 4.0 * a * c
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t1 = (-b - sq) / (2.0 * a)
-                t2 = (-b + sq) / (2.0 * a)
-                st = jnp.where(t1 > _MIN_T, t1, t2)
-                occ = (disc >= 0.0) & (st > _MIN_T) & (st < smax)
-                blocked = jnp.maximum(blocked, occ.astype(jnp.float32))
-            I = I * (1.0 - blocked)
-
+        I, lcr, lcg, lcb = _light_I(
+            node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
+            nx, ny, nz, phx, phy, phz, hit_live,
+            shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
+            slots=slots)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate
         tot_r = tot_r + alb_r * w * lcr
@@ -387,35 +321,9 @@ def pallas_bounce(
     nn = bvh.left.shape[0]
     Tp = scene.tri_v0.shape[0]
     slots = bvh.leaf_align
-    tg = TRI_FORMATS[slots]
-    nn_pad = (-nn) % ROW
-
-    leaf_count = jnp.where(bvh.left < 0, bvh.tri_count, 0)
-    asf = lambda a: a.astype(jnp.float32)[:, None]
-    lc = jnp.clip(bvh.left, 0, nn - 1)
-    rc = jnp.clip(bvh.right, 0, nn - 1)
-    diff = ((bvh.node_min[rc] + bvh.node_max[rc])
-            - (bvh.node_min[lc] + bvh.node_max[lc]))
-    axis = jnp.argmax(jnp.abs(diff), axis=1)
-    left_lower = jnp.take_along_axis(diff, axis[:, None], 1)[:, 0] >= 0
-    code = (axis * 2 + left_lower).astype(jnp.int32)
-    zf = jnp.zeros((nn, GROUP - 11), jnp.float32)
-    node = jnp.concatenate(
-        [bvh.node_min, bvh.node_max, asf(bvh.left), asf(bvh.right),
-         asf(bvh.tri_start), asf(leaf_count), asf(code), zf], axis=1)
-    if nn_pad:
-        node = jnp.concatenate([node, jnp.zeros((nn_pad, GROUP), jnp.float32)])
-    node_rows = node.reshape(-1, 128)
-    parts = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
-             scene.tri_mat.astype(jnp.float32)[:, None]]
-    if tg == 16:
-        parts.append(jnp.zeros((Tp, 6), jnp.float32))
-        tri_rows = jnp.concatenate(parts, axis=1).reshape(-1, 128)
-    else:
-        flat = jnp.concatenate(parts, axis=1).reshape(-1, slots * tg)
-        tri_rows = jnp.concatenate(
-            [flat, jnp.zeros((flat.shape[0], 128 - slots * tg),
-                             jnp.float32)], axis=1)
+    node_rows = pack_node_rows(bvh)
+    tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                             scene.tri_mat, slots=slots)
 
     m = scene.materials
     mat_rows = jnp.concatenate(
@@ -425,17 +333,8 @@ def pallas_bounce(
          unpack_f16_low(m.ior_transmission_f16)[:, None],
          unpack_f16_high(m.ior_transmission_f16)[:, None],
          jnp.zeros((m.count, 6), jnp.float32)], axis=1)
-    L = scene.lights
-    dlen = jnp.sqrt(jnp.sum(L.direction * L.direction, axis=1, keepdims=True))
-    light_rows = jnp.concatenate(
-        [L.position, L.light_type.astype(jnp.float32)[:, None], L.color,
-         L.intensity[:, None], L.direction / dlen,
-         jnp.zeros((L.count, 5), jnp.float32)], axis=1)
-    S = scene.spheres
-    sph_rows = jnp.concatenate(
-        [S.center, jnp.maximum(S.radius, 1e-30)[:, None],
-         S.material_id.astype(jnp.float32)[:, None],
-         jnp.zeros((S.count, 11), jnp.float32)], axis=1)
+    light_rows = _light_rows(scene)
+    sph_rows = _sphere_rows(scene)
 
     shape3 = (B, 3, sub, LANES)
     shape1 = (B, sub, LANES)

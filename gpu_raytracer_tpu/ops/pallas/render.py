@@ -1,25 +1,40 @@
-"""Fused primary-render Pallas kernel: raygen → spheres → BVH → shade.
+"""Fused primary-render Pallas kernels: raygen → spheres → BVH → shade.
 
 The chunked XLA pipeline materialises a full Hit record (t, point, normal,
 material, uv — ~15 arrays of 2M rays) between trace and shade, then streams
 it back through ~50 elementwise passes of direct lighting; measured at 1080p
-that plumbing costs ~28 ms against ~8 ms of actual traversal. This kernel is
-the reference's megakernel idea (`main_cs`, /root/reference/shader/src/
+that plumbing costs ~28 ms against ~8 ms of actual traversal. These kernels
+are the reference's megakernel idea (`main_cs`, /root/reference/shader/src/
 lib.rs:25-89) rebuilt for TPU: one program per ray packet computes camera
 rays from pixel coordinates, runs the exhaustive sphere pass and the ordered
-BVH traversal (ops/pallas/traverse.py), shades — ambient + punctual lights +
-dispersion, the reference's exact formulas (shader/src/lighting.rs,
-material.rs, lib.rs:299-349) — and writes only the final RGB. Per-ray HBM
-traffic is 8 bytes in (pixel coords), 12 out.
+BVH traversal (ops/pallas/traverse.py), and shades — ambient + punctual
+lights + dispersion, the reference's exact formulas (shader/src/lighting.rs,
+material.rs, lib.rs:299-349). Shadow rays (a reference gap we fill) re-run
+the traversal in any-hit mode per light inside the same program.
 
-Per-lane material parameters come from a static loop over the material table
-(mask-select against the winner's id — no gathers); lights and spheres are
-static loops over small VMEM tables. Shadow rays (a reference gap we fill)
-re-run the traversal in any-hit mode per light inside the same program.
+Two variants:
+
+* `pallas_render_primary` — single-phase: per-lane material parameters come
+  from a static mask-select loop over a VMEM material table (≤ MAX_MATERIALS)
+  and the kernel writes final RGB. Per-ray HBM traffic is 8 bytes in (pixel
+  coords), 12 out. Untextured scenes only (a texel fetch is a per-lane
+  gather, which Mosaic's 128-multiple lane addressing can't express).
+* `pallas_render_deferred` — two-phase: the kernel computes the
+  material-INDEPENDENT per-lane light sum S = Σᵢ Iᵢ·gateᵢ·light_colorᵢ
+  (shadowed, f16-attenuated — all the traversal work), plus the winner's
+  material id and interpolated UV; one vectorised XLA pass then gathers
+  material rows and texture texels and finishes
+  color = albedo·(0.1·occ + brdf·S) + emission (ops/shading.py::
+  shade_deferred). This factorisation is exact because the reference's
+  BRDF scale and albedo are loop-invariant over lights
+  (shader/src/lighting.rs:20-47, material.rs:76-83). It lifts BOTH
+  fused-path exclusions: textured scenes (texels via XLA gather) and
+  unbounded material counts (table via XLA gather). 24 B/ray HBM out.
 
 Falls back (engine/renderer.py) whenever a static precondition fails:
-textured scene, material/light/sphere counts over the loop bounds, VMEM
-budget, non-TPU backend.
+light/sphere counts over the loop bounds, VMEM budget, non-TPU backend,
+textured scene with live spheres (sphere equirect UV needs atan2, which
+Mosaic does not lower).
 """
 
 from __future__ import annotations
@@ -34,14 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.scene import Scene
 from ..f16 import unpack_f16_high, unpack_f16_low
 from .traverse import (
-    GROUP, LANES, ROW, STACK, TRI_FORMATS, VMEM_HEADROOM,
-    _ordered_traverse, pallas_scene_ok, scene_vmem_bytes,
+    LANES, STACK, VMEM_HEADROOM,
+    _ordered_traverse, pack_node_rows, pack_tri_rows, pallas_scene_ok,
+    scene_vmem_bytes,
 )
 
 _MIN_T = 1e-5
 _MAX_SEED = 3.4028235e38 - 2.0   # f32::MAX - 2.0 (shader lib.rs:183)
-MAX_MATERIALS = 32               # static mask-select loop bound
-MAX_LIGHTS = 8
+MAX_MATERIALS = 32               # static mask-select loop bound (single-phase)
+MAX_LIGHTS = 16
 MAX_SPHERES = 8
 
 # Cauchy-motivated dispersion offsets (shader/src/material.rs:48-53) and the
@@ -51,7 +67,7 @@ _TRANS_BASE = (0.2, 0.2, 0.3)
 
 
 def fused_render_eligible(scene: Scene) -> bool:
-    """Static preconditions for the fused kernel (checked at trace time)."""
+    """Static preconditions for the single-phase kernel."""
     return (scene.textures.data_u32.shape[0] <= 1
             and 1 <= scene.materials.count <= MAX_MATERIALS
             and scene.lights.count <= MAX_LIGHTS
@@ -59,15 +75,28 @@ def fused_render_eligible(scene: Scene) -> bool:
             and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0]))
 
 
+def fused_deferred_eligible(scene: Scene, sphere_uv_ok: bool = False) -> bool:
+    """Static preconditions for the two-phase kernel. Unlimited materials;
+    textures allowed. `sphere_uv_ok`: the caller verified every sphere is a
+    radius-0 guard (Spheres.from_rows([])) so the in-kernel sphere-UV gap
+    (Mosaic has no atan2) is unreachable."""
+    textured = scene.textures.data_u32.shape[0] > 1
+    if textured and scene.spheres.count > 0 and not sphere_uv_ok:
+        return False
+    return (scene.materials.count >= 1
+            and scene.lights.count <= MAX_LIGHTS
+            and scene.spheres.count <= MAX_SPHERES
+            and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0],
+                                want_uv=textured))
+
+
 def _max0(x):
     return jnp.where(x > 0.0, x, 0.0)  # Rust f32::max(0.0): NaN -> 0
 
 
-def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
-            px_ref, py_ref, rgb_ref, stack_ref, *,
-            max_iters, width, height, n_mats, n_lights, n_spheres,
-            shadows, sky, slots):
-    # ---- camera rays (ray.rs:22-53; pixel centres, unnormalised basis) ----
+def _camera_rays(cam_ref, px_ref, py_ref, width, height):
+    """Per-lane camera rays from pixel coordinates (ray.rs:22-53; pixel
+    centres, unnormalised right/up basis kept for parity)."""
     cam = cam_ref[0:1, :]
     posx, posy, posz = cam[0, 0], cam[0, 1], cam[0, 2]
     fwx, fwy, fwz = cam[0, 3], cam[0, 4], cam[0, 5]
@@ -92,10 +121,14 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     ox = jnp.broadcast_to(posx, dx.shape)
     oy = jnp.broadcast_to(posy, dx.shape)
     oz = jnp.broadcast_to(posz, dx.shape)
+    return ox, oy, oz, dx, dy, dz
 
-    # ---- spheres, exhaustive with strict < (lib.rs:252-269) ----
+
+def _sphere_pass(sph_ref, n_spheres, ox, oy, oz, dx, dy, dz, seed_t):
+    """Exhaustive sphere intersection with strict < (lib.rs:252-269) →
+    (t, winner material as f32 or -1, winner centre xyz)."""
     tile = dx.shape
-    sph_t = jnp.full(tile, jnp.float32(_MAX_SEED))
+    sph_t = seed_t
     sph_m = jnp.full(tile, -1.0, jnp.float32)
     scx = jnp.zeros(tile, jnp.float32)
     scy = jnp.zeros(tile, jnp.float32)
@@ -119,6 +152,100 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
         scx = jnp.where(ok, cx_, scx)
         scy = jnp.where(ok, cy_, scy)
         scz = jnp.where(ok, cz_, scz)
+    return sph_t, sph_m, scx, scy, scz
+
+
+def _sphere_occluders(sph_ref, n_spheres, sox, soy, soz, sdx, sdy, sdz, smax,
+                      blocked):
+    """OR sphere blockers into `blocked` (tiny count, tested directly)."""
+    for k in range(n_spheres):
+        srow = sph_ref[k:k + 1, :]
+        kcx, kcy, kcz, rad = (srow[0, 0], srow[0, 1], srow[0, 2], srow[0, 3])
+        ocx, ocy, ocz = sox - kcx, soy - kcy, soz - kcz
+        a = sdx * sdx + sdy * sdy + sdz * sdz
+        b = 2.0 * (ocx * sdx + ocy * sdy + ocz * sdz)
+        c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        st = jnp.where(t1 > _MIN_T, t1, t2)
+        occ = (disc >= 0.0) & (st > _MIN_T) & (st < smax)
+        blocked = jnp.maximum(blocked, occ.astype(jnp.float32))
+    return blocked
+
+
+def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
+             nx, ny, nz, phx, phy, phz, hit_mask, *,
+             shadows, n_spheres, max_iters, slots):
+    """Post-shadow intensity I and colour of light `li` at the hit points
+    (lighting.rs:20-139 + the shadow occlusion the reference never wired).
+    Shared by the primary, deferred and bounce kernels."""
+    row = light_ref[li:li + 1, :]
+    lpx, lpy, lpz = row[0, 0], row[0, 1], row[0, 2]
+    ltype = row[0, 3]
+    lcr, lcg, lcb = row[0, 4], row[0, 5], row[0, 6]
+    lint = row[0, 7]
+    ldx, ldy, ldz = row[0, 8], row[0, 9], row[0, 10]  # pre-normalised
+
+    dir_dot = -(nx * ldx + ny * ldy + nz * ldz)
+    dir_I = _max0(dir_dot) * lint
+
+    tlx, tly, tlz = lpx - phx, lpy - phy, lpz - phz
+    dist2 = tlx * tlx + tly * tly + tlz * tlz
+    dist = jnp.sqrt(dist2)
+    inv_dist = 1.0 / dist
+    plx, ply, plz = tlx * inv_dist, tly * inv_dist, tlz * inv_dist
+    atten = (1.0 / (1.0 + dist2 * 0.01))
+    # f16 round-trip (lighting.rs:125-127) via RTNE bit-twiddling —
+    # Mosaic can't lower f32<->f16 converts. Exact for f16-normal values
+    # (attenuation >= 2^-14, i.e. lights within ~400 units); below that
+    # true f16 goes subnormal and this keeps slightly more precision.
+    ui = jax.lax.bitcast_convert_type(atten, jnp.int32)
+    ui = (ui + (0x0FFF + ((ui >> 13) & 1))) & ~0x1FFF
+    atten = jax.lax.bitcast_convert_type(ui, jnp.float32)
+    pdot = nx * plx + ny * ply + nz * plz
+    point_I = _max0(pdot) * lint * atten
+    sdot = -(ldx * plx + ldy * ply + ldz * plz)
+    spot_I = point_I * _max0(sdot)
+
+    I = (dir_I * (ltype == 0.0) + point_I * (ltype == 1.0)
+         + spot_I * (ltype == 2.0))
+
+    if shadows:
+        # shadow ray from the offset hit point toward the light; any-hit
+        # traversal in the same program (a reference gap — its lighting
+        # never occludes, SURVEY.md §2.2)
+        sdx = jnp.where(ltype == 0.0, -ldx, plx)
+        sdy = jnp.where(ltype == 0.0, -ldy, ply)
+        sdz = jnp.where(ltype == 0.0, -ldz, plz)
+        smax = jnp.where(ltype == 0.0, jnp.float32(3.0e38), dist - 1e-3)
+        smax = jnp.where(hit_mask & (I > 0.0), smax, 0.0)
+        sox = phx + nx * 1e-3
+        soy = phy + ny * 1e-3
+        soz = phz + nz * 1e-3
+        sb = _ordered_traverse(
+            node_ref, tri_ref, stack_ref, sox, soy, soz,
+            sdx, sdy, sdz, smax, max_iters, with_uv=False, any_hit=True,
+            slots=slots)
+        blocked = (sb[1] >= 0).astype(jnp.float32)
+        blocked = _sphere_occluders(sph_ref, n_spheres, sox, soy, soz,
+                                    sdx, sdy, sdz, smax, blocked)
+        I = I * (1.0 - blocked)
+    return I, lcr, lcg, lcb
+
+
+def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
+            px_ref, py_ref, rgb_ref, stack_ref, *,
+            max_iters, width, height, n_mats, n_lights, n_spheres,
+            shadows, sky, slots):
+    """Single-phase: shade in-kernel via a static material mask-select."""
+    ox, oy, oz, dx, dy, dz = _camera_rays(cam_ref, px_ref, py_ref,
+                                          width, height)
+    tile = dx.shape
+    sph_t, sph_m, scx, scy, scz = _sphere_pass(
+        sph_ref, n_spheres, ox, oy, oz, dx, dy, dz,
+        jnp.full(tile, jnp.float32(_MAX_SEED)))
     sph_any = sph_m >= 0.0
 
     # ---- triangles: ordered BVH traversal pruned at the sphere t
@@ -174,72 +301,11 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     is_metal = (metal > 0.5).astype(jnp.float32)
     brdf = is_metal * 0.5 + (1.0 - is_metal) * (1.0 / 3.14159265358979)
     for li in range(n_lights):
-        row = light_ref[li:li + 1, :]
-        lpx, lpy, lpz = row[0, 0], row[0, 1], row[0, 2]
-        ltype = row[0, 3]
-        lcr, lcg, lcb = row[0, 4], row[0, 5], row[0, 6]
-        lint = row[0, 7]
-        ldx, ldy, ldz = row[0, 8], row[0, 9], row[0, 10]  # pre-normalised
-
-        dir_dot = -(nx * ldx + ny * ldy + nz * ldz)
-        dir_I = _max0(dir_dot) * lint
-
-        tlx, tly, tlz = lpx - px_hit, lpy - py_hit, lpz - pz_hit
-        dist2 = tlx * tlx + tly * tly + tlz * tlz
-        dist = jnp.sqrt(dist2)
-        inv_dist = 1.0 / dist
-        plx, ply, plz = tlx * inv_dist, tly * inv_dist, tlz * inv_dist
-        atten = (1.0 / (1.0 + dist2 * 0.01))
-        # f16 round-trip (lighting.rs:125-127) via RTNE bit-twiddling —
-        # Mosaic can't lower f32<->f16 converts. Exact for f16-normal values
-        # (attenuation >= 2^-14, i.e. lights within ~400 units); below that
-        # true f16 goes subnormal and this keeps slightly more precision.
-        ui = jax.lax.bitcast_convert_type(atten, jnp.int32)
-        ui = (ui + (0x0FFF + ((ui >> 13) & 1))) & ~0x1FFF
-        atten = jax.lax.bitcast_convert_type(ui, jnp.float32)
-        pdot = nx * plx + ny * ply + nz * plz
-        point_I = _max0(pdot) * lint * atten
-        sdot = -(ldx * plx + ldy * ply + ldz * plz)
-        spot_I = point_I * _max0(sdot)
-
-        I = (dir_I * (ltype == 0.0) + point_I * (ltype == 1.0)
-             + spot_I * (ltype == 2.0))
-
-        if shadows:
-            # shadow ray from the offset hit point toward the light; any-hit
-            # traversal in the same program (a reference gap — its lighting
-            # never occludes, SURVEY.md §2.2)
-            sdx = jnp.where(ltype == 0.0, -ldx, plx)
-            sdy = jnp.where(ltype == 0.0, -ldy, ply)
-            sdz = jnp.where(ltype == 0.0, -ldz, plz)
-            smax = jnp.where(ltype == 0.0, jnp.float32(3.0e38), dist - 1e-3)
-            smax = jnp.where(hit & (I > 0.0), smax, 0.0)
-            sb = _ordered_traverse(
-                node_ref, tri_ref, stack_ref,
-                px_hit + nx * 1e-3, py_hit + ny * 1e-3, pz_hit + nz * 1e-3,
-                sdx, sdy, sdz, smax, max_iters, with_uv=False, any_hit=True,
-                slots=slots)
-            blocked = (sb[1] >= 0).astype(jnp.float32)
-            # sphere occluders (tiny count, test directly)
-            for k in range(n_spheres):
-                srow = sph_ref[k:k + 1, :]
-                kcx, kcy, kcz, rad = (srow[0, 0], srow[0, 1], srow[0, 2],
-                                      srow[0, 3])
-                ocx = px_hit + nx * 1e-3 - kcx
-                ocy = py_hit + ny * 1e-3 - kcy
-                ocz = pz_hit + nz * 1e-3 - kcz
-                a = sdx * sdx + sdy * sdy + sdz * sdz
-                b = 2.0 * (ocx * sdx + ocy * sdy + ocz * sdz)
-                c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
-                disc = b * b - 4.0 * a * c
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t1 = (-b - sq) / (2.0 * a)
-                t2 = (-b + sq) / (2.0 * a)
-                st = jnp.where(t1 > _MIN_T, t1, t2)
-                occ = (disc >= 0.0) & (st > _MIN_T) & (st < smax)
-                blocked = jnp.maximum(blocked, occ.astype(jnp.float32))
-            I = I * (1.0 - blocked)
-
+        I, lcr, lcg, lcb = _light_I(
+            node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
+            nx, ny, nz, px_hit, py_hit, pz_hit, hit,
+            shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
+            slots=slots)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate
         tot_r = tot_r + alb_r * w * lcr
@@ -270,6 +336,121 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
         rgb_ref[0, c] = jnp.where(hit, col, jnp.float32(sky[c]))
 
 
+def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
+                     px_ref, py_ref, out_ref, stack_ref, *,
+                     max_iters, width, height, n_lights, n_spheres,
+                     shadows, slots, with_uv):
+    """Two-phase: all traversal (primary + shadow), winner attributes and
+    the material-independent light sum in-kernel; material/texture apply
+    happens in XLA (ops/shading.py::shade_deferred). Output planes:
+    [S_r, S_g, S_b, mat_id (f32, -1 = miss), uv_x, uv_y]."""
+    ox, oy, oz, dx, dy, dz = _camera_rays(cam_ref, px_ref, py_ref,
+                                          width, height)
+    tile = dx.shape
+    sph_t, sph_m, scx, scy, scz = _sphere_pass(
+        sph_ref, n_spheres, ox, oy, oz, dx, dy, dz,
+        jnp.full(tile, jnp.float32(_MAX_SEED)))
+    sph_any = sph_m >= 0.0
+
+    best = _ordered_traverse(node_ref, tri_ref, stack_ref,
+                             ox, oy, oz, dx, dy, dz, sph_t,
+                             max_iters, with_uv=with_uv, slots=slots)
+    tri_t, tri_id = best[0], best[1]
+    use_tri = tri_id >= 0
+    hit = use_tri | sph_any
+
+    t = jnp.where(use_tri, tri_t, sph_t)
+    px_hit = ox + dx * t
+    py_hit = oy + dy * t
+    pz_hit = oz + dz * t
+    snx = px_hit - scx
+    sny = py_hit - scy
+    snz = pz_hit - scz
+    snl = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+    nx = jnp.where(use_tri, best[2], snx * snl)
+    ny = jnp.where(use_tri, best[3], sny * snl)
+    nz = jnp.where(use_tri, best[4], snz * snl)
+    mat_id = jnp.where(use_tri, best[5], sph_m)
+    # Sphere-lane UV would be equirectangular (ops/texture.py::sphere_uv),
+    # but Mosaic has no atan2; eligibility guarantees textured scenes reach
+    # here only with guard spheres (radius 0, can never hit).
+    uvx = jnp.where(use_tri, best[6], 0.0)
+    uvy = jnp.where(use_tri, best[7], 0.0)
+
+    S_r = jnp.zeros(tile, jnp.float32)
+    S_g = jnp.zeros(tile, jnp.float32)
+    S_b = jnp.zeros(tile, jnp.float32)
+    for li in range(n_lights):
+        I, lcr, lcg, lcb = _light_I(
+            node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
+            nx, ny, nz, px_hit, py_hit, pz_hit, hit,
+            shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
+            slots=slots)
+        Ig = I * (I > 0.0).astype(jnp.float32)
+        S_r = S_r + Ig * lcr
+        S_g = S_g + Ig * lcg
+        S_b = S_b + Ig * lcb
+
+    out_ref[0, 0] = S_r
+    out_ref[0, 1] = S_g
+    out_ref[0, 2] = S_b
+    out_ref[0, 3] = mat_id          # -1.0 on miss (both passes seed -1)
+    out_ref[0, 4] = uvx
+    out_ref[0, 5] = uvy
+
+
+def _camera_row(scene: Scene) -> jnp.ndarray:
+    cam = scene.camera
+    fov_scale = jnp.tan(cam.fov * jnp.float32(0.5) * jnp.pi / 180.0)
+    return jnp.concatenate(
+        [cam.position, cam.direction, cam.up, fov_scale[None],
+         jnp.zeros((6,), jnp.float32)]).reshape(1, 16)
+
+
+def _light_rows(scene: Scene) -> jnp.ndarray:
+    """position, type, color, intensity, normalised direction per row.
+    NaN directions (zero vectors) are silenced by the kernel's max0,
+    matching the reference's NaN-ignoring f32::max."""
+    L = scene.lights
+    dlen = jnp.sqrt(jnp.sum(L.direction * L.direction, axis=1, keepdims=True))
+    return jnp.concatenate(
+        [L.position, L.light_type.astype(jnp.float32)[:, None], L.color,
+         L.intensity[:, None], L.direction / dlen,
+         jnp.zeros((L.count, 5), jnp.float32)], axis=1)
+
+
+def _sphere_rows(scene: Scene) -> jnp.ndarray:
+    """center, radius, material per row. Radius-0 guard spheres (reference
+    empty scenes) never hit, but their normal path divides by r — clamp so
+    1/0 inf*0 NaNs can't appear."""
+    S = scene.spheres
+    return jnp.concatenate(
+        [S.center, jnp.maximum(S.radius, 1e-30)[:, None],
+         S.material_id.astype(jnp.float32)[:, None],
+         jnp.zeros((S.count, 11), jnp.float32)], axis=1)
+
+
+def _material_rows_primary(scene: Scene) -> jnp.ndarray:
+    """albedo, emission, metallic, ior, transmission per row (single-phase)."""
+    m = scene.materials
+    metallic = unpack_f16_low(m.metallic_roughness_f16)
+    ior = unpack_f16_low(m.ior_transmission_f16)
+    trans = unpack_f16_high(m.ior_transmission_f16)
+    return jnp.concatenate(
+        [m.albedo, m.emission, metallic[:, None], ior[:, None],
+         trans[:, None], jnp.zeros((m.count, 7), jnp.float32)], axis=1)
+
+
+def _resident(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _per_packet(shape):
+    return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+                        memory_space=pltpu.VMEM)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "shadows", "sky",
                                    "packet_size", "interpret"))
 def pallas_render_primary(
@@ -293,104 +474,39 @@ def pallas_render_primary(
     B = N // packet_size
     nn = scene.bvh.left.shape[0]
     Tp = scene.tri_v0.shape[0]
-    nn_pad = (-nn) % ROW
-
-    # node/tri tables: identical layout to pallas_packet_traverse(ordered)
-    bvh = scene.bvh
-    leaf_count = jnp.where(bvh.left < 0, bvh.tri_count, 0)
-    asf = lambda a: a.astype(jnp.float32)[:, None]
-    lc = jnp.clip(bvh.left, 0, nn - 1)
-    rc = jnp.clip(bvh.right, 0, nn - 1)
-    diff = ((bvh.node_min[rc] + bvh.node_max[rc])
-            - (bvh.node_min[lc] + bvh.node_max[lc]))
-    axis = jnp.argmax(jnp.abs(diff), axis=1)
-    left_lower = jnp.take_along_axis(diff, axis[:, None], 1)[:, 0] >= 0
-    code = (axis * 2 + left_lower).astype(jnp.int32)
-    zf = jnp.zeros((nn, GROUP - 11), jnp.float32)
-    node = jnp.concatenate(
-        [bvh.node_min, bvh.node_max, asf(bvh.left), asf(bvh.right),
-         asf(bvh.tri_start), asf(leaf_count), asf(code), zf], axis=1)
-    if nn_pad:
-        node = jnp.concatenate(
-            [node, jnp.zeros((nn_pad, GROUP), jnp.float32)])
-    node_rows = node.reshape(-1, 128)
     slots = scene.bvh.leaf_align
-    tg = TRI_FORMATS[slots]
-    parts = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
-             scene.tri_mat.astype(jnp.float32)[:, None]]
-    if tg == 16:
-        parts.append(jnp.zeros((Tp, 6), jnp.float32))
-        tri_rows = jnp.concatenate(parts, axis=1).reshape(-1, 128)
-    else:
-        flat = jnp.concatenate(parts, axis=1).reshape(-1, slots * tg)
-        tri_rows = jnp.concatenate(
-            [flat, jnp.zeros((flat.shape[0], 128 - slots * tg),
-                             jnp.float32)], axis=1)
-
-    # camera row: pos, forward, up, fov_scale
-    cam = scene.camera
-    fov_scale = jnp.tan(cam.fov * jnp.float32(0.5) * jnp.pi / 180.0)
-    cam_row = jnp.concatenate(
-        [cam.position, cam.direction, cam.up, fov_scale[None],
-         jnp.zeros((6,), jnp.float32)]).reshape(1, 16)
-
-    # material rows: albedo, emission, metallic, ior, transmission
-    m = scene.materials
-    metallic = unpack_f16_low(m.metallic_roughness_f16)
-    ior = unpack_f16_low(m.ior_transmission_f16)
-    trans = unpack_f16_high(m.ior_transmission_f16)
-    mat_rows = jnp.concatenate(
-        [m.albedo, m.emission, metallic[:, None], ior[:, None],
-         trans[:, None], jnp.zeros((m.count, 7), jnp.float32)], axis=1)
-
-    # light rows: position, type, color, intensity, normalised direction
-    L = scene.lights
-    dlen = jnp.sqrt(jnp.sum(L.direction * L.direction, axis=1, keepdims=True))
-    ldir = L.direction / dlen  # NaN for zero dirs -> max0 silences (parity)
-    light_rows = jnp.concatenate(
-        [L.position, L.light_type.astype(jnp.float32)[:, None], L.color,
-         L.intensity[:, None], ldir,
-         jnp.zeros((L.count, 5), jnp.float32)], axis=1)
-
-    # sphere rows: center, radius, material
-    S = scene.spheres
-    sph_rows = jnp.concatenate(
-        [S.center, S.radius[:, None],
-         S.material_id.astype(jnp.float32)[:, None],
-         jnp.zeros((S.count, 11), jnp.float32)], axis=1)
-    # radius-0 guard sphere rows divide by r: keep 1/r finite via the row
-    # radius (reference empty scenes use r=0 spheres that never hit; the
-    # normal path is unreachable for them but 1/0 inf*0 = NaN, so clamp)
-    sph_rows = sph_rows.at[:, 3].set(jnp.maximum(sph_rows[:, 3], 1e-30))
+    node_rows = pack_node_rows(scene.bvh)
+    tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                             scene.tri_mat, slots=slots)
+    cam_row = _camera_row(scene)
+    mat_rows = _material_rows_primary(scene)
+    light_rows = _light_rows(scene)
+    sph_rows = _sphere_rows(scene)
 
     pxb = px.reshape(B, sub, LANES)
     pyb = py.reshape(B, sub, LANES)
 
-    resident = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    per_packet = lambda shape: pl.BlockSpec(
-        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.VMEM)
-
+    m = scene.materials
     kernel = partial(
         _kernel, max_iters=nn + 4, width=float(width), height=float(height),
-        n_mats=m.count, n_lights=L.count, n_spheres=S.count,
+        n_mats=m.count, n_lights=scene.lights.count,
+        n_spheres=scene.spheres.count,
         shadows=shadows, sky=tuple(float(x) for x in sky), slots=slots)
     rgb = pl.pallas_call(
         kernel,
         grid=(B,),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         in_specs=[
-            resident(node_rows.shape),
-            resident(tri_rows.shape),
-            resident(cam_row.shape),
-            resident(mat_rows.shape),
-            resident(light_rows.shape),
-            resident(sph_rows.shape),
-            per_packet((1, sub, LANES)),
-            per_packet((1, sub, LANES)),
+            _resident(node_rows.shape),
+            _resident(tri_rows.shape),
+            _resident(cam_row.shape),
+            _resident(mat_rows.shape),
+            _resident(light_rows.shape),
+            _resident(sph_rows.shape),
+            _per_packet((1, sub, LANES)),
+            _per_packet((1, sub, LANES)),
         ],
-        out_specs=per_packet((1, 3, sub, LANES)),
+        out_specs=_per_packet((1, 3, sub, LANES)),
         out_shape=jax.ShapeDtypeStruct((B, 3, sub, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
@@ -398,3 +514,72 @@ def pallas_render_primary(
     )(node_rows, tri_rows, cam_row, mat_rows, light_rows, sph_rows, pxb, pyb)
 
     return rgb.transpose(0, 2, 3, 1).reshape(N, 3)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "shadows", "sky",
+                                   "packet_size", "interpret"))
+def pallas_render_deferred(
+    scene: Scene,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    width: int,
+    height: int,
+    shadows: bool = False,
+    sky: tuple = (0.0, 0.0, 0.0),
+    packet_size: int = 8192,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Two-phase fused render (textured / unbounded-material scenes) →
+    RGB [N,3] in the given ray order."""
+    from ..shading import shade_deferred
+
+    N = px.shape[0]
+    sub = packet_size // LANES
+    assert N % packet_size == 0
+    B = N // packet_size
+    nn = scene.bvh.left.shape[0]
+    Tp = scene.tri_v0.shape[0]
+    slots = scene.bvh.leaf_align
+    textured = scene.textures.data_u32.shape[0] > 1
+    node_rows = pack_node_rows(scene.bvh)
+    tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                             scene.tri_mat,
+                             tri_uv=scene.tri_uv if textured else None,
+                             slots=slots)
+    cam_row = _camera_row(scene)
+    light_rows = _light_rows(scene)
+    sph_rows = _sphere_rows(scene)
+
+    pxb = px.reshape(B, sub, LANES)
+    pyb = py.reshape(B, sub, LANES)
+
+    kernel = partial(
+        _kernel_deferred, max_iters=nn + 4, width=float(width),
+        height=float(height), n_lights=scene.lights.count,
+        n_spheres=scene.spheres.count, shadows=shadows, slots=slots,
+        with_uv=textured)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        in_specs=[
+            _resident(node_rows.shape),
+            _resident(tri_rows.shape),
+            _resident(cam_row.shape),
+            _resident(light_rows.shape),
+            _resident(sph_rows.shape),
+            _per_packet((1, sub, LANES)),
+            _per_packet((1, sub, LANES)),
+        ],
+        out_specs=_per_packet((1, 6, sub, LANES)),
+        out_shape=jax.ShapeDtypeStruct((B, 6, sub, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
+        interpret=interpret,
+    )(node_rows, tri_rows, cam_row, light_rows, sph_rows, pxb, pyb)
+
+    flat = out.transpose(0, 2, 3, 1).reshape(N, 6)
+    light_sum = flat[:, 0:3]
+    mat_id = flat[:, 3].astype(jnp.int32)
+    uv = flat[:, 4:6]
+    return shade_deferred(scene, light_sum, mat_id, uv, sky_color=sky)

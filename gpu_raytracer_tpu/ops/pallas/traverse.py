@@ -96,6 +96,62 @@ def pallas_scene_ok(bvh, num_tris: int, want_uv: bool = False) -> bool:
 STACK = 128  # per-packet DFS stack bound (reference uses 64, bvh.rs:35-38)
 
 
+def pack_node_rows(bvh: Bvh, ordered: bool = True) -> jnp.ndarray:
+    """Pack the BVH into lane-dense [R,128] f32 node rows (8 nodes/row,
+    16 lanes each): min.xyz, max.xyz, then links/leaf info as exact
+    small-int floats. Ordered layout stores (left, right, tri_start,
+    leaf_count, code) with code = 2*split_axis + (left child centre lower
+    on that axis); threaded stores (hit_link, miss_link, tri_start,
+    leaf_count). Shared by every Pallas kernel that traverses."""
+    nn = bvh.left.shape[0]
+    nn_pad = (-nn) % ROW
+    leaf_count = jnp.where(bvh.left < 0, bvh.tri_count, 0)
+    asf = lambda a: a.astype(jnp.float32)[:, None]
+    if ordered:
+        lc = jnp.clip(bvh.left, 0, nn - 1)
+        rc = jnp.clip(bvh.right, 0, nn - 1)
+        diff = ((bvh.node_min[rc] + bvh.node_max[rc])
+                - (bvh.node_min[lc] + bvh.node_max[lc]))      # [nn,3]
+        axis = jnp.argmax(jnp.abs(diff), axis=1)
+        left_lower = jnp.take_along_axis(diff, axis[:, None], 1)[:, 0] >= 0
+        code = (axis * 2 + left_lower).astype(jnp.int32)
+        zf = jnp.zeros((nn, GROUP - 11), jnp.float32)
+        node = jnp.concatenate(
+            [bvh.node_min, bvh.node_max, asf(bvh.left), asf(bvh.right),
+             asf(bvh.tri_start), asf(leaf_count), asf(code), zf], axis=1)
+    else:
+        zf = jnp.zeros((nn, GROUP - 10), jnp.float32)
+        node = jnp.concatenate(
+            [bvh.node_min, bvh.node_max,
+             asf(bvh.hit_link), asf(bvh.miss_link),
+             asf(bvh.tri_start), asf(leaf_count), zf], axis=1)
+    if nn_pad:
+        node = jnp.concatenate(
+            [node, jnp.zeros((nn_pad, GROUP), jnp.float32)])
+    return node.reshape(-1, 128)
+
+
+def pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_mat=None, tri_uv=None,
+                  slots: int = 8) -> jnp.ndarray:
+    """Pack leaf-ordered expanded triangles into [Tp/slots,128] f32 leaf
+    rows, slot j at lanes j*tg: v0.xyz, e1.xyz, e2.xyz, material (exact
+    small-int f32)[, uv0, uv1, uv2 in the 16-lane format]."""
+    Tp = tri_v0.shape[0]
+    tg = TRI_FORMATS[slots]
+    if tri_mat is None:
+        tri_mat = jnp.zeros((Tp,), jnp.int32)
+    parts = [tri_v0, tri_e1, tri_e2, tri_mat.astype(jnp.float32)[:, None]]
+    if tg == 16:
+        parts.append(tri_uv.reshape(Tp, 6) if tri_uv is not None
+                     else jnp.zeros((Tp, 6), jnp.float32))
+        return jnp.concatenate(parts, axis=1).reshape(-1, 128)
+    assert tri_uv is None, "uv tracking needs the 16-lane (8-slot) format"
+    flat = jnp.concatenate(parts, axis=1).reshape(-1, slots * tg)
+    return jnp.concatenate(
+        [flat, jnp.zeros((flat.shape[0], 128 - slots * tg),
+                         jnp.float32)], axis=1)
+
+
 def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
                any_hit=False, slots=8):
     """One leaf row (8 dense Möller-Trumbore tests) against the packet,
@@ -407,53 +463,8 @@ def pallas_packet_traverse(
     B = N // packet_size
     Tp = tri_v0.shape[0]
     nn = bvh.left.shape[0]
-    nn_pad = (-nn) % ROW
-
-    def pad_nodes(a, fill):
-        return (jnp.concatenate([a, jnp.full((nn_pad,) + a.shape[1:], fill,
-                                             a.dtype)]) if nn_pad else a)
-
-    # node rows: [R,128] f32, node i at lanes (i%8)*16: min.xyz, max.xyz,
-    # then links/leaf info as exact small-int floats. Ordered layout stores
-    # (left, right, tri_start, leaf_count, code) where code = 2*split_axis +
-    # (left child center lower on that axis); threaded stores
-    # (hit_link, miss_link, tri_start, leaf_count).
-    leaf_count = jnp.where(bvh.left < 0, bvh.tri_count, 0)
-    asf = lambda a: a.astype(jnp.float32)[:, None]
-    if ordered:
-        lc = jnp.clip(bvh.left, 0, nn - 1)
-        rc = jnp.clip(bvh.right, 0, nn - 1)
-        diff = ((bvh.node_min[rc] + bvh.node_max[rc])
-                - (bvh.node_min[lc] + bvh.node_max[lc]))      # [nn,3]
-        axis = jnp.argmax(jnp.abs(diff), axis=1)
-        left_lower = jnp.take_along_axis(diff, axis[:, None], 1)[:, 0] >= 0
-        code = (axis * 2 + left_lower).astype(jnp.int32)
-        zf = jnp.zeros((nn, GROUP - 11), jnp.float32)
-        node = jnp.concatenate(
-            [bvh.node_min, bvh.node_max,
-             asf(bvh.left), asf(bvh.right),
-             asf(bvh.tri_start), asf(leaf_count), asf(code), zf], axis=1)
-    else:
-        zf = jnp.zeros((nn, GROUP - 10), jnp.float32)
-        node = jnp.concatenate(
-            [bvh.node_min, bvh.node_max,
-             asf(bvh.hit_link), asf(bvh.miss_link),
-             asf(bvh.tri_start), asf(leaf_count), zf], axis=1)
-    node_rows = pad_nodes(node, 0.0).reshape(-1, 128)
-    # leaf rows: [Tp/slots,128] f32, slot j at lanes j*tg:
-    # v0.xyz, e1.xyz, e2.xyz, material (exact small-int f32)[, uv0,uv1,uv2]
-    if tri_mat is None:
-        tri_mat = jnp.zeros((Tp,), jnp.int32)
-    parts = [tri_v0, tri_e1, tri_e2, tri_mat.astype(jnp.float32)[:, None]]
-    if tg == 16:
-        parts.append(tri_uv.reshape(Tp, 6) if tri_uv is not None
-                     else jnp.zeros((Tp, 6), jnp.float32))
-        tri_rows = jnp.concatenate(parts, axis=1).reshape(-1, 128)
-    else:
-        flat = jnp.concatenate(parts, axis=1).reshape(-1, slots * tg)
-        tri_rows = jnp.concatenate(
-            [flat, jnp.zeros((flat.shape[0], 128 - slots * tg),
-                             jnp.float32)], axis=1)
+    node_rows = pack_node_rows(bvh, ordered=ordered)
+    tri_rows = pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_mat, tri_uv, slots)
 
     o = orig.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
     d = dirn.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)

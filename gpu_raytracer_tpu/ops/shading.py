@@ -39,6 +39,31 @@ DISPERSION = jnp.asarray([-0.018, 0.0, 0.035], jnp.float32)
 TRANSMITTED_BASE = jnp.asarray([0.2, 0.2, 0.3], jnp.float32)
 
 
+def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray):
+    """Gather material rows and apply texture factors (glTF: factors multiply
+    texture samples) → (albedo [N,3], emission [N,3], metallic [N],
+    ambient_occlusion [N] or None). Static-gated on texture data being
+    present so untextured scenes pay nothing; the reference bound this data
+    but never sampled it (shader lib.rs:34-35)."""
+    m = scene.materials
+    albedo = m.albedo[mid]                                 # [N,3]
+    emission = m.emission[mid]
+    metallic = unpack_f16_low(m.metallic_roughness_f16[mid])  # [N]
+    ambient_occ = None
+    if scene.textures.data_u32.shape[0] > 1:
+        tex = scene.textures
+        ti = m.texture_indices[mid]                        # [N,8]
+        base = sample_texture(tex, ti[:, TEX_BASE_COLOR], uv)
+        albedo = albedo * base[:, :3]
+        emission = emission * sample_texture(
+            tex, ti[:, TEX_EMISSIVE], uv)[:, :3]
+        mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], uv)
+        metallic = metallic * mr[:, 2]                     # B channel
+        ambient_occ = sample_texture(
+            tex, ti[:, TEX_OCCLUSION], uv)[:, 0]           # R channel
+    return albedo, emission, metallic, ambient_occ
+
+
 def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None):
     """Per-ray RGB from ambient + punctual lights + emission
     (LightingCalculator::calculate_lighting, lighting.rs:20-47).
@@ -50,25 +75,8 @@ def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = No
     m = scene.materials
     L = scene.lights
     mid = jnp.clip(hit.material_id, 0, m.count - 1)
-    albedo = m.albedo[mid]                                 # [N,3]
-    emission = m.emission[mid]
-    metallic = unpack_f16_low(m.metallic_roughness_f16[mid])  # [N]
-
-    # Texture factors (glTF: factors multiply texture samples). Static-gated
-    # on texture data being present so untextured scenes pay nothing; the
-    # reference bound this data but never sampled it (shader lib.rs:34-35).
-    ambient_occ = None
-    if scene.textures.data_u32.shape[0] > 1:
-        tex = scene.textures
-        ti = m.texture_indices[mid]                        # [N,8]
-        base = sample_texture(tex, ti[:, TEX_BASE_COLOR], hit.uv)
-        albedo = albedo * base[:, :3]
-        emission = emission * sample_texture(
-            tex, ti[:, TEX_EMISSIVE], hit.uv)[:, :3]
-        mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], hit.uv)
-        metallic = metallic * mr[:, 2]                     # B channel
-        ambient_occ = sample_texture(
-            tex, ti[:, TEX_OCCLUSION], hit.uv)[:, 0]       # R channel
+    albedo, emission, metallic, ambient_occ = material_textures(
+        scene, mid, hit.uv)
 
     n = hit.normal                                          # [N,3]
     p = hit.point
@@ -106,11 +114,12 @@ def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = No
     return ambient + jnp.sum(per_light, axis=1) + emission
 
 
-def apply_dispersion(scene: Scene, hit: Hit, lighting: jnp.ndarray) -> jnp.ndarray:
-    """Transmission blend with wavelength-dependent IOR, all 3 channels at
-    once (calculate_shading, shader/src/lib.rs:322-337)."""
+def dispersion_blend(scene: Scene, mid: jnp.ndarray,
+                     lighting: jnp.ndarray) -> jnp.ndarray:
+    """Transmission blend with wavelength-dependent IOR for clipped material
+    ids `mid`, all 3 channels at once (calculate_shading,
+    shader/src/lib.rs:322-337)."""
     m = scene.materials
-    mid = jnp.clip(hit.material_id, 0, m.count - 1)
     ior = unpack_f16_low(m.ior_transmission_f16[mid])       # [N]
     trans = unpack_f16_high(m.ior_transmission_f16[mid])
     trans = jnp.clip(trans, 0.0, 1.0)[:, None]              # [N,1]
@@ -121,6 +130,42 @@ def apply_dispersion(scene: Scene, hit: Hit, lighting: jnp.ndarray) -> jnp.ndarr
 
     blended = lighting * (1.0 - trans) + transmitted * trans
     return jnp.where(trans > 0.0, blended, lighting)
+
+
+def apply_dispersion(scene: Scene, hit: Hit, lighting: jnp.ndarray) -> jnp.ndarray:
+    mid = jnp.clip(hit.material_id, 0, scene.materials.count - 1)
+    return dispersion_blend(scene, mid, lighting)
+
+
+def shade_deferred(scene: Scene, light_sum: jnp.ndarray, mat_id: jnp.ndarray,
+                   uv: jnp.ndarray, sky_color=(0.0, 0.0, 0.0)) -> jnp.ndarray:
+    """Material/texture apply for the two-phase fused renderer
+    (ops/pallas/render.py::pallas_render_deferred) → RGB [N,3].
+
+    `light_sum` is the kernel's material-independent Σᵢ Iᵢ·gateᵢ·light_colorᵢ
+    (shadowed, f16-attenuated); `mat_id` the winner's material (-1 = miss);
+    `uv` its interpolated TEXCOORD. The BRDF scale and albedo are
+    loop-invariant over lights in the reference's model
+    (lighting.rs:20-47, material.rs:76-83), so
+    color = albedo·(0.1·occ + brdf·S) + emission is exactly direct_lighting's
+    sum refactored — one gather per material field instead of a VMEM table."""
+    hit = mat_id >= 0
+    m = scene.materials
+    mid = jnp.clip(mat_id, 0, m.count - 1)
+    albedo, emission, metallic, ambient_occ = material_textures(scene, mid, uv)
+
+    is_metal = (metallic > 0.5).astype(jnp.float32)[:, None]
+    brdf_scale = is_metal * 0.5 + (1.0 - is_metal) / jnp.pi   # [N,1]
+    ambient = albedo * 0.1
+    if ambient_occ is not None:
+        ambient = ambient * ambient_occ[:, None]
+    color = ambient + albedo * brdf_scale * light_sum + emission
+    color = dispersion_blend(scene, mid, color)
+
+    invalid = hit & (mat_id >= m.count)
+    color = jnp.where(invalid[:, None], MAGENTA[None, :], color)
+    sky = jnp.asarray(sky_color, jnp.float32)
+    return jnp.where(hit[:, None], color, sky[None, :])
 
 
 def shade(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None,

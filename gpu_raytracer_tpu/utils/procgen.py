@@ -56,17 +56,94 @@ def _heightfield(nx, nz, x0, x1, z0, z1, fn):
     return verts, faces.astype(np.uint32)
 
 
+def make_checker_texture(size: int = 128, tiles: int = 8,
+                         c0=(230, 228, 220), c1=(60, 58, 54)) -> np.ndarray:
+    """Procedural checkerboard RGBA8 atlas (zero-egress stand-in for the
+    Sponza floor textures)."""
+    y, x = np.mgrid[0:size, 0:size]
+    cell = ((x * tiles // size) + (y * tiles // size)) % 2
+    img = np.where(cell[..., None] == 0,
+                   np.asarray(c0, np.uint8), np.asarray(c1, np.uint8))
+    return np.concatenate(
+        [img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
+
+
+def make_brick_texture(size: int = 128, rows: int = 8,
+                       brick=(180, 96, 70), mortar=(200, 196, 188),
+                       seed: int = 0) -> np.ndarray:
+    """Procedural running-bond brick RGBA8 atlas with per-brick tint noise."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:size, 0:size]
+    bh = size // rows
+    bw = bh * 2
+    row = y // bh
+    xs = x + (row % 2) * (bw // 2)              # running bond offset
+    col = xs // bw
+    in_mortar = ((y % bh) < max(bh // 8, 1)) | ((xs % bw) < max(bw // 8, 1))
+    tint = rng.uniform(0.8, 1.15, (rows + 1, size // bw + 2, 1))
+    base = np.clip(np.asarray(brick, np.float32)
+                   * tint[row.reshape(-1), col.reshape(-1)].reshape(
+                       size, size, 1), 0, 255).astype(np.uint8)
+    img = np.where(in_mortar[..., None], np.asarray(mortar, np.uint8), base)
+    return np.concatenate(
+        [img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
+
+
+def make_noise_texture(size: int = 128, base=(200, 60, 45),
+                       seed: int = 1) -> np.ndarray:
+    """Procedural smooth value-noise RGBA8 atlas (painted-plaster look)."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(0.6, 1.3, (size // 16 + 1, size // 16 + 1))
+    y, x = np.mgrid[0:size, 0:size] / 16.0
+    x0, y0 = x.astype(int), y.astype(int)
+    fx, fy = x - x0, y - y0
+    v = (coarse[y0, x0] * (1 - fx) * (1 - fy)
+         + coarse[y0, x0 + 1] * fx * (1 - fy)
+         + coarse[y0 + 1, x0] * (1 - fx) * fy
+         + coarse[y0 + 1, x0 + 1] * fx * fy)
+    img = np.clip(np.asarray(base, np.float32) * v[..., None],
+                  0, 255).astype(np.uint8)
+    return np.concatenate(
+        [img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
+
+
 def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
                          config: RaytracerConfig = DEFAULT_CONFIG,
-                         lights: int = 2) -> Scene:
-    """Sponza-scale procedural stand-in."""
+                         lights: int = 2, textured: bool = False) -> Scene:
+    """Sponza-scale procedural stand-in.
+
+    `textured=True` is BASELINE config 4's content class: the same geometry
+    with procedural RGBA8 atlases (checker floor, brick stone, noise plaster)
+    bound through the glTF texture-slot machinery
+    (/root/reference/src/buffers.rs:423-431 packing, gltf_loader.rs:128-184
+    decode — which the reference's kernel never read) and world-space UVs."""
+    from ..models.geometry import Textures
+    from ..models.material import NO_TEXTURE
+
     rng = np.random.default_rng(seed)
     mats = MaterialBuilder()
-    m_stone = mats.add_diffuse((0.6, 0.55, 0.5))
-    m_floor = mats.add_diffuse((0.45, 0.42, 0.4))
-    m_metal = mats.add_metallic((0.7, 0.6, 0.3), 0.2)
-    m_glass = mats.add_glass((0.4, 0.5, 0.8), 1.5, 0.9)
-    m_red = mats.add_diffuse((0.7, 0.15, 0.1))
+
+    def tex_slots(base_idx):
+        ti = np.full(8, NO_TEXTURE, np.uint32)
+        ti[0] = base_idx  # TEX_BASE_COLOR
+        return ti
+
+    if textured:
+        m_stone = mats.add(albedo=(0.9, 0.85, 0.8), metallic=0.0,
+                           roughness=1.0, texture_indices=tex_slots(1))
+        m_floor = mats.add(albedo=(0.95, 0.95, 0.95), metallic=0.0,
+                           roughness=1.0, texture_indices=tex_slots(0))
+        m_metal = mats.add(albedo=(0.7, 0.6, 0.3), metallic=1.0,
+                           roughness=0.2)
+        m_glass = mats.add_glass((0.4, 0.5, 0.8), 1.5, 0.9)
+        m_red = mats.add(albedo=(1.0, 1.0, 1.0), metallic=0.0,
+                         roughness=1.0, texture_indices=tex_slots(2))
+    else:
+        m_stone = mats.add_diffuse((0.6, 0.55, 0.5))
+        m_floor = mats.add_diffuse((0.45, 0.42, 0.4))
+        m_metal = mats.add_metallic((0.7, 0.6, 0.3), 0.2)
+        m_glass = mats.add_glass((0.4, 0.5, 0.8), 1.5, 0.9)
+        m_red = mats.add_diffuse((0.7, 0.15, 0.1))
 
     all_verts, all_faces, all_mats = [], [], []
     voffset = 0
@@ -115,9 +192,16 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
                            lambda x, z: 0.15 * np.sin(x * 0.8) * np.cos(z * 0.7))
     add(hv, hfc, np.full(hfc.shape[0], m_floor, np.uint32))
 
-    mesh = Mesh.from_arrays(np.concatenate(all_verts),
+    verts = np.concatenate(all_verts)
+    uv = None
+    if textured:
+        # World-space planar projection (the per-vertex analog of Sponza's
+        # unwrapped UVs): walls map (x+z, y), REPEAT wrap tiles the atlases.
+        uv = np.stack([(verts[:, 0] + verts[:, 2]) * 0.5,
+                       verts[:, 1] * 0.5], axis=1).astype(np.float32)
+    mesh = Mesh.from_arrays(verts,
                             np.concatenate(all_faces),
-                            np.concatenate(all_mats))
+                            np.concatenate(all_mats), uv=uv)
 
     lb = LightBuilder()
     lb.add_directional((0.3, -1.0, 0.2), (1.0, 0.98, 0.9), 1.5)
@@ -133,5 +217,12 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
     cam_z = float(np.floor(extent * 0.9 / spacing) * spacing)
     camera = Camera.create(position=(0.0, 2.5, cam_z),
                            direction=(0.0, -0.12, -1.0), fov=55.0)
+    textures = None
+    if textured:
+        textures = Textures.from_images([
+            make_checker_texture(128),            # 0: floor
+            make_brick_texture(128, seed=seed),   # 1: stone boxes
+            make_noise_texture(128, seed=seed),   # 2: plaster boxes
+        ])
     return prepare_scene(camera, Spheres.from_rows([]), mesh, mats.build(),
-                         lb.build(), config=config)
+                         lb.build(), textures=textures, config=config)

@@ -59,3 +59,84 @@ def test_eligibility_gates():
     textured = replace(scene, textures=Textures.from_images(
         [onp.full((2, 2, 4), 255, onp.uint8)]))
     assert not fused_render_eligible(textured)
+
+
+# ---- two-phase (deferred) fused path: textures + unbounded materials ----
+
+from gpu_raytracer_tpu.ops.pallas.render import (
+    MAX_MATERIALS, fused_deferred_eligible, pallas_render_deferred)
+
+
+@pytest.mark.parametrize("shadows", [False, True])
+def test_deferred_matches_xla_textured(shadows):
+    """BASELINE config 4 content class: textured PBR stays fused (the
+    reference bound textures its kernel never read; we sample them in the
+    XLA phase of the two-phase kernel)."""
+    scene = make_courtyard_scene(2000, seed=1, textured=True)
+    assert not fused_render_eligible(scene)       # textures exclude phase 1
+    assert fused_deferred_eligible(scene, sphere_uv_ok=True)
+    W = H = 32
+    px, py = _coords(W, H)
+    ref = render_chunk(scene, px, py, W, H, shadows=shadows, use_bvh=True,
+                       leaf_size=8, sky=(0.1, 0.2, 0.3))
+    got = pallas_render_deferred(scene, px, py, W, H, shadows=shadows,
+                                 sky=(0.1, 0.2, 0.3), packet_size=1024,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_deferred_matches_xla_many_materials():
+    """256 materials / 16 lights stay on the fused path (VERDICT item 7):
+    the deferred kernel has no material table — the XLA phase gathers."""
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+
+    scene = make_courtyard_scene(1500, seed=2, lights=16)
+    mats = MaterialBuilder()
+    rng = np.random.default_rng(0)
+    for i in range(256):
+        mats.add(albedo=tuple(rng.uniform(0.1, 0.9, 3)),
+                 metallic=float(i % 2), roughness=0.5)
+    from gpu_raytracer_tpu.utils.pytree import replace
+    # keep the real scene's first few material rows so existing tri_mat ids
+    # shade identically-structured materials
+    many = mats.build()
+    scene = replace(scene, materials=many)
+    assert scene.materials.count == 256 > MAX_MATERIALS
+    assert scene.lights.count == 16
+    assert not fused_render_eligible(scene)
+    assert fused_deferred_eligible(scene)
+    W = H = 32
+    px, py = _coords(W, H)
+    ref = render_chunk(scene, px, py, W, H, shadows=True, use_bvh=True,
+                       leaf_size=8)
+    got = pallas_render_deferred(scene, px, py, W, H, shadows=True,
+                                 packet_size=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_deferred_default_scene_untextured():
+    """Spheres + glass + emissive demo scene through the deferred kernel
+    (untextured: sphere-UV gap is irrelevant, shading ignores uv)."""
+    scene = build_default_scene()
+    assert fused_deferred_eligible(scene)
+    W = H = 32
+    px, py = _coords(W, H)
+    ref = render_chunk(scene, px, py, W, H, shadows=False, use_bvh=True,
+                       leaf_size=8)
+    got = pallas_render_deferred(scene, px, py, W, H, shadows=False,
+                                 packet_size=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_deferred_eligibility_sphere_guard():
+    """Textured scenes with (potentially live) spheres need the host's
+    radius-0 attestation — Mosaic can't compute the sphere equirect UV."""
+    from gpu_raytracer_tpu.models.geometry import Textures
+    from gpu_raytracer_tpu.utils.pytree import replace
+    import numpy as onp
+
+    scene = build_default_scene()
+    textured = replace(scene, textures=Textures.from_images(
+        [onp.full((2, 2, 4), 255, onp.uint8)]))
+    assert not fused_deferred_eligible(textured)
+    assert fused_deferred_eligible(textured, sphere_uv_ok=True)
