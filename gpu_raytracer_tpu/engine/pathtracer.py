@@ -4,10 +4,12 @@ The full realisation of the reference's wavefront dispatcher
 (/root/reference/src/compute.rs:365-553): per frame, one sample per pixel is
 traced through the wavefront pool (ops/wavefront.py) and accumulated into a
 persistent HBM framebuffer; successive frames converge the image (BASELINE
-config 3: progressive 64 spp). Spectral mode reproduces the reference's
-3-wavelength dispatch (one ray per channel, compute.rs:432-441) so dispersion
-through glass is real; RGB mode traces one ray carrying full RGB throughput
-(3× cheaper, no spectral refraction split).
+config 3: progressive 64 spp). Spectral mode keeps the reference's
+3-wavelength dispersion semantics (compute.rs:432-441) via split-on-glass
+rays (ops/wavefront.py RGB_CHANNEL): one pool per step, full RGB throughput
+until a ray meets dispersive glass, then an unbiased 3x one-hot collapse to
+a single wavelength — 3x fewer traversals than the reference's 3-dispatch
+scheme for everything the glass doesn't touch. RGB mode never splits.
 """
 
 from __future__ import annotations
@@ -128,24 +130,19 @@ class PathTracer:
             jit_key = jax.random.fold_in(skey, s)
             jitter = (jax.random.uniform(jit_key, (idx.shape[0], 2))
                       if self.antialias else None)
-            counts = jnp.zeros((md + 1,), jnp.int32)
-            if self.spectral:
-                rgb = []
-                for c in range(3):
-                    rad, cnt = _sample_chunk(self.scene, px, py, self.width,
-                                             self.height,
-                                             jax.random.fold_in(jit_key, 100 + c),
-                                             c, md, rr, self.shadows, ls,
-                                             self.use_bvh, jitter, live)
-                    rgb.append(rad[:, c])
-                    counts = counts + cnt
-                contrib = jnp.stack(rgb, axis=-1)
-            else:
-                contrib, cnt = _sample_chunk(self.scene, px, py, self.width,
-                                             self.height, jit_key, 1, md, rr,
-                                             self.shadows, ls, self.use_bvh,
-                                             jitter, live)
-                counts = counts + cnt
+            # Spectral mode: ONE pool of RGB_CHANNEL rays that split to a
+            # single wavelength only at dispersive glass (ops/wavefront.py
+            # RGB_CHANNEL) — same dispersion as the reference's 3-dispatch
+            # scheme (src/compute.rs:432-441) at a third of the traversals.
+            # Non-spectral: channel 1 (green = zero dispersion offset) and
+            # glass refracts without splitting.
+            from ..ops.wavefront import RGB_CHANNEL
+
+            chan = RGB_CHANNEL if self.spectral else 1
+            contrib, counts = _sample_chunk(self.scene, px, py, self.width,
+                                            self.height, jit_key, chan, md,
+                                            rr, self.shadows, ls,
+                                            self.use_bvh, jitter, live)
             updates.append((s, e, contrib))
             self._last_counts = (counts if self._last_counts is None
                                  else self._last_counts + counts)
@@ -157,7 +154,7 @@ class PathTracer:
 
     def render(self, spp: int, progress: bool = False) -> np.ndarray:
         timing = ProgressiveTiming()
-        timing.rays_per_tile = self.width * self.height * (3 if self.spectral else 1)
+        timing.rays_per_tile = self.width * self.height
         for i in range(spp):
             with Timer() as t:
                 self.step()

@@ -110,10 +110,25 @@ class Timer:
 
 
 def block_on(x):
-    """Force device completion so timings measure execution, not dispatch."""
+    """Force device completion so timings measure execution, not dispatch.
+
+    On a tunneled device platform (axon) `block_until_ready` returns at
+    dispatch; the only true completion fence is a value fetch, so pull ONE
+    scalar (not the whole buffer — a 1080p framebuffer is ~25 MB of RPC).
+    """
     import jax
 
-    return jax.block_until_ready(x)
+    x = jax.block_until_ready(x)
+    try:
+        if jax.devices()[0].platform == "axon":
+            leaves = jax.tree_util.tree_leaves(x)
+            if leaves and hasattr(leaves[0], "ndim"):
+                import numpy as np
+
+                np.asarray(leaves[0][(0,) * leaves[0].ndim])
+    except Exception:
+        pass
+    return x
 
 
 class DeviceProfiler:

@@ -166,6 +166,37 @@ class Renderer:
         return fused_deferred_eligible(self.scene,
                                        sphere_uv_ok=self._sphere_uv_ok)
 
+    def render_rays(self, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+        """Trace + shade one pixel batch through the best available path
+        (fused Pallas → deferred Pallas → chunked XLA) → device RGB [n,3].
+
+        The packet-granular entry point for interactive schedulers (the
+        Viewer feeds 128x128-tile batches here — the reference redraws the
+        same way, one dispatch per progressive tile,
+        /root/reference/src/compute.rs:169-191). Fused paths need
+        n % PALLAS_PACKET == 0; anything else falls back to the XLA chunk.
+        """
+        from ..ops.trace import PALLAS_PACKET
+
+        W, H = self.width, self.height
+        n = int(px.shape[0])
+        if n % PALLAS_PACKET == 0:
+            if self._use_fused():
+                from ..ops.pallas.render import pallas_render_primary
+
+                return pallas_render_primary(self.scene, px, py, W, H,
+                                             shadows=self.shadows,
+                                             sky=self.sky)
+            if self._use_deferred():
+                from ..ops.pallas.render import pallas_render_deferred
+
+                return pallas_render_deferred(self.scene, px, py, W, H,
+                                              shadows=self.shadows,
+                                              sky=self.sky)
+        return render_chunk(self.scene, px, py, W, H, shadows=self.shadows,
+                            use_bvh=self.use_bvh,
+                            leaf_size=self.config.bvh_leaf_size, sky=self.sky)
+
     def render_device(self) -> jnp.ndarray:
         """Render the full frame, leaving it in HBM → device f32 [Npad,3] in
         tile-major ray order (see `_pixel_order`).

@@ -23,7 +23,7 @@ from ..models.camera import CameraController
 from ..models.scene import Scene
 from .perf import PerformanceState, ProgressiveTiming, Timer, block_on
 from .progressive import ProgressiveState
-from .renderer import render_chunk
+from .renderer import Renderer
 
 
 class Viewer:
@@ -36,16 +36,50 @@ class Viewer:
         self.shadows = shadows
         self.verbose = verbose
         self.scene = scene
+        self.renderer = Renderer(scene, width, height, config=config,
+                                 shadows=shadows)
         self.controller = CameraController(scene.camera, config)
         self.progressive = ProgressiveState(width, height, config)
         self.perf = PerformanceState(config.performance_stats_interval, verbose)
         self.timing = ProgressiveTiming()
-        self.framebuffer = np.zeros((height, width, 3), np.float32)
+        # The frame lives on DEVICE in whole-frame mode (the reference's
+        # present path also never leaves the GPU — the fragment shader
+        # samples the storage textures, src/renderer.rs:778-818); the host
+        # copy materialises lazily through the `framebuffer` property.
+        self._fb_host = np.zeros((height, width, 3), np.float32)
+        self._fb_dev = None
         self.should_quit = False
+        # Tile pixel template in 64x64-subtile order: 128x128 progressive
+        # tiles = two coherent 8192-lane traversal packets per dispatch, so
+        # each tile rides the fused Pallas path at full packet occupancy.
+        from ..ops.packet_trace import tiled_pixel_order
+
         ts = config.tile_size
-        gy, gx = np.mgrid[0:ts, 0:ts]
-        self._tile_gx = gx.reshape(-1).astype(np.int32)
-        self._tile_gy = gy.reshape(-1).astype(np.int32)
+        self._tile_gx, self._tile_gy = tiled_pixel_order(ts, ts, tile=64)
+        self._tile_coords = {}   # tile index -> (px_host, py_host, px_dev, py_dev)
+        self._sync_mode()
+
+    def _sync_mode(self) -> None:
+        """Pick the progressive granularity for the current scene.
+
+        The reference's adaptive tiles-per-frame schedule
+        (shared/src/lib.rs:1195-1203) exists to bound per-frame latency on a
+        GPU where a full frame takes many frame budgets. On the fused Pallas
+        path one 1080p frame is ~10 ms — a 128px tile cadence would be pure
+        dispatch/readback overhead (measured: 135 tile fetches through the
+        device tunnel turned a 10 ms frame into seconds). So when the scene
+        qualifies for the fused/deferred kernels the whole frame becomes ONE
+        progressive tile ("render everything while ≤16 tiles remain" — the
+        schedule's own fast-scene limit); the XLA fallback keeps the 128px
+        cadence because there a full frame genuinely spans many frames.
+        """
+        self._whole_frame = (self.renderer._use_fused()
+                             or self.renderer._use_deferred())
+        if self._whole_frame:
+            self.progressive.tiles_x = self.progressive.tiles_y = 1
+            self.progressive.total_tiles = 1
+            self.progressive.tiles_per_frame = 1
+            self.progressive.current_tile = 0
 
     # ---- interaction surface (main.rs:150-197, input.rs) ----
 
@@ -77,6 +111,7 @@ class Viewer:
 
     def _apply_camera(self) -> None:
         self.scene = self.scene.with_camera(self.controller.camera())
+        self.renderer.scene = self.scene
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
 
@@ -92,47 +127,94 @@ class Viewer:
                 print(f"Failed to load glTF scene '{path}': {e}")
             return
         self.scene = new_scene
+        self.renderer = Renderer(new_scene, self.width, self.height,
+                                 config=self.config, shadows=self.shadows)
         self.controller = CameraController(new_scene.camera, self.config)
+        self.progressive.resize(self.width, self.height)
+        self._sync_mode()
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
 
     # ---- frame loop (run_compute + render, main.rs:136-144, 278-286) ----
 
+    def _coords(self, tile: int):
+        """Per-tile pixel coordinates, device arrays uploaded once per
+        resolution (they only depend on the tile grid, not the scene)."""
+        got = self._tile_coords.get(tile)
+        if got is None:
+            x0, y0, _, _ = self.progressive.tile_rect(tile, self.width,
+                                                      self.height)
+            # full-tile launch with edge clamping (is_pixel_in_bounds,
+            # shader/src/lib.rs:152-163: OOB lanes compute but don't land —
+            # here they recompute the clamped edge pixel, so the host
+            # scatter below writes each real pixel with its own value)
+            px = np.minimum(x0 + self._tile_gx, self.width - 1)
+            py = np.minimum(y0 + self._tile_gy, self.height - 1)
+            got = (px, py, jnp.asarray(px), jnp.asarray(py))
+            self._tile_coords[tile] = got
+        return got
+
     def run_compute(self) -> int:
         """Render this frame's share of tiles into the framebuffer.
         Returns the number of tiles rendered (0 once complete — idle frames,
-        compute.rs:85-100)."""
+        compute.rs:85-100).
+
+        All of this frame's tile dispatches are issued back-to-back and
+        synced ONCE (the reference likewise submits one command buffer for
+        the whole frame, src/compute.rs:137-166); each dispatch goes through
+        Renderer.render_rays, i.e. the same fused Pallas path as the
+        headline benchmark — the Viewer is no longer the slow pipeline.
+        """
         tiles = self.progressive.next_tiles()
-        ts = self.config.tile_size
-        for t in tiles:
-            x0, y0, w, h = self.progressive.tile_rect(t, self.width, self.height)
-            # full-tile launch with edge clamping (is_pixel_in_bounds,
-            # shader/src/lib.rs:152-163: OOB lanes compute but don't land)
-            px = np.minimum(x0 + self._tile_gx, self.width - 1)
-            py = np.minimum(y0 + self._tile_gy, self.height - 1)
-            with Timer() as timer:
-                rgb = render_chunk(
-                    self.scene, jnp.asarray(px), jnp.asarray(py),
-                    self.width, self.height, shadows=self.shadows,
-                    leaf_size=self.config.bvh_leaf_size,
-                    use_bvh=self.scene.bvh.num_nodes > 1)
-                block_on(rgb)
-            self.timing.record_tile(timer.ms)
-            tile_img = np.asarray(rgb).reshape(ts, ts, 3)
-            self.framebuffer[y0:y0 + h, x0:x0 + w] = tile_img[:h, :w]
+        if self._whole_frame:
+            if tiles:
+                with Timer() as timer:
+                    self._fb_dev = self.renderer.render_device()
+                    block_on(self._fb_dev)   # completion fence, not readback
+                self.timing.record_tile(timer.ms)
+                if self.progressive.complete and self.verbose:
+                    self.timing.print_summary()
+            return len(tiles)
+        results = []
+        with Timer() as timer:
+            for t in tiles:
+                px, py, dpx, dpy = self._coords(t)
+                results.append((px, py, self.renderer.render_rays(dpx, dpy)))
+            if results:
+                block_on(results[-1][2])
+        for px, py, rgb in results:
+            self._fb_host[py, px] = np.asarray(rgb)
+        self._fb_dev = None
+        if tiles:
+            per_tile = timer.ms / len(tiles)
+            for _ in tiles:
+                self.timing.record_tile(per_tile)
         if tiles and self.progressive.complete and self.verbose:
             self.timing.print_summary()
         return len(tiles)
 
+    @property
+    def framebuffer(self) -> np.ndarray:
+        """Host [H,W,3] f32 frame — the display readback (one device→host
+        copy, like the reference's swapchain present being a separate pass
+        from compute). Cached until the next whole-frame compute."""
+        if self._fb_dev is not None:
+            self._fb_host = self.renderer._to_image(np.asarray(self._fb_dev))
+            self._fb_dev = None
+        return self._fb_host
+
     def frame(self) -> np.ndarray:
-        """One event-loop turn: compute + present."""
+        """One event-loop turn: compute + present (device-resident)."""
         self.run_compute()
         self.perf.update_frame_count()
         return self.framebuffer
 
     def render_to_completion(self, max_frames: int = 100000) -> np.ndarray:
+        """Compute every remaining tile (presenting only once at the end —
+        intermediate frames stay on device)."""
         while not self.progressive.complete and max_frames > 0:
-            self.frame()
+            self.run_compute()
+            self.perf.update_frame_count()
             max_frames -= 1
         return self.framebuffer
 

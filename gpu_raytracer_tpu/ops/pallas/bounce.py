@@ -61,9 +61,10 @@ def fused_bounce_eligible(scene: Scene) -> bool:
 
 
 def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
-            o_ref, d_ref, thr_ref, med_ref, chan_ref, act_ref, u_ref,
-            no_ref, nd_ref, nthr_ref, nmed_ref, nact_ref, rad_ref,
-            stack_ref, *,
+            o_ref, d_ref, thr_ref, med_ref, chan_ref, rt_ref, bd_ref,
+            act_ref, u_ref,
+            no_ref, nd_ref, nthr_ref, nmed_ref, nchan_ref, nrt_ref, nbd_ref,
+            nact_ref, rad_ref, stack_ref, *,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
@@ -182,6 +183,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     u2 = u_ref[0, 2]
     u3 = u_ref[0, 3]
     u4 = u_ref[0, 4]
+    u5 = u_ref[0, 5]
 
     d_dot_n = dx * nx + dy * ny + dz * nz
     entering = d_dot_n < 0.0
@@ -222,11 +224,19 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     met_x, met_y, met_z = mx * ml, my * ml, mz * ml
     metal_absorbed = (met_x * fnx + met_y * fny + met_z * fnz) <= 0.0
 
-    # glass: Fresnel-weighted reflect/refract with per-channel IOR
+    # glass: Fresnel-weighted reflect/refract with per-channel IOR.
+    # Spectral split-on-demand (ops/wavefront.py RGB_CHANNEL): a ray carrying
+    # full RGB (channel >= 3) that meets dispersive glass collapses to ONE
+    # wavelength — picked uniformly by u5, throughput scaled by a 3x one-hot
+    # below — so dispersion stays exact while diffuse/metal paths keep
+    # tracing all three channels in a single pool.
     chan = chan_ref[0]
-    doff = jnp.where(chan == 0.0, jnp.float32(_DISPERSION[0]),
-                     jnp.where(chan == 1.0, jnp.float32(_DISPERSION[1]),
-                               jnp.where(chan == 2.0,
+    split = (trans > 0.0) & (chan >= 3.0)
+    c_new = jnp.minimum(jnp.floor(u5 * 3.0), 2.0)
+    eff_chan = jnp.where(split, c_new, chan)
+    doff = jnp.where(eff_chan == 0.0, jnp.float32(_DISPERSION[0]),
+                     jnp.where(eff_chan == 1.0, jnp.float32(_DISPERSION[1]),
+                               jnp.where(eff_chan == 2.0,
                                          jnp.float32(_DISPERSION[2]), 0.0)))
     mat_ior = iorv + doff
     med = med_ref[0]
@@ -269,6 +279,13 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     nthr_r = thr_r * alb_r
     nthr_g = thr_g * alb_g
     nthr_b = thr_b * alb_b
+    # spectral split: 3x one-hot throughput keeps the estimator unbiased
+    nthr_r = jnp.where(split,
+                       jnp.where(eff_chan == 0.0, nthr_r * 3.0, 0.0), nthr_r)
+    nthr_g = jnp.where(split,
+                       jnp.where(eff_chan == 1.0, nthr_g * 3.0, 0.0), nthr_g)
+    nthr_b = jnp.where(split,
+                       jnp.where(eff_chan == 2.0, nthr_b * 3.0, 0.0), nthr_b)
     alive = hit_live & ~(is_metal & metal_absorbed)
 
     if do_rr:  # Russian roulette (shared/src/lib.rs:969-978)
@@ -292,6 +309,14 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     nthr_ref[0, 1] = jnp.where(alive, nthr_g, thr_g)
     nthr_ref[0, 2] = jnp.where(alive, nthr_b, thr_b)
     nmed_ref[0] = jnp.where(alive & is_glass, new_medium, med)
+    # full WavefrontRay round-trip (shared/src/lib.rs:163-181): channel,
+    # ray_type and bounce_depth evolve identically to the XLA body so the
+    # two paths' pool states stay field-for-field equal
+    nchan_ref[0] = jnp.where(alive, eff_chan, chan)
+    new_rt = jnp.where(is_glass & ~do_reflect, jnp.float32(2.0),
+                       jnp.float32(1.0))  # RAY_TRANSMIT / RAY_REFLECT
+    nrt_ref[0] = jnp.where(alive, new_rt, rt_ref[0])
+    nbd_ref[0] = bd_ref[0] + jnp.where(alive, jnp.float32(1.0), 0.0)
     nact_ref[0] = alive.astype(jnp.float32)
 
 
@@ -303,16 +328,19 @@ def pallas_bounce(
     direction: jnp.ndarray,   # [N,3]
     throughput: jnp.ndarray,  # [N,3]
     medium_ior: jnp.ndarray,  # [N]
-    channel: jnp.ndarray,     # [N] i32 wavelength channel
+    channel: jnp.ndarray,     # [N] i32 wavelength channel (3 = full RGB)
+    ray_type: jnp.ndarray,    # [N] i32
+    bounce_depth: jnp.ndarray,  # [N] i32
     active: jnp.ndarray,      # [N] bool
-    u: jnp.ndarray,           # [N,5] uniforms
+    u: jnp.ndarray,           # [N,6] uniforms
     shadows: bool,
     do_rr: bool,
     packet_size: int = 8192,
     interpret: bool = False,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
-    medium', active', radiance_delta [N,3])."""
+    medium', channel', ray_type', bounce_depth', active',
+    radiance_delta [N,3])."""
     N = origin.shape[0]
     sub = packet_size // LANES
     assert N % packet_size == 0
@@ -333,6 +361,8 @@ def pallas_bounce(
          unpack_f16_low(m.ior_transmission_f16)[:, None],
          unpack_f16_high(m.ior_transmission_f16)[:, None],
          jnp.zeros((m.count, 6), jnp.float32)], axis=1)
+    L = scene.lights
+    S = scene.spheres
     light_rows = _light_rows(scene)
     sph_rows = _sphere_rows(scene)
 
@@ -343,8 +373,10 @@ def pallas_bounce(
     thr = throughput.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
     med = medium_ior.reshape(shape1)
     chan = channel.astype(jnp.float32).reshape(shape1)
+    rt = ray_type.astype(jnp.float32).reshape(shape1)
+    bd = bounce_depth.astype(jnp.float32).reshape(shape1)
     act = active.astype(jnp.float32).reshape(shape1)
-    uu = u.reshape(B, sub, LANES, 5).transpose(0, 3, 1, 2)
+    uu = u.reshape(B, sub, LANES, 6).transpose(0, 3, 1, 2)
 
     resident = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
@@ -354,7 +386,7 @@ def pallas_bounce(
     kernel = partial(_kernel, max_iters=nn + 4, n_mats=m.count,
                      n_lights=L.count, n_spheres=S.count, slots=slots,
                      shadows=shadows, do_rr=do_rr)
-    no, nd, nthr, nmed, nact, rad = pl.pallas_call(
+    no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
@@ -365,17 +397,23 @@ def pallas_bounce(
             per_packet((1, 3, sub, LANES)), per_packet((1, 3, sub, LANES)),
             per_packet((1, 3, sub, LANES)), per_packet((1, sub, LANES)),
             per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
-            per_packet((1, 5, sub, LANES)),
+            per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
+            per_packet((1, 6, sub, LANES)),
         ],
         out_specs=(
             per_packet((1, 3, sub, LANES)), per_packet((1, 3, sub, LANES)),
             per_packet((1, 3, sub, LANES)), per_packet((1, sub, LANES)),
-            per_packet((1, sub, LANES)), per_packet((1, 3, sub, LANES)),
+            per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
+            per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
+            per_packet((1, 3, sub, LANES)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(shape3, jnp.float32),
             jax.ShapeDtypeStruct(shape3, jnp.float32),
             jax.ShapeDtypeStruct(shape3, jnp.float32),
+            jax.ShapeDtypeStruct(shape1, jnp.float32),
+            jax.ShapeDtypeStruct(shape1, jnp.float32),
+            jax.ShapeDtypeStruct(shape1, jnp.float32),
             jax.ShapeDtypeStruct(shape1, jnp.float32),
             jax.ShapeDtypeStruct(shape1, jnp.float32),
             jax.ShapeDtypeStruct(shape3, jnp.float32),
@@ -384,8 +422,11 @@ def pallas_bounce(
             vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
         interpret=interpret,
     )(node_rows, tri_rows, mat_rows, light_rows, sph_rows,
-      o, d, thr, med, chan, act, uu)
+      o, d, thr, med, chan, rt, bd, act, uu)
 
     unpack3 = lambda a: a.transpose(0, 2, 3, 1).reshape(N, 3)
-    return (unpack3(no), unpack3(nd), unpack3(nthr),
-            nmed.reshape(N), nact.reshape(N) > 0.0, unpack3(rad))
+    return (unpack3(no), unpack3(nd), unpack3(nthr), nmed.reshape(N),
+            nchan.reshape(N).astype(jnp.int32),
+            nrt.reshape(N).astype(jnp.int32),
+            nbd.reshape(N).astype(jnp.int32),
+            nact.reshape(N) > 0.0, unpack3(rad))

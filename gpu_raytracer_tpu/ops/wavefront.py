@@ -51,6 +51,15 @@ from .trace import trace, occluded
 
 SKY_WAVEFRONT = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)  # wavefront.rs:148
 
+# Wavelength-channel sentinel: the ray carries full RGB throughput and only
+# collapses to a single reference channel (0/1/2) at its first dispersive
+# (transmissive) interaction, with a 3x one-hot throughput so the estimator
+# stays unbiased. The reference's spectral scheme dispatches 3 single-channel
+# rays per pixel up front (src/compute.rs:432-441) — on TPU that triples
+# every traversal even for paths that never see glass; split-on-demand pays
+# the spectral price only where dispersion actually happens.
+RGB_CHANNEL = 3
+
 
 class WavefrontCounters:
     """Host-side per-bounce-depth ray accounting — field-for-field port of
@@ -197,6 +206,130 @@ def _sort_perm(scene: Scene, o, d, active):
     return jnp.argsort(sort_key)
 
 
+def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
+               shadows: bool, rr_enabled: bool, rr_now,
+               leaf_size: int = 4, use_bvh: bool = True):
+    """One wavefront bounce in XLA → (pool', radiance_delta [N,3]).
+
+    The exact math (and jax.random layout: u is [N,6]) of the fused Pallas
+    bounce kernel (ops/pallas/bounce.py) — trace, sky/shade, spectral
+    split-on-glass, continuation sampling, Russian roulette — as a
+    standalone function so (a) the lax.while_loop body below and (b) the
+    field-for-field pool-parity tests both drive one implementation.
+    `rr_enabled` is the static roulette gate; `rr_now` the (traced) flag for
+    whether this depth has reached russian_roulette_start.
+    """
+    mats = scene.materials
+    live = r.active
+    limit = jnp.where(live, jnp.float32(3.4028235e38 - 2.0), 0.0)
+    hit = trace(scene, r.origin, r.direction, max_t=limit,
+                leaf_size=leaf_size, use_bvh=use_bvh)
+    hit_live = live & hit.hit
+    miss_live = live & ~hit.hit
+
+    # --- miss: sky × throughput (wavefront.rs:146-151) ---
+    radiance = jnp.where(
+        miss_live[:, None], SKY_WAVEFRONT[None, :] * r.throughput, 0.0)
+
+    # --- hit: direct shading × throughput (wavefront.rs:153-164) ---
+    smask = (_shadow_mask_points(scene, hit.point, hit.normal, hit_live,
+                                 leaf_size, use_bvh) if shadows else None)
+    lighting = direct_lighting(scene, hit, smask)
+    shaded = apply_dispersion(scene, hit, lighting)
+    invalid = hit.hit & (hit.material_id >= mats.count)
+    shaded = jnp.where(invalid[:, None], MAGENTA[None, :], shaded)
+    radiance = radiance + jnp.where(
+        hit_live[:, None], shaded * r.throughput, 0.0)
+
+    # --- continuation sampling (the reference stub, implemented) ---
+    mid = jnp.clip(hit.material_id, 0, mats.count - 1)
+    albedo = mats.albedo[mid]
+    metallic = unpack_f16_low(mats.metallic_roughness_f16[mid])
+    roughness = unpack_f16_high(mats.metallic_roughness_f16[mid])
+    if scene.textures.data_u32.shape[0] > 1:  # textured scene (static)
+        from ..models.material import TEX_BASE_COLOR, TEX_METALLIC_ROUGHNESS
+        from .texture import sample_texture
+        ti = mats.texture_indices[mid]
+        albedo = albedo * sample_texture(
+            scene.textures, ti[:, TEX_BASE_COLOR], hit.uv)[:, :3]
+        mr = sample_texture(
+            scene.textures, ti[:, TEX_METALLIC_ROUGHNESS], hit.uv)
+        metallic = metallic * mr[:, 2]
+        roughness = roughness * mr[:, 1]
+    base_ior = unpack_f16_low(mats.ior_transmission_f16[mid])
+    transmission = unpack_f16_high(mats.ior_transmission_f16[mid])
+
+    n = hit.normal
+    d = r.direction
+    entering = dot(d, n) < 0.0
+    n_face = jnp.where(entering[:, None], n, -n)
+
+    # diffuse lobe
+    dir_diffuse = cosine_hemisphere(n_face, u[:, 0], u[:, 1])
+    # metal lobe: mirror + roughness fuzz
+    fuzz = jnp.stack([u[:, 0] * 2 - 1, u[:, 1] * 2 - 1, u[:, 2] * 2 - 1], -1)
+    dir_metal = normalize(reflect(d, n_face) + roughness[:, None] * fuzz)
+    metal_absorbed = dot(dir_metal, n_face) <= 0.0
+    # spectral split-on-glass: RGB_CHANNEL rays pick one wavelength (u5)
+    is_glass = transmission > 0.0
+    split = is_glass & (r.wavelength_channel >= RGB_CHANNEL)
+    c_new = jnp.minimum((u[:, 5] * 3.0).astype(jnp.int32), 2)
+    eff_chan = jnp.where(split, c_new, r.wavelength_channel)
+    # glass lobe: Fresnel-weighted reflect/refract with per-channel IOR
+    mat_ior = ior_for_channel(base_ior, eff_chan)
+    n1 = jnp.where(entering, r.medium_ior, mat_ior)
+    n2 = jnp.where(entering, mat_ior, jnp.float32(1.0))
+    eta = n1 / n2
+    cos_i = jnp.abs(dot(d, n_face))
+    dir_refr, tir = refract(d, n_face, eta)
+    fres = jnp.clip(schlick_fresnel(cos_i, n1, n2), 0.0, 1.0)
+    do_reflect = tir | (u[:, 3] < fres)
+    dir_glass = jnp.where(do_reflect[:, None], reflect(d, n_face), dir_refr)
+    new_medium = jnp.where(do_reflect, r.medium_ior,
+                           jnp.where(entering, mat_ior, jnp.float32(1.0)))
+
+    is_metal = ~is_glass & (metallic > 0.5)
+    new_dir = jnp.where(is_glass[:, None], dir_glass,
+                        jnp.where(is_metal[:, None], dir_metal, dir_diffuse))
+    ray_type = jnp.where(is_glass & ~do_reflect, RAY_TRANSMIT, RAY_REFLECT)
+    # offset along the travel side of the surface
+    offset_sign = jnp.where(dot(new_dir, n_face) >= 0.0, 1.0, -1.0)
+    new_origin = hit.point + n_face * (offset_sign * 1e-3)[:, None]
+
+    throughput = r.throughput * albedo
+    # 3x one-hot collapse on split lanes (unbiased spectral estimator)
+    onehot = (eff_chan[:, None] == jnp.arange(3)[None, :]).astype(jnp.float32)
+    throughput = jnp.where(split[:, None], throughput * 3.0 * onehot,
+                           throughput)
+    alive = hit_live & ~(is_metal & metal_absorbed)
+
+    # --- Russian roulette (shared/src/lib.rs:969-978) ---
+    if rr_enabled:
+        p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+        do_rr = alive & rr_now
+        survive = u[:, 4] <= p
+        throughput = jnp.where((do_rr & survive)[:, None],
+                               throughput / p[:, None], throughput)
+        alive = alive & (~do_rr | survive)
+
+    r2 = WavefrontRays(
+        origin=jnp.where(alive[:, None], new_origin, r.origin),
+        direction=jnp.where(alive[:, None], new_dir, r.direction),
+        ray_type=jnp.where(alive, ray_type, r.ray_type).astype(jnp.int32),
+        bounce_depth=r.bounce_depth + alive.astype(jnp.int32),
+        throughput=jnp.where(alive[:, None], throughput, r.throughput),
+        medium_ior=jnp.where(alive & is_glass, new_medium, r.medium_ior),
+        pixel=r.pixel,
+        inv_pdf=r.inv_pdf,
+        t_min=r.t_min,
+        t_max=r.t_max,
+        wavelength_channel=jnp.where(alive, eff_chan,
+                                     r.wavelength_channel).astype(jnp.int32),
+        active=alive,
+    )
+    return r2, radiance
+
+
 def _fused_pool_ok(scene: Scene, n: int, use_bvh: bool) -> bool:
     from .pallas.bounce import fused_bounce_eligible
     from .trace import _pallas_available
@@ -212,28 +345,32 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
     (ops/pallas/bounce.py); the coherence sort stays in XLA between bounces.
     Same jax.random stream and formulas as the lax.while_loop body below."""
     from .pallas.bounce import pallas_bounce
+    from ..utils.pytree import replace
 
     N = rays.count
     P = 8192 if N % 8192 == 0 else 1024
-    o, d = rays.origin, rays.direction
-    thr = rays.throughput
-    med = rays.medium_ior
-    chan = rays.wavelength_channel
-    act = rays.active
+    r = rays
     radiance = jnp.zeros((N, 3), jnp.float32)
     orig_lane = jnp.arange(N, dtype=jnp.int32)
     counts = []
     for depth in range(max_depth + 1):
-        counts.append(jnp.sum(act.astype(jnp.int32)))
-        perm = _sort_perm(scene, o, d, act)
-        o, d, thr, med, chan, act, radiance, orig_lane = (
-            a[perm] for a in (o, d, thr, med, chan, act, radiance, orig_lane))
-        u = jax.random.uniform(jax.random.fold_in(key, depth), (N, 5),
+        counts.append(jnp.sum(r.active.astype(jnp.int32)))
+        perm = _sort_perm(scene, r.origin, r.direction, r.active)
+        r = jax.tree_util.tree_map(lambda a: a[perm], r)
+        radiance = radiance[perm]
+        orig_lane = orig_lane[perm]
+        u = jax.random.uniform(jax.random.fold_in(key, depth), (N, 6),
                                jnp.float32)
-        o, d, thr, med, act, rad = pallas_bounce(
-            scene, o, d, thr, med, chan, act, u, shadows=shadows,
+        o, d, thr, med, chan, rt, bd, act, rad = pallas_bounce(
+            scene, r.origin, r.direction, r.throughput, r.medium_ior,
+            r.wavelength_channel, r.ray_type, r.bounce_depth, r.active, u,
+            shadows=shadows,
             do_rr=(max_depth >= rr_start and depth >= rr_start),
             packet_size=P, interpret=interpret)
+        r = replace(r, origin=o, direction=d, throughput=thr, medium_ior=med,
+                    wavelength_channel=chan.astype(jnp.int32),
+                    ray_type=rt.astype(jnp.int32),
+                    bounce_depth=bd.astype(jnp.int32), active=act)
         radiance = radiance + rad
     radiance = jnp.zeros_like(radiance).at[orig_lane].set(radiance)
     return radiance, jnp.stack(counts)
@@ -256,7 +393,6 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
     with a 0.7^depth decay, compute.rs:467-474).
     """
     N = rays.count
-    mats = scene.materials
 
     if _fused_pool_ok(scene, N, use_bvh):
         return _path_trace_pool_fused(scene, rays, key, max_depth, rr_start,
@@ -284,110 +420,12 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
         # vs ~16ms for the sort itself).
         r, radiance, orig_lane = _coherence_sort(r, radiance, orig_lane)
         k = jax.random.fold_in(key, depth)
-        u = jax.random.uniform(k, (N, 5), jnp.float32)
-
-        live = r.active
-        # Dead pool lanes trace with max_t=0: the traversal's best_t prune
-        # rejects the root immediately, so finished lanes cost one step
-        # instead of a full traversal (most of the pool is dead by depth 3).
-        limit = jnp.where(live, jnp.float32(3.4028235e38 - 2.0), 0.0)
-        hit = trace(scene, r.origin, r.direction, max_t=limit,
-                    leaf_size=leaf_size, use_bvh=use_bvh)
-        hit_live = live & hit.hit
-        miss_live = live & ~hit.hit
-
-        # --- miss: sky × throughput (wavefront.rs:146-151) ---
-        radiance = radiance + jnp.where(
-            miss_live[:, None], SKY_WAVEFRONT[None, :] * r.throughput, 0.0)
-
-        # --- hit: direct shading × throughput (wavefront.rs:153-164) ---
-        smask = (_shadow_mask_points(scene, hit.point, hit.normal, hit_live,
-                                     leaf_size, use_bvh) if shadows else None)
-        lighting = direct_lighting(scene, hit, smask)
-        shaded = apply_dispersion(scene, hit, lighting)
-        invalid = hit.hit & (hit.material_id >= mats.count)
-        shaded = jnp.where(invalid[:, None], MAGENTA[None, :], shaded)
-        radiance = radiance + jnp.where(
-            hit_live[:, None], shaded * r.throughput, 0.0)
-
-        # --- continuation sampling (the reference stub, implemented) ---
-        mid = jnp.clip(hit.material_id, 0, mats.count - 1)
-        albedo = mats.albedo[mid]
-        metallic = unpack_f16_low(mats.metallic_roughness_f16[mid])
-        roughness = unpack_f16_high(mats.metallic_roughness_f16[mid])
-        if scene.textures.data_u32.shape[0] > 1:  # textured scene (static)
-            from ..models.material import TEX_BASE_COLOR, TEX_METALLIC_ROUGHNESS
-            from .texture import sample_texture
-            ti = mats.texture_indices[mid]
-            albedo = albedo * sample_texture(
-                scene.textures, ti[:, TEX_BASE_COLOR], hit.uv)[:, :3]
-            mr = sample_texture(
-                scene.textures, ti[:, TEX_METALLIC_ROUGHNESS], hit.uv)
-            metallic = metallic * mr[:, 2]
-            roughness = roughness * mr[:, 1]
-        base_ior = unpack_f16_low(mats.ior_transmission_f16[mid])
-        transmission = unpack_f16_high(mats.ior_transmission_f16[mid])
-
-        n = hit.normal
-        d = r.direction
-        entering = dot(d, n) < 0.0
-        n_face = jnp.where(entering[:, None], n, -n)
-
-        # diffuse lobe
-        dir_diffuse = cosine_hemisphere(n_face, u[:, 0], u[:, 1])
-        # metal lobe: mirror + roughness fuzz
-        fuzz = jnp.stack([u[:, 0] * 2 - 1, u[:, 1] * 2 - 1, u[:, 2] * 2 - 1], -1)
-        dir_metal = normalize(reflect(d, n_face) + roughness[:, None] * fuzz)
-        metal_absorbed = dot(dir_metal, n_face) <= 0.0
-        # glass lobe: Fresnel-weighted reflect/refract with per-channel IOR
-        mat_ior = ior_for_channel(base_ior, r.wavelength_channel)
-        n1 = jnp.where(entering, r.medium_ior, mat_ior)
-        n2 = jnp.where(entering, mat_ior, jnp.float32(1.0))
-        eta = n1 / n2
-        cos_i = jnp.abs(dot(d, n_face))
-        dir_refr, tir = refract(d, n_face, eta)
-        fres = jnp.clip(schlick_fresnel(cos_i, n1, n2), 0.0, 1.0)
-        do_reflect = tir | (u[:, 3] < fres)
-        dir_glass = jnp.where(do_reflect[:, None], reflect(d, n_face), dir_refr)
-        new_medium = jnp.where(do_reflect, r.medium_ior,
-                               jnp.where(entering, mat_ior, jnp.float32(1.0)))
-
-        is_glass = transmission > 0.0
-        is_metal = ~is_glass & (metallic > 0.5)
-        new_dir = jnp.where(is_glass[:, None], dir_glass,
-                            jnp.where(is_metal[:, None], dir_metal, dir_diffuse))
-        ray_type = jnp.where(is_glass & ~do_reflect, RAY_TRANSMIT, RAY_REFLECT)
-        # offset along the travel side of the surface
-        offset_sign = jnp.where(dot(new_dir, n_face) >= 0.0, 1.0, -1.0)
-        new_origin = hit.point + n_face * (offset_sign * 1e-3)[:, None]
-
-        throughput = r.throughput * albedo
-        alive = hit_live & ~(is_metal & metal_absorbed)
-
-        # --- Russian roulette (shared/src/lib.rs:969-978) ---
-        if max_depth >= rr_start:
-            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
-            do_rr = alive & (depth >= rr_start)
-            survive = u[:, 4] <= p
-            throughput = jnp.where((do_rr & survive)[:, None],
-                                   throughput / p[:, None], throughput)
-            alive = alive & (~do_rr | survive)
-
-        r = WavefrontRays(
-            origin=jnp.where(alive[:, None], new_origin, r.origin),
-            direction=jnp.where(alive[:, None], new_dir, r.direction),
-            ray_type=jnp.where(alive, ray_type, r.ray_type).astype(jnp.int32),
-            bounce_depth=r.bounce_depth + alive.astype(jnp.int32),
-            throughput=jnp.where(alive[:, None], throughput, r.throughput),
-            medium_ior=jnp.where(alive & is_glass, new_medium, r.medium_ior),
-            pixel=r.pixel,
-            inv_pdf=r.inv_pdf,
-            t_min=r.t_min,
-            t_max=r.t_max,
-            wavelength_channel=r.wavelength_channel,
-            active=alive,
-        )
-        return depth + 1, r, radiance, counts, orig_lane
+        u = jax.random.uniform(k, (N, 6), jnp.float32)
+        r, rad = xla_bounce(scene, r, u, shadows=shadows,
+                            rr_enabled=max_depth >= rr_start,
+                            rr_now=depth >= rr_start,
+                            leaf_size=leaf_size, use_bvh=use_bvh)
+        return depth + 1, r, radiance + rad, counts, orig_lane
 
     radiance = jnp.zeros((N, 3), jnp.float32)
     counts = jnp.zeros((max_depth + 1,), jnp.int32)
