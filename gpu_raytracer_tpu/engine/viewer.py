@@ -75,6 +75,7 @@ class Viewer:
         """
         self._whole_frame = (self.renderer._use_fused()
                              or self.renderer._use_deferred())
+        self.progressive.resize(self.width, self.height)
         if self._whole_frame:
             self.progressive.tiles_x = self.progressive.tiles_y = 1
             self.progressive.total_tiles = 1
@@ -130,10 +131,26 @@ class Viewer:
         self.renderer = Renderer(new_scene, self.width, self.height,
                                  config=self.config, shadows=self.shadows)
         self.controller = CameraController(new_scene.camera, self.config)
-        self.progressive.resize(self.width, self.height)
         self._sync_mode()
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
+
+    def update_geometry(self, vertices) -> None:
+        """Animated-geometry mode (BASELINE config 5): move the mesh's
+        vertices and rebuild the BVH ON DEVICE (models.scene.refit_scene —
+        one jitted LBVH pipeline, no host round-trip), then re-render. The
+        refit BVH has aligned 8-slot leaves, so the frame stays on the fused
+        Pallas path. The reference rebuilds host-side on every scene change
+        (/root/reference/src/scene.rs:107-109)."""
+        from ..models.scene import refit_scene
+
+        self.scene = refit_scene(self.scene, jnp.asarray(vertices))
+        self.renderer.scene = self.scene
+        if not getattr(self, "_refit_mode", False):
+            # first refit changes BVH shape/layout; re-check the fast path
+            self._refit_mode = True
+            self._sync_mode()
+        self.progressive.trigger_recompute()
 
     # ---- frame loop (run_compute + render, main.rs:136-144, 278-286) ----
 

@@ -72,6 +72,7 @@ class LoadedScene:
     images: list = field(default_factory=list)     # list[np.ndarray RGBA8]
     texture_image: list = field(default_factory=list)  # texture -> image idx
     texture_wrap: list = field(default_factory=list)   # texture -> wrap mode
+    image_warnings: list = field(default_factory=list)  # skipped images + why
     uvs: np.ndarray | None = None                  # [V,2] f32 TEXCOORD_0
 
 
@@ -121,9 +122,10 @@ def _paeth(a, b, c):
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Minimal PNG decoder: 8-bit gray/gray-alpha/RGB/RGBA, non-interlaced.
-    Returns [H,W,4] uint8 (always expanded to RGBA, like the reference's
-    to_rgba8 conversion, gltf_loader.rs:136-167)."""
+    """Minimal PNG decoder: 8/16-bit gray/gray-alpha/RGB/RGBA,
+    non-interlaced (16-bit samples are truncated to their high byte, the
+    standard to_rgba8 conversion). Returns [H,W,4] uint8 (always expanded
+    to RGBA, like the reference's conversion, gltf_loader.rs:136-167)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise GltfError("not a PNG")
     pos, w = 8, 0
@@ -134,7 +136,7 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8:pos + 8 + length]
         if tag == b"IHDR":
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", body)
-            if bit_depth != 8 or interlace != 0:
+            if bit_depth not in (8, 16) or interlace != 0:
                 raise GltfError(f"unsupported PNG (depth={bit_depth}, interlaced={interlace})")
         elif tag == b"IDAT":
             idat += body
@@ -145,7 +147,8 @@ def decode_png(data: bytes) -> np.ndarray:
     if channels is None:
         raise GltfError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(idat)
-    stride = w * channels
+    bpp = channels * (bit_depth // 8)    # PNG filters operate on BYTES
+    stride = w * bpp
     img = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     for y in range(h):
@@ -157,29 +160,33 @@ def decode_png(data: bytes) -> np.ndarray:
             out = line + prev
         else:
             out = line
-            left = np.zeros(channels, np.uint8)
+            left = np.zeros(bpp, np.uint8)
             if f == 1:  # sub
-                for x in range(0, stride, channels):
-                    out[x:x + channels] = out[x:x + channels] + left
-                    left = out[x:x + channels]
+                for x in range(0, stride, bpp):
+                    out[x:x + bpp] = out[x:x + bpp] + left
+                    left = out[x:x + bpp]
             elif f == 3:  # average
-                for x in range(0, stride, channels):
+                for x in range(0, stride, bpp):
                     avg = ((left.astype(np.int32)
-                            + prev[x:x + channels].astype(np.int32)) // 2)
-                    out[x:x + channels] = out[x:x + channels] + avg.astype(np.uint8)
-                    left = out[x:x + channels]
+                            + prev[x:x + bpp].astype(np.int32)) // 2)
+                    out[x:x + bpp] = out[x:x + bpp] + avg.astype(np.uint8)
+                    left = out[x:x + bpp]
             elif f == 4:  # paeth
-                ul = np.zeros(channels, np.uint8)
-                for x in range(0, stride, channels):
-                    pred = _paeth(left, prev[x:x + channels], ul)
-                    out[x:x + channels] = out[x:x + channels] + pred
-                    ul = prev[x:x + channels]
-                    left = out[x:x + channels]
+                ul = np.zeros(bpp, np.uint8)
+                for x in range(0, stride, bpp):
+                    pred = _paeth(left, prev[x:x + bpp], ul)
+                    out[x:x + bpp] = out[x:x + bpp] + pred
+                    ul = prev[x:x + bpp]
+                    left = out[x:x + bpp]
             else:
                 raise GltfError(f"bad PNG filter {f}")
         img[y] = out
         prev = img[y]
-    px = img.reshape(h, w, channels)
+    if bit_depth == 16:
+        # big-endian u16 → high byte (== value >> 8)
+        px = img.reshape(h, w, channels, 2)[..., 0]
+    else:
+        px = img.reshape(h, w, channels)
     rgba = np.zeros((h, w, 4), np.uint8)
     rgba[..., 3] = 255
     if channels == 1:
@@ -197,9 +204,11 @@ def decode_png(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------- the loader
 
 class GltfLoader:
-    def __init__(self, doc: dict, buffers: list[bytes]):
+    def __init__(self, doc: dict, buffers: list[bytes],
+                 base_dir: str | None = None):
         self.doc = doc
         self.buffers = buffers
+        self.base_dir = base_dir    # for external image/buffer URIs
 
     # -- constructors (load_from_path / load_from_glb, gltf_loader.rs:55-74)
 
@@ -217,7 +226,8 @@ class GltfLoader:
         except json.JSONDecodeError as e:
             raise GltfError(f"invalid glTF JSON: {e}") from e
         base = os.path.dirname(os.path.abspath(path))
-        return GltfLoader(doc, GltfLoader._load_buffers(doc, base, None))
+        return GltfLoader(doc, GltfLoader._load_buffers(doc, base, None),
+                          base_dir=base)
 
     @staticmethod
     def load_from_glb(data: bytes) -> "GltfLoader":
@@ -354,18 +364,52 @@ class GltfLoader:
             out.tri_materials = np.concatenate(tmats).astype(np.uint32)
         return out
 
+    def _decode_image(self, raw: bytes) -> np.ndarray:
+        """Format dispatch by magic — the reference accepts whatever the
+        `image` crate handles (gltf_loader.rs:128-184); here: PNG
+        (8/16-bit, utils-local decoder) and baseline JPEG (utils/jpeg.py),
+        which together cover real glTF asset corpora."""
+        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(raw)
+        if raw[:2] == b"\xff\xd8":
+            from ..utils.jpeg import JpegError, decode_jpeg
+
+            try:
+                return decode_jpeg(raw)
+            except JpegError as e:
+                raise GltfError(str(e)) from e
+        raise GltfError("unknown image format (not PNG / baseline JPEG)")
+
     def _process_images(self, out: LoadedScene) -> None:
-        for img in self.doc.get("images", []):
+        for i, img in enumerate(self.doc.get("images", [])):
+            desc = img.get("uri", f"bufferView {img.get('bufferView')}")
             try:
                 if "bufferView" in img:
                     raw, _ = self._buffer_view_bytes(img["bufferView"])
                 elif "uri" in img and img["uri"].startswith("data:"):
                     raw = base64.b64decode(img["uri"].split(",", 1)[1])
+                elif "uri" in img:
+                    # external file relative to the asset, like gltf::import
+                    # (/root/reference/src/gltf_loader.rs:55-63)
+                    if self.base_dir is None:
+                        raise GltfError("external image uri inside GLB/bytes")
+                    from urllib.parse import unquote
+
+                    p = os.path.join(self.base_dir, unquote(img["uri"]))
+                    with open(p, "rb") as f:
+                        raw = f.read()
                 else:
-                    raise GltfError("external image uri unsupported in-memory")
-                out.images.append(decode_png(bytes(raw)))
-            except GltfError:
-                out.images.append(np.full((1, 1, 4), 255, np.uint8))  # placeholder
+                    raise GltfError("image has neither bufferView nor uri")
+                out.images.append(self._decode_image(bytes(raw)))
+            except (GltfError, OSError) as e:
+                # LOUD, recorded, and non-fatal: geometry still loads, the
+                # slot gets a 1x1 white placeholder (albedo passthrough)
+                msg = f"glTF image {i} ({desc}): {e} -> 1x1 white placeholder"
+                out.image_warnings.append(msg)
+                import sys
+
+                print(f"WARNING: {msg}", file=sys.stderr)
+                out.images.append(np.full((1, 1, 4), 255, np.uint8))
         samplers = self.doc.get("samplers", [])
         wrap_codes = {10497: 0, 33071: 1, 33648: 2}  # REPEAT/CLAMP/MIRRORED
         for tex in self.doc.get("textures", []):

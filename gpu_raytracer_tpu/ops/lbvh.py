@@ -58,26 +58,18 @@ def _nlz32(v: jnp.ndarray) -> jnp.ndarray:
     return (32 - jax.lax.population_count(v).astype(jnp.int32)).astype(jnp.int32)
 
 
-@jax.jit
-def build_lbvh_arrays(tri_min: jnp.ndarray, tri_max: jnp.ndarray):
-    """Device LBVH from per-triangle AABBs [T,3]/[T,3]; T >= 2.
+def _karras_from_codes(codes: jnp.ndarray, leaf_min: jnp.ndarray,
+                       leaf_max: jnp.ndarray):
+    """Karras hierarchy over L PRE-SORTED leaf codes with AABBs [L,3].
 
-    Returns (node_min, node_max, left, right, tri_start, tri_count,
-    hit_link, miss_link, order) — nodes [2T-1]; `order` [T] maps sorted-leaf
-    position → original triangle index.
+    Returns (node_min, node_max, left, right, hit, miss) over 2L-1 nodes:
+    internal nodes 0..L-2 (root 0), leaf for sorted position p at L-1+p.
     """
-    T = tri_min.shape[0]
+    T = codes.shape[0]
     n_internal = T - 1
     n_nodes = 2 * T - 1
     n_steps = max(int(math.ceil(math.log2(max(T, 2)))) + 2, 2)
     sweeps = min(max(4 * n_steps, 8), 128)
-
-    cent = 0.5 * (tri_min + tri_max)
-    lo = jnp.min(tri_min, axis=0)
-    hi = jnp.max(tri_max, axis=0)
-    codes = morton_codes(cent, lo, hi)
-    order = jnp.argsort(codes).astype(jnp.int32)
-    codes = codes[order]
 
     def delta(i, j):
         """Common-prefix length of sorted codes i and j ([Karras 2012] §4),
@@ -142,10 +134,6 @@ def build_lbvh_arrays(tri_min: jnp.ndarray, tri_max: jnp.ndarray):
 
     left = jnp.concatenate([left_child, jnp.full((T,), -1, jnp.int32)])
     right = jnp.concatenate([right_child, jnp.full((T,), -1, jnp.int32)])
-    tri_start = jnp.concatenate([jnp.zeros((n_internal,), jnp.int32),
-                                 jnp.arange(T, dtype=jnp.int32)])
-    tri_count = jnp.concatenate([jnp.zeros((n_internal,), jnp.int32),
-                                 jnp.ones((T,), jnp.int32)])
 
     parent = jnp.full((n_nodes,), -1, jnp.int32)
     parent = parent.at[left_child].set(i)
@@ -154,8 +142,8 @@ def build_lbvh_arrays(tri_min: jnp.ndarray, tri_max: jnp.ndarray):
     # bottom-up AABB refit: repeated child-gather sweeps converge once the
     # sweep count reaches the tree depth (bounded by `sweeps`)
     big = jnp.float32(3.0e38)
-    node_min = jnp.concatenate([jnp.full((n_internal, 3), big), tri_min[order]])
-    node_max = jnp.concatenate([jnp.full((n_internal, 3), -big), tri_max[order]])
+    node_min = jnp.concatenate([jnp.full((n_internal, 3), big), leaf_min])
+    node_max = jnp.concatenate([jnp.full((n_internal, 3), -big), leaf_max])
 
     def refit_body(t, carry):
         nmin, nmax = carry
@@ -183,29 +171,132 @@ def build_lbvh_arrays(tri_min: jnp.ndarray, tri_max: jnp.ndarray):
     miss = jnp.where(miss == -2, -1, miss)
     hit = jnp.where(left >= 0, left, miss).astype(jnp.int32)
 
+    return node_min, node_max, left, right, hit, miss.astype(jnp.int32)
+
+
+@jax.jit
+def build_lbvh_arrays(tri_min: jnp.ndarray, tri_max: jnp.ndarray):
+    """Device LBVH from per-triangle AABBs [T,3]/[T,3]; T >= 2.
+
+    Returns (node_min, node_max, left, right, tri_start, tri_count,
+    hit_link, miss_link, order) — nodes [2T-1]; `order` [T] maps sorted-leaf
+    position → original triangle index. One triangle per leaf
+    (leaf_align=1): the layout for the threaded/XLA traversals.
+    """
+    T = tri_min.shape[0]
+    n_internal = T - 1
+
+    cent = 0.5 * (tri_min + tri_max)
+    lo = jnp.min(tri_min, axis=0)
+    hi = jnp.max(tri_max, axis=0)
+    codes = morton_codes(cent, lo, hi)
+    order = jnp.argsort(codes).astype(jnp.int32)
+
+    node_min, node_max, left, right, hit, miss = _karras_from_codes(
+        codes[order], tri_min[order], tri_max[order])
+    tri_start = jnp.concatenate([jnp.zeros((n_internal,), jnp.int32),
+                                 jnp.arange(T, dtype=jnp.int32)])
+    tri_count = jnp.concatenate([jnp.zeros((n_internal,), jnp.int32),
+                                 jnp.ones((T,), jnp.int32)])
     return (node_min, node_max, left, right, tri_start, tri_count,
-            hit, miss.astype(jnp.int32), order)
+            hit, miss, order)
+
+
+@jax.jit
+def build_lbvh_grouped_arrays(tri_min: jnp.ndarray, tri_max: jnp.ndarray):
+    """Device LBVH with 8-triangle ALIGNED leaves — the layout the Pallas
+    packet-traversal kernels require (ops/pallas/traverse.py TRI_FORMATS).
+
+    The Karras tree is built over GROUPS of 8 Morton-consecutive triangles:
+    group g's leaf covers sorted positions [8g, 8g+8) (the tail group is
+    padded with degenerate slots), its AABB is the member union (a fixed
+    -stride segmented reduce — no rebuild needed), and its code is its first
+    member's. This is the leaf-collapse pass VERDICT r1 asked for: subtree
+    ranges are contiguous in sorted order, so collapsing to aligned 8-slot
+    leaves only reshapes the leaf level.
+
+    Returns (node_min, node_max, left, right, tri_start, tri_count,
+    hit_link, miss_link, order) — nodes [2G-1], G = ceil(T/8); `order` [T]
+    maps sorted position → original triangle index; leaf g has
+    tri_start = 8g, tri_count = 8 (padding slots are degenerate no-hit
+    triangles, exactly like models.bvh.align_leaves on the host).
+    """
+    GROUP = 8
+    T = tri_min.shape[0]
+    G = -(-T // GROUP)
+    pad = G * GROUP - T
+
+    cent = 0.5 * (tri_min + tri_max)
+    lo = jnp.min(tri_min, axis=0)
+    hi = jnp.max(tri_max, axis=0)
+    codes = morton_codes(cent, lo, hi)
+    order = jnp.argsort(codes).astype(jnp.int32)
+
+    big = jnp.float32(3.0e38)
+    smin = tri_min[order]
+    smax = tri_max[order]
+    if pad:
+        smin = jnp.concatenate([smin, jnp.full((pad, 3), big)])
+        smax = jnp.concatenate([smax, jnp.full((pad, 3), -big)])
+    gmin = smin.reshape(G, GROUP, 3).min(axis=1)
+    gmax = smax.reshape(G, GROUP, 3).max(axis=1)
+    gcodes = codes[order][::GROUP]   # group start is always a real triangle
+
+    if G == 1:
+        node_min, node_max = gmin, gmax
+        left = jnp.full((1,), -1, jnp.int32)
+        right = jnp.full((1,), -1, jnp.int32)
+        hit = jnp.full((1,), -1, jnp.int32)
+        miss = jnp.full((1,), -1, jnp.int32)
+        tri_start = jnp.zeros((1,), jnp.int32)
+        tri_count = jnp.full((1,), GROUP, jnp.int32)
+        return (node_min, node_max, left, right, tri_start, tri_count,
+                hit, miss, order)
+
+    node_min, node_max, left, right, hit, miss = _karras_from_codes(
+        gcodes, gmin, gmax)
+    n_internal = G - 1
+    tri_start = jnp.concatenate([
+        jnp.zeros((n_internal,), jnp.int32),
+        (jnp.arange(G, dtype=jnp.int32) * GROUP)])
+    tri_count = jnp.concatenate([jnp.zeros((n_internal,), jnp.int32),
+                                 jnp.full((G,), GROUP, jnp.int32)])
+    return (node_min, node_max, left, right, tri_start, tri_count,
+            hit, miss, order)
 
 
 def lbvh_from_mesh_device(vertices: jnp.ndarray, indices: jnp.ndarray,
-                          material_id: jnp.ndarray):
+                          material_id: jnp.ndarray, group: int = 1):
     """Full on-device pipeline: mesh arrays → (Bvh, tri_v0, tri_e1, tri_e2,
-    tri_mat) in sorted-leaf order, ready for the traversal kernels
-    (leaf_size=1)."""
+    tri_mat) in sorted-leaf order, ready for the traversal kernels.
+
+    group=1: Karras 1-triangle leaves (threaded/XLA traversal, leaf_size=1).
+    group=8: aligned 8-slot leaves — passes `pallas_scene_ok`, so
+    dynamically-built/refit scenes stay on the fused Pallas fast path
+    (triangle arrays are padded to 8·ceil(T/8) with degenerate slots)."""
     idx = indices.astype(jnp.int32)
     a = vertices[idx[:, 0]]
     b = vertices[idx[:, 1]]
     c = vertices[idx[:, 2]]
     tri_min = jnp.minimum(a, jnp.minimum(b, c))
     tri_max = jnp.maximum(a, jnp.maximum(b, c))
+    build = build_lbvh_arrays if group == 1 else build_lbvh_grouped_arrays
     (nmin, nmax, left, right, tri_start, tri_count, hit, miss,
-     order) = build_lbvh_arrays(tri_min, tri_max)
+     order) = build(tri_min, tri_max)
     bvh = Bvh(node_min=nmin, node_max=nmax, left=left, right=right,
               tri_start=tri_start, tri_count=tri_count,
               hit_link=hit, miss_link=miss,
-              leaf_align=1, max_leaf=1)  # Karras leaves hold one triangle
+              leaf_align=group, max_leaf=group)
     v0 = a[order]
     e1 = b[order] - v0
     e2 = c[order] - v0
     mat = material_id.astype(jnp.int32)[order]
+    T = v0.shape[0]
+    pad = (-T) % group
+    if pad:
+        z = jnp.zeros((pad, 3), jnp.float32)
+        v0 = jnp.concatenate([v0, z])
+        e1 = jnp.concatenate([e1, z])   # zero edges → det 0 → no hit
+        e2 = jnp.concatenate([e2, z])
+        mat = jnp.concatenate([mat, jnp.zeros((pad,), jnp.int32)])
     return bvh, v0, e1, e2, mat

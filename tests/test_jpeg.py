@@ -1,0 +1,81 @@
+"""Baseline JPEG decoder tests: PIL is used as the ENCODER + decode oracle
+only (the loader itself must stay self-contained — utils/jpeg.py)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from gpu_raytracer_tpu.utils.jpeg import JpegError, decode_jpeg
+
+PIL = pytest.importorskip("PIL.Image")
+
+
+def _smooth(w, h, seed=0):
+    """Low-frequency test image (JPEG-friendly so tolerances stay tight)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 127 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+    g = 127 + 100 * np.cos(xx / 29.0 + 1.0)
+    b = 127 + 100 * np.sin((xx + yy) / 31.0)
+    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
+def _encode(img, **kw):
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="JPEG", **kw)
+    return buf.getvalue()
+
+
+def _oracle(data):
+    return np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+
+
+@pytest.mark.parametrize("subsampling,name", [(0, "4:4:4"), (1, "4:2:2"),
+                                              (2, "4:2:0")])
+def test_decode_matches_oracle(subsampling, name):
+    img = _smooth(130, 94)    # non-multiple-of-MCU on purpose
+    data = _encode(img, quality=92, subsampling=subsampling)
+    got = decode_jpeg(data)
+    assert got.shape == (94, 130, 4)
+    assert (got[..., 3] == 255).all()
+    ref = _oracle(data)
+    # same bitstream, two IDCT/upsample implementations: allow small drift
+    diff = np.abs(got[..., :3].astype(np.int32) - ref.astype(np.int32))
+    assert diff.mean() < 2.0, f"{name}: mean {diff.mean()}"
+    assert np.percentile(diff, 99) <= 12
+
+
+def test_decode_grayscale():
+    img = _smooth(64, 48)[..., 0]
+    data = _encode(img, quality=95)
+    got = decode_jpeg(data)
+    ref = _oracle(data)
+    diff = np.abs(got[..., :3].astype(np.int32) - ref.astype(np.int32))
+    assert diff.mean() < 2.0
+
+
+def test_decode_restart_markers():
+    cv2 = pytest.importorskip("cv2")
+    img = _smooth(128, 96)
+    ok, enc = cv2.imencode(".jpg", img[..., ::-1],
+                           [cv2.IMWRITE_JPEG_QUALITY, 90,
+                            cv2.IMWRITE_JPEG_RST_INTERVAL, 2])
+    assert ok
+    data = enc.tobytes()
+    assert b"\xff\xdd" in data  # DRI segment actually present
+    got = decode_jpeg(data)
+    ref = _oracle(data)
+    diff = np.abs(got[..., :3].astype(np.int32) - ref.astype(np.int32))
+    assert diff.mean() < 2.0
+
+
+def test_progressive_rejected_loudly():
+    img = _smooth(64, 64)
+    data = _encode(img, quality=90, progressive=True)
+    with pytest.raises(JpegError, match="progressive"):
+        decode_jpeg(data)
+
+
+def test_not_a_jpeg():
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nnope")

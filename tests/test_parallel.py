@@ -82,3 +82,42 @@ def test_fused_megakernel_ray_sharded(default_scene):
                                       interpret=True)
     ref = render_image(default_scene, W, H)
     np.testing.assert_allclose(fb, ref, atol=2e-5)
+
+
+@needs_8
+def test_geometry_shards_bvh_courtyard():
+    """VERDICT r1 weak #5 done-condition: 8-device CPU mesh on the 100k
+    courtyard, per-shard sub-BVH traversal matching single-device hits."""
+    from gpu_raytracer_tpu.parallel.shard import GeometryShards
+    from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+
+    scene = make_courtyard_scene(target_triangles=100_000, seed=0)
+    mesh = make_mesh(8)
+    shards = GeometryShards(scene, 8)
+    # per-shard node tables really exist and are smaller than the global one
+    assert shards.node_min.shape[0] == 8
+    assert shards.node_min.shape[1] < scene.bvh.num_nodes
+    assert int(np.asarray(shards.orig_id).min()) == 0
+
+    rng2 = np.random.default_rng(9)
+    m = 512
+    o = rng2.uniform(-40, 40, (m, 3)).astype(np.float32)
+    tgt = rng2.uniform(-20, 20, (m, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    sharded = trace_geometry_sharded(scene, o, d, mesh, shards=shards)
+    single = trace(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(sharded.hit),
+                                  np.asarray(single.hit))
+    h = np.asarray(single.hit)
+    assert h.sum() > 100
+    np.testing.assert_allclose(np.asarray(sharded.t)[h],
+                               np.asarray(single.t)[h], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sharded.material_id)[h],
+                                  np.asarray(single.material_id)[h])
+    # normals agree up to the winner's orientation
+    dn = np.abs(np.sum(np.asarray(sharded.normal)[h]
+                       * np.asarray(single.normal)[h], axis=1))
+    np.testing.assert_allclose(dn, 1.0, atol=1e-4)
