@@ -41,7 +41,7 @@ from .traverse import (
 )
 from .render import (
     MAX_LIGHTS, MAX_MATERIALS, MAX_SPHERES,
-    _light_I, _light_rows, _sphere_pass, _sphere_rows,
+    _light_I, _light_eval, _light_rows, _sphere_pass, _sphere_rows,
 )
 
 _MIN_T = 1e-5
@@ -65,7 +65,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             act_ref, u_ref,
             no_ref, nd_ref, nthr_ref, nmed_ref, nchan_ref, nrt_ref, nbd_ref,
             nact_ref, rad_ref, stack_ref, *,
-            max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr):
+            max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
+            light_sample):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -140,17 +141,41 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     tot_b = alb_b * 0.1
     is_metal_f = (metal > 0.5).astype(jnp.float32)
     brdf = is_metal_f * 0.5 + (1.0 - is_metal_f) * (1.0 / _PI)
-    for li in range(n_lights):
-        I, lcr, lcg, lcb = _light_I(
-            node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
-            nx, ny, nz, phx, phy, phz, hit_live,
-            shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
+    if shadows and light_sample and n_lights > 1:
+        # single-light NEE: each lane samples ONE light (u6), weight x L —
+        # one any-hit shadow traversal per bounce instead of n_lights
+        # (unbiased; sum over lights recovered in expectation)
+        u6 = u_ref[0, 6]
+        li_f = jnp.minimum(jnp.floor(u6 * float(n_lights)),
+                           float(n_lights - 1))
+        p = [jnp.zeros(tile, jnp.float32) for _ in range(11)]
+        for li in range(n_lights):
+            row = light_ref[li:li + 1, :]
+            sel = li_f == float(li)
+            p = [jnp.where(sel, row[0, k], p[k]) for k in range(11)]
+        I, lcr, lcg, lcb = _light_eval(
+            node_ref, tri_ref, stack_ref, sph_ref,
+            p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
+            p[10], nx, ny, nz, phx, phy, phz, hit_live,
+            shadows=True, n_spheres=n_spheres, max_iters=max_iters,
             slots=slots)
         gate = (I > 0.0).astype(jnp.float32)
-        w = brdf * I * gate
+        w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
         tot_g = tot_g + alb_g * w * lcg
         tot_b = tot_b + alb_b * w * lcb
+    else:
+        for li in range(n_lights):
+            I, lcr, lcg, lcb = _light_I(
+                node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
+                nx, ny, nz, phx, phy, phz, hit_live,
+                shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
+                slots=slots)
+            gate = (I > 0.0).astype(jnp.float32)
+            w = brdf * I * gate
+            tot_r = tot_r + alb_r * w * lcr
+            tot_g = tot_g + alb_g * w * lcg
+            tot_b = tot_b + alb_b * w * lcb
 
     tot_r = tot_r + emi_r
     tot_g = tot_g + emi_g
@@ -321,7 +346,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
 
 
 @partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
-                                   "interpret"))
+                                   "interpret", "light_sample"))
 def pallas_bounce(
     scene: Scene,
     origin: jnp.ndarray,      # [N,3]
@@ -332,11 +357,12 @@ def pallas_bounce(
     ray_type: jnp.ndarray,    # [N] i32
     bounce_depth: jnp.ndarray,  # [N] i32
     active: jnp.ndarray,      # [N] bool
-    u: jnp.ndarray,           # [N,6] uniforms
+    u: jnp.ndarray,           # [N,7] uniforms
     shadows: bool,
     do_rr: bool,
     packet_size: int = 8192,
     interpret: bool = False,
+    light_sample: bool = False,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
     medium', channel', ray_type', bounce_depth', active',
@@ -376,7 +402,7 @@ def pallas_bounce(
     rt = ray_type.astype(jnp.float32).reshape(shape1)
     bd = bounce_depth.astype(jnp.float32).reshape(shape1)
     act = active.astype(jnp.float32).reshape(shape1)
-    uu = u.reshape(B, sub, LANES, 6).transpose(0, 3, 1, 2)
+    uu = u.reshape(B, sub, LANES, 7).transpose(0, 3, 1, 2)
 
     resident = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)
@@ -385,7 +411,7 @@ def pallas_bounce(
 
     kernel = partial(_kernel, max_iters=nn + 4, n_mats=m.count,
                      n_lights=L.count, n_spheres=S.count, slots=slots,
-                     shadows=shadows, do_rr=do_rr)
+                     shadows=shadows, do_rr=do_rr, light_sample=light_sample)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -398,7 +424,7 @@ def pallas_bounce(
             per_packet((1, 3, sub, LANES)), per_packet((1, sub, LANES)),
             per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
             per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
-            per_packet((1, 6, sub, LANES)),
+            per_packet((1, 7, sub, LANES)),
         ],
         out_specs=(
             per_packet((1, 3, sub, LANES)), per_packet((1, 3, sub, LANES)),

@@ -182,11 +182,22 @@ def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
     (lighting.rs:20-139 + the shadow occlusion the reference never wired).
     Shared by the primary, deferred and bounce kernels."""
     row = light_ref[li:li + 1, :]
-    lpx, lpy, lpz = row[0, 0], row[0, 1], row[0, 2]
-    ltype = row[0, 3]
-    lcr, lcg, lcb = row[0, 4], row[0, 5], row[0, 6]
-    lint = row[0, 7]
-    ldx, ldy, ldz = row[0, 8], row[0, 9], row[0, 10]  # pre-normalised
+    return _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
+                       row[0, 0], row[0, 1], row[0, 2], row[0, 3],
+                       row[0, 4], row[0, 5], row[0, 6], row[0, 7],
+                       row[0, 8], row[0, 9], row[0, 10],
+                       nx, ny, nz, phx, phy, phz, hit_mask,
+                       shadows=shadows, n_spheres=n_spheres,
+                       max_iters=max_iters, slots=slots)
+
+
+def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
+                lpx, lpy, lpz, ltype, lcr, lcg, lcb, lint, ldx, ldy, ldz,
+                nx, ny, nz, phx, phy, phz, hit_mask, *,
+                shadows, n_spheres, max_iters, slots):
+    """_light_I with explicit light parameters — scalars (one static light)
+    or per-lane tiles (a SAMPLED light per lane, ops/pallas/bounce.py's
+    single-light NEE). `ldx/ldy/ldz` must be pre-normalised."""
 
     dir_dot = -(nx * ldx + ny * ldy + nz * ldz)
     dir_I = _max0(dir_dot) * lint

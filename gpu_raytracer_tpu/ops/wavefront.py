@@ -206,9 +206,65 @@ def _sort_perm(scene: Scene, o, d, active):
     return jnp.argsort(sort_key)
 
 
+def _direct_lighting_sampled(scene: Scene, hit, live, u6, leaf_size,
+                             use_bvh):
+    """Single-light NEE: each lane samples ONE punctual light (u6) and
+    weights its post-occlusion contribution by the light count — unbiased
+    for the sum over lights (lighting.rs:20-139 formulas) at ONE any-hit
+    occlusion query per bounce instead of one per light. Mirrors the fused
+    kernel's light_sample branch (ops/pallas/bounce.py) exactly."""
+    from .shading import material_textures
+    from .f16 import f16_roundtrip
+    from .linalg import max0
+
+    m = scene.materials
+    L = scene.lights
+    mid = jnp.clip(hit.material_id, 0, m.count - 1)
+    albedo, emission, metallic, ambient_occ = material_textures(
+        scene, mid, hit.uv)
+
+    nL = L.count
+    li = jnp.minimum((u6 * nL).astype(jnp.int32), nL - 1)
+    lpos = L.position[li]                       # [N,3]
+    ltype = L.light_type[li]                    # [N]
+    lcol = L.color[li]
+    lint = L.intensity[li]
+    ldir = normalize(L.direction)[li]
+
+    n = hit.normal
+    p = hit.point
+    dir_I = max0(dot(n, -ldir)) * lint
+    to_light = lpos - p
+    dist = jnp.sqrt(dot(to_light, to_light))
+    pl_dir = to_light / dist[:, None]
+    atten = f16_roundtrip(1.0 / (1.0 + dist * dist * 0.01))
+    point_I = max0(dot(n, pl_dir)) * lint * atten
+    spot_I = point_I * max0(dot(-ldir, pl_dir))
+    I = (dir_I * (ltype == 0) + point_I * (ltype == 1)
+         + spot_I * (ltype == 2))
+
+    sdir = jnp.where((ltype == 0)[:, None], -ldir, pl_dir)
+    smax = jnp.where(ltype == 0, jnp.float32(3.0e38), dist - 1e-3)
+    smax = jnp.where(live & (I > 0.0), smax, 0.0)
+    o = p + n * 1e-3
+    blocked = occluded(scene, o, sdir, smax, leaf_size=leaf_size,
+                       use_bvh=use_bvh)
+    I = I * (1.0 - blocked.astype(jnp.float32))
+
+    is_metal = (metallic > 0.5).astype(jnp.float32)
+    brdf = is_metal * 0.5 + (1.0 - is_metal) / jnp.pi
+    gate = (I > 0.0).astype(jnp.float32)
+    per = albedo * (brdf * I * gate * nL)[:, None] * lcol
+    ambient = albedo * 0.1
+    if ambient_occ is not None:
+        ambient = ambient * ambient_occ[:, None]
+    return ambient + per + emission
+
+
 def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
                shadows: bool, rr_enabled: bool, rr_now,
-               leaf_size: int = 4, use_bvh: bool = True):
+               leaf_size: int = 4, use_bvh: bool = True,
+               light_sample: bool = False):
     """One wavefront bounce in XLA → (pool', radiance_delta [N,3]).
 
     The exact math (and jax.random layout: u is [N,6]) of the fused Pallas
@@ -232,9 +288,13 @@ def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
         miss_live[:, None], SKY_WAVEFRONT[None, :] * r.throughput, 0.0)
 
     # --- hit: direct shading × throughput (wavefront.rs:153-164) ---
-    smask = (_shadow_mask_points(scene, hit.point, hit.normal, hit_live,
-                                 leaf_size, use_bvh) if shadows else None)
-    lighting = direct_lighting(scene, hit, smask)
+    if shadows and light_sample and scene.lights.count > 1:
+        lighting = _direct_lighting_sampled(scene, hit, hit_live, u[:, 6],
+                                            leaf_size, use_bvh)
+    else:
+        smask = (_shadow_mask_points(scene, hit.point, hit.normal, hit_live,
+                                     leaf_size, use_bvh) if shadows else None)
+        lighting = direct_lighting(scene, hit, smask)
     shaded = apply_dispersion(scene, hit, lighting)
     invalid = hit.hit & (hit.material_id >= mats.count)
     shaded = jnp.where(invalid[:, None], MAGENTA[None, :], shaded)
@@ -330,6 +390,39 @@ def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
     return r2, radiance
 
 
+def _permute_pool(r: WavefrontRays, radiance, orig_lane, perm):
+    """Apply a pool permutation as ONE packed [N,21] row gather.
+
+    TPU gathers vectorise across the trailing (lane) dimension: permuting
+    the pool as 17 separate per-field gathers measured 167 ms at 1M lanes,
+    the same bytes as one packed matrix gather ~20 ms. Integer fields ride
+    as f32 (ray_type/depth/channel are tiny; pixel and orig_lane are exact
+    below 2^24 — pools are ≤ a few M lanes).
+    """
+    cols = jnp.concatenate([
+        r.origin, r.direction, r.throughput, radiance,
+        r.medium_ior[:, None], r.inv_pdf[:, None],
+        r.t_min[:, None], r.t_max[:, None],
+        r.ray_type.astype(jnp.float32)[:, None],
+        r.bounce_depth.astype(jnp.float32)[:, None],
+        r.wavelength_channel.astype(jnp.float32)[:, None],
+        r.pixel.astype(jnp.float32)[:, None],
+        orig_lane.astype(jnp.float32)[:, None],
+        r.active.astype(jnp.float32)[:, None],
+    ], axis=1)[perm]
+    r2 = WavefrontRays(
+        origin=cols[:, 0:3], direction=cols[:, 3:6], throughput=cols[:, 6:9],
+        medium_ior=cols[:, 12], inv_pdf=cols[:, 13],
+        t_min=cols[:, 14], t_max=cols[:, 15],
+        ray_type=cols[:, 16].astype(jnp.int32),
+        bounce_depth=cols[:, 17].astype(jnp.int32),
+        wavelength_channel=cols[:, 18].astype(jnp.int32),
+        pixel=cols[:, 19].astype(jnp.int32),
+        active=cols[:, 21] > 0.0,
+    )
+    return r2, cols[:, 9:12], cols[:, 20].astype(jnp.int32)
+
+
 def _fused_pool_ok(scene: Scene, n: int, use_bvh: bool) -> bool:
     from .pallas.bounce import fused_bounce_eligible
     from .trace import _pallas_available
@@ -355,18 +448,19 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
     counts = []
     for depth in range(max_depth + 1):
         counts.append(jnp.sum(r.active.astype(jnp.int32)))
-        perm = _sort_perm(scene, r.origin, r.direction, r.active)
-        r = jax.tree_util.tree_map(lambda a: a[perm], r)
-        radiance = radiance[perm]
-        orig_lane = orig_lane[perm]
-        u = jax.random.uniform(jax.random.fold_in(key, depth), (N, 6),
+        if depth > 0:  # camera rays arrive pre-sorted (tile-major order)
+            perm = _sort_perm(scene, r.origin, r.direction, r.active)
+            r, radiance, orig_lane = _permute_pool(r, radiance, orig_lane,
+                                                   perm)
+        u = jax.random.uniform(jax.random.fold_in(key, depth), (N, 7),
                                jnp.float32)
         o, d, thr, med, chan, rt, bd, act, rad = pallas_bounce(
             scene, r.origin, r.direction, r.throughput, r.medium_ior,
             r.wavelength_channel, r.ray_type, r.bounce_depth, r.active, u,
             shadows=shadows,
             do_rr=(max_depth >= rr_start and depth >= rr_start),
-            packet_size=P, interpret=interpret)
+            packet_size=P, interpret=interpret,
+            light_sample=shadows and scene.lights.count > 1)
         r = replace(r, origin=o, direction=d, throughput=thr, medium_ior=med,
                     wavelength_channel=chan.astype(jnp.int32),
                     ray_type=rt.astype(jnp.int32),
@@ -403,12 +497,11 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
         return (depth <= max_depth) & jnp.any(r.active)
 
     def _coherence_sort(r, radiance, orig_lane):
-        """Pool reorder by _sort_perm; the original lane index rides along
-        and radiance is unscrambled once at the end of the loop."""
+        """Pool reorder by _sort_perm (single packed-row gather); the
+        original lane index rides along and radiance is unscrambled once at
+        the end of the loop."""
         perm = _sort_perm(scene, r.origin, r.direction, r.active)
-        take = lambda a: a[perm]
-        return (jax.tree_util.tree_map(take, r), radiance[perm],
-                orig_lane[perm])
+        return _permute_pool(r, radiance, orig_lane, perm)
 
     def body(state):
         depth, r, radiance, counts, orig_lane = state
@@ -420,11 +513,12 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
         # vs ~16ms for the sort itself).
         r, radiance, orig_lane = _coherence_sort(r, radiance, orig_lane)
         k = jax.random.fold_in(key, depth)
-        u = jax.random.uniform(k, (N, 6), jnp.float32)
+        u = jax.random.uniform(k, (N, 7), jnp.float32)
         r, rad = xla_bounce(scene, r, u, shadows=shadows,
                             rr_enabled=max_depth >= rr_start,
                             rr_now=depth >= rr_start,
-                            leaf_size=leaf_size, use_bvh=use_bvh)
+                            leaf_size=leaf_size, use_bvh=use_bvh,
+                            light_sample=shadows and scene.lights.count > 1)
         return depth + 1, r, radiance + rad, counts, orig_lane
 
     radiance = jnp.zeros((N, 3), jnp.float32)
