@@ -132,32 +132,62 @@ def aabb_surface_area(mn, mx):
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
+# Payload texels per 128-lane atlas row: lane 127 is a GUARD texel
+# duplicating the wrap-neighbour of lane 126's texel (see Textures below).
+TEX_CHUNK = 127
+
+
+def _wrap_coords(x: np.ndarray, size: int, mode: int) -> np.ndarray:
+    """NumPy sampler wrap to [0, size): 0=REPEAT 1=CLAMP 2=MIRRORED."""
+    if mode == 1:
+        return np.clip(x, 0, size - 1)
+    if mode == 2:
+        per = np.mod(x, 2 * size)
+        return np.where(per < size, per, 2 * size - 1 - per)
+    return np.mod(x, size)
+
+
 @pytree_dataclass
 class Textures:
     """Texture atlas — TextureInfo semantics
-    (/root/reference/shared/src/lib.rs:85-95) with the flat byte buffer of
-    /root/reference/src/gltf_loader.rs:128-184. All textures are decoded to
-    RGBA8 and stored contiguously; `offset` indexes into `data` in bytes."""
+    (/root/reference/shared/src/lib.rs:85-95) holding the decoded RGBA8
+    texels of /root/reference/src/gltf_loader.rs:128-184, re-laid-out for
+    the TPU's (sublane, 128-lane) memory shape.
 
-    width: jnp.ndarray    # [N] u32
-    height: jnp.ndarray   # [N] u32
+    GUARD-BAND LAYOUT. The atlas is a stack of 128-texel rows. Each texture
+    row is split into `srows` chunks of 127 payload texels; lane 127 of every
+    chunk duplicates the wrap-neighbour of the next texel column, and one
+    extra guard ROW per texture duplicates the vertical wrap row. With texel
+    (x, y) at atlas address `(offset_row + y*srows + x//127)*128 + x%127`,
+    the four bilinear taps are always `a`, `a+1`, `a+srows*128`,
+    `a+srows*128+1` — no per-tap wrap logic, and a whole bilinear fetch
+    row-gathers exactly two atlas rows (or, on the Pallas fast path, is one
+    weighted one-hot matmul per channel against the VMEM-resident atlas).
+    Texels stay pre-packed little-endian RGBA-in-u32, the byte order the
+    reference packs on upload (/root/reference/src/buffers.rs:423-431)."""
+
+    width: jnp.ndarray    # [N] u32 logical texel width
+    height: jnp.ndarray   # [N] u32 logical texel height
     format: jnp.ndarray   # [N] u32 (3 = RGBA8; everything is decoded to RGBA8)
-    offset: jnp.ndarray   # [N] u32 byte offset into the (conceptual) byte buffer
-    size: jnp.ndarray     # [N] u32 byte size
+    offset: jnp.ndarray   # [N] u32 byte offset of the texture's first atlas row
+    size: jnp.ndarray     # [N] u32 atlas bytes ((h+1)*srows*512)
     wrap: jnp.ndarray     # [N] u32 sampler wrap: 0=REPEAT 1=CLAMP 2=MIRRORED
-    # Texels stored pre-packed as little-endian RGBA-in-u32 — the layout the
-    # reference packs on upload (/root/reference/src/buffers.rs:423-431) —
-    # so a texel fetch is ONE u32 gather + vector bit unpacking.
-    data_u32: jnp.ndarray  # [B/4] u32 flat texels
+    data_u32: jnp.ndarray  # [R*128] u32 texels, R whole 128-lane rows
+    srows: jnp.ndarray       # [N] u32 atlas rows per texture row (= ceil(w/127))
+    offset_row: jnp.ndarray  # [N] u32 atlas row index of texel (0,0)
 
     @property
     def count(self) -> int:
         return self.width.shape[0]
 
+    @property
+    def num_rows(self) -> int:
+        return self.data_u32.shape[0] // 128
+
     @staticmethod
     def empty() -> "Textures":
         z = jnp.zeros((1,), jnp.uint32)
-        return Textures(z, z, z, z, z, z, jnp.zeros((1,), jnp.uint32))
+        return Textures(z, z, z, z, z, z, jnp.zeros((1,), jnp.uint32), z, z)
 
     @staticmethod
     def from_images(images: list[np.ndarray],
@@ -166,24 +196,39 @@ class Textures:
         wrap modes (0=REPEAT, the glTF default)."""
         if not images:
             return Textures.empty()
-        widths, heights, offsets, sizes, chunks = [], [], [], [], []
-        off = 0
-        for img in images:
-            img = np.asarray(img, np.uint8)
+        wrap = list(wrap) if wrap is not None else [0] * len(images)
+        widths, heights, offsets, sizes, srows_l, offrows, rows = \
+            [], [], [], [], [], [], []
+        row = 0
+        for img, mode in zip(images, wrap):
+            img = np.ascontiguousarray(np.asarray(img, np.uint8))
             assert img.ndim == 3 and img.shape[2] == 4, "textures must be RGBA8"
             h, w = img.shape[:2]
+            srows = -(-w // TEX_CHUNK)
+            # Atlas content: lane l of chunk k of texture row y holds texel
+            # (wrap_x(127k + l), wrap_y(y)) — guards, tail padding and the
+            # extra vertical guard row all fall out of the same formula.
+            xs = _wrap_coords(
+                (np.arange(srows)[:, None] * TEX_CHUNK + np.arange(128)),
+                w, mode)                              # [srows,128]
+            ys = _wrap_coords(np.arange(h + 1), h, mode)  # [h+1]
+            texels = img.reshape(h, w, 4).view("<u4")[:, :, 0]  # [h,w] u32
+            block = texels[ys[:, None, None], xs[None, :, :]]  # [h+1,srows,128]
             widths.append(w)
             heights.append(h)
-            offsets.append(off)
-            sizes.append(h * w * 4)
-            chunks.append(img.reshape(-1))
-            off += h * w * 4
+            srows_l.append(srows)
+            offrows.append(row)
+            offsets.append(row * 512)
+            sizes.append((h + 1) * srows * 512)
+            rows.append(block.reshape(-1, 128))
+            row += (h + 1) * srows
         u32 = lambda x: jnp.asarray(np.asarray(x, np.uint32))
-        flat = np.concatenate(chunks)
+        flat = np.concatenate(rows, axis=0)
         return Textures(
             width=u32(widths), height=u32(heights),
             format=u32([3] * len(images)),
             offset=u32(offsets), size=u32(sizes),
-            wrap=u32(wrap if wrap is not None else [0] * len(images)),
-            data_u32=jnp.asarray(flat.view("<u4")),
+            wrap=u32(wrap),
+            data_u32=jnp.asarray(flat.reshape(-1).astype(np.uint32)),
+            srows=u32(srows_l), offset_row=u32(offrows),
         )

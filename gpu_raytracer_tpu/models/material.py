@@ -32,7 +32,7 @@ TEX_EMISSIVE = 4            # emissiveTexture
 TEX_SG_SPECGLOSS = 5        # spec-gloss specularGlossinessTexture
 
 
-@pytree_dataclass
+@pytree_dataclass(meta_fields=("present_slots",))
 class Materials:
     albedo: jnp.ndarray               # [M,3] f32
     metallic_roughness_f16: jnp.ndarray  # [M] u32: metallic | roughness<<16
@@ -47,6 +47,10 @@ class Materials:
     glossiness_factor: jnp.ndarray    # [M] f32
     material_type: jnp.ndarray        # [M] u32: 0=metallic-roughness 1=spec-gloss
     texture_indices: jnp.ndarray      # [M,8] u32
+    # STATIC (jit-cache key): which texture slots any material actually uses
+    # — lets shading skip whole sampling passes for absent maps at trace
+    # time. None = unknown, treat every samplable slot as present.
+    present_slots: tuple = None
 
     @property
     def count(self) -> int:
@@ -133,4 +137,8 @@ class MaterialBuilder:
             # never indexes an empty array.
             self.add(albedo=(1.0, 0.0, 1.0))
         cols = {k: np.stack([r[k] for r in self._rows]) for k in self._rows[0]}
-        return Materials(**{k: jnp.asarray(v) for k, v in cols.items()})
+        ti = cols["texture_indices"]
+        present = tuple(int(s) for s in range(8)
+                        if (ti[:, s] != NO_TEXTURE).any())
+        return Materials(**{k: jnp.asarray(v) for k, v in cols.items()},
+                         present_slots=present)

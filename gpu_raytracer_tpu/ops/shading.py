@@ -53,14 +53,25 @@ def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray):
     if scene.textures.data_u32.shape[0] > 1:
         tex = scene.textures
         ti = m.texture_indices[mid]                        # [N,8]
-        base = sample_texture(tex, ti[:, TEX_BASE_COLOR], uv)
-        albedo = albedo * base[:, :3]
-        emission = emission * sample_texture(
-            tex, ti[:, TEX_EMISSIVE], uv)[:, :3]
-        mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], uv)
-        metallic = metallic * mr[:, 2]                     # B channel
-        ambient_occ = sample_texture(
-            tex, ti[:, TEX_OCCLUSION], uv)[:, 0]           # R channel
+        # Static slot gating: skip whole maps no material references
+        # (Materials.present_slots — a jit-static tuple), so e.g. a
+        # base-color-only scene pays ONE sampling pass, not four.
+        slots = m.present_slots
+        if slots is None:
+            slots = (TEX_BASE_COLOR, TEX_METALLIC_ROUGHNESS,
+                     TEX_OCCLUSION, TEX_EMISSIVE)
+        if TEX_BASE_COLOR in slots:
+            albedo = albedo * sample_texture(
+                tex, ti[:, TEX_BASE_COLOR], uv)[:, :3]
+        if TEX_EMISSIVE in slots:
+            emission = emission * sample_texture(
+                tex, ti[:, TEX_EMISSIVE], uv)[:, :3]
+        if TEX_METALLIC_ROUGHNESS in slots:
+            mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], uv)
+            metallic = metallic * mr[:, 2]                 # B channel
+        if TEX_OCCLUSION in slots:
+            ambient_occ = sample_texture(
+                tex, ti[:, TEX_OCCLUSION], uv)[:, 0]       # R channel
     return albedo, emission, metallic, ambient_occ
 
 

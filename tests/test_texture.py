@@ -162,3 +162,62 @@ def test_wrap_modes():
                                                     jnp.float32),
                                         bilinear=False))
         assert abs(got[0, 0] - want_r) < 1e-6, (mode, got[0])
+
+
+def _oracle_bilinear(img, uv, mode):
+    """Standard per-tap-wrap bilinear (the semantics the guard-band atlas
+    must reproduce without any per-tap wrap logic)."""
+    h, w = img.shape[:2]
+    f = img.astype(np.float32) / 255.0
+
+    def wrapc(x, size):
+        if mode == 1:
+            return np.clip(x, 0, size - 1)
+        if mode == 2:
+            per = np.mod(x, 2 * size)
+            return np.where(per < size, per, 2 * size - 1 - per)
+        return np.mod(x, size)
+
+    out = np.zeros((uv.shape[0], 4), np.float32)
+    for i, (u, v) in enumerate(uv):
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+        at = lambda xx, yy: f[wrapc(yy, h), wrapc(xx, w)]
+        out[i] = ((at(x0, y0) * (1 - fx) + at(x0 + 1, y0) * fx) * (1 - fy)
+                  + (at(x0, y0 + 1) * (1 - fx) + at(x0 + 1, y0 + 1) * fx) * fy)
+    return out
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_bilinear_wrap_modes_out_of_range(mode):
+    """Bilinear with uv far outside [0,1] under all three wrap modes —
+    exercises the guard texels, the guard row, and the MIRRORED_REPEAT
+    reflected-period tap-direction flip."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 11, 4), dtype=np.uint8)
+    tex = Textures.from_images([img], wrap=[mode])
+    uv = rng.uniform(-2.5, 2.5, size=(256, 2)).astype(np.float32)
+    got = np.asarray(sample_texture(tex, jnp.zeros((256,), jnp.uint32),
+                                    jnp.asarray(uv), bilinear=True))
+    want = _oracle_bilinear(img, uv, mode)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bilinear_wide_texture_chunk_seams():
+    """Textures wider than one 127-texel atlas chunk: taps crossing chunk
+    boundaries must read the duplicated guard lane, not a neighbour row."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(3, 300, 4), dtype=np.uint8)
+    tex = Textures.from_images([img])
+    # focus sampling density near the chunk seams x = 127, 254
+    xs = np.concatenate([rng.uniform(126, 129, 200),
+                         rng.uniform(253, 256, 200),
+                         rng.uniform(0, 300, 100)])
+    uv = np.stack([xs / 300.0, rng.uniform(0, 1, xs.shape[0])],
+                  axis=-1).astype(np.float32)
+    got = np.asarray(sample_texture(tex, jnp.zeros((xs.shape[0],), jnp.uint32),
+                                    jnp.asarray(uv), bilinear=True))
+    want = _oracle_bilinear(img, uv, 0)
+    np.testing.assert_allclose(got, want, atol=1e-5)
