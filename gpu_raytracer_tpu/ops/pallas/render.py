@@ -589,6 +589,14 @@ def pallas_render_deferred(
         interpret=interpret,
     )(node_rows, tri_rows, cam_row, light_rows, sph_rows, pxb, pyb)
 
+    from .texshade import pallas_texture_shade, texshade_eligible
+
+    if texshade_eligible(scene):
+        # Fused MXU shade: consumes the kernel-layout output directly; the
+        # XLA formulation below costs 270+ ms/frame at 1080p in per-lane
+        # gathers alone (ops/pallas/texshade.py header).
+        return pallas_texture_shade(scene, out, sky=sky, interpret=interpret)
+
     flat = out.transpose(0, 2, 3, 1).reshape(N, 6)
     light_sum = flat[:, 0:3]
     mat_id = flat[:, 3].astype(jnp.int32)

@@ -1,0 +1,318 @@
+"""Pallas TPU kernel: fused deferred texture shading.
+
+Phase 2 of the two-phase textured render (phase 1 is the fused trace in
+ops/pallas/render.py::pallas_render_deferred, which emits per-ray
+(light_sum, material_id, uv)). The XLA formulation of this phase gathers
+material rows and texture taps with arbitrary-index 1-D gathers, which XLA
+lowers to ~80M lanes/s on TPU regardless of table size — 270+ ms/frame at
+1080p, 25x the cost of the traversal it follows. This kernel replaces every
+gather with MXU one-hot matmuls against VMEM-resident tables:
+
+* material lookup: `mtableT [C, M] @ onehot [M, 128rays] -> [C, 128rays]` —
+  one matmul delivers albedo/emission/metallic/ior/transmission AND the
+  per-map texture metadata (atlas row, stride, size, wrap, presence) for
+  all 128 rays of a lane group;
+* texture fetch: thanks to the guard-band atlas (models/geometry.py), the
+  bilinear quad is the address square (row, row+srows) x (lane, lane+1), so
+  one matmul per channel `plane [128lanes, R] @ rowhot [R, 256] ->
+  [128, 256]` fetches both tap rows for the whole group, an f32 vertical
+  lerp blends them, and a weighted lane one-hot reduces the horizontal pair
+  — numerically exact f32 bilinear (one-hots are exact 0/1 in bf16, texel
+  bytes 0..255 are exact in bf16, accumulation is f32).
+
+Rays ride the LANE axis throughout (the weight matrices put rays on the
+matmul's free dimension), so per-ray math stays dense (1, 128) vector rows
+and nothing ever needs a cross-layout reshape. The kernel consumes the trace
+kernel's native [B, 6, sub, 128] output layout directly — the [N, 6]
+transpose boundary of the XLA path disappears too.
+
+Shading semantics are identical to ops/shading.py::shade_deferred
+(lighting.rs:20-47 + material.rs:76-83 refactored over the light sum,
+dispersion blend of shader/src/lib.rs:322-337, magenta invalid-material
+sentinel of lib.rs:307-309).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.geometry import TEX_CHUNK
+from ...models.material import (
+    NO_TEXTURE, TEX_BASE_COLOR, TEX_EMISSIVE, TEX_METALLIC_ROUGHNESS,
+    TEX_OCCLUSION)
+from ...models.scene import Scene
+from ..f16 import unpack_f16_high, unpack_f16_low
+from ..shading import DISPERSION, MAGENTA, TRANSMITTED_BASE
+
+# Python-scalar copies of the shading constants (taking them from the jnp
+# arrays inside the kernel would stage a traced op under jit).
+import numpy as _np
+_DISP = tuple(float(x) for x in _np.asarray(DISPERSION))
+_TBASE = tuple(float(x) for x in _np.asarray(TRANSMITTED_BASE))
+_MAGENTA = tuple(float(x) for x in _np.asarray(MAGENTA))
+
+LANES = 128
+GROUPS_PER_BLOCK = 8          # 8 sublane groups = 1024 rays per grid step
+
+# Eligibility caps: the atlas byte-planes and material table must stay VMEM
+# resident. 4096 atlas rows = 512K texels = 4 MB of bf16 planes.
+MAX_ATLAS_ROWS = 4096
+MAX_TABLE_MATERIALS = 1024
+
+# Samplable map slots and which RGBA byte-planes each needs.
+_MAPS = (
+    (TEX_BASE_COLOR, (0, 1, 2)),
+    (TEX_METALLIC_ROUGHNESS, (2,)),     # B channel scales metallic
+    (TEX_OCCLUSION, (0,)),              # R channel scales ambient
+    (TEX_EMISSIVE, (0, 1, 2)),
+)
+
+
+def texshade_eligible(scene: Scene) -> bool:
+    """Static check: textured scene whose atlas planes + material table fit
+    the kernel's VMEM budget."""
+    if scene.textures.data_u32.shape[0] <= 1:
+        return False
+    return (scene.textures.data_u32.shape[0] // 128 <= MAX_ATLAS_ROWS
+            and scene.materials.count <= MAX_TABLE_MATERIALS)
+
+
+def _material_table(scene: Scene):
+    """[M, 40] f32: albedo(3) emission(3) metallic ior transmission, then
+    per samplable map (has, offset_row, srows, w, h, wrap). Integers are
+    exact small-int floats (< 2^24)."""
+    m = scene.materials
+    tex = scene.textures
+    cols = [
+        m.albedo,
+        m.emission,
+        unpack_f16_low(m.metallic_roughness_f16)[:, None],
+        unpack_f16_low(m.ior_transmission_f16)[:, None],
+        jnp.clip(unpack_f16_high(m.ior_transmission_f16), 0.0, 1.0)[:, None],
+    ]
+    for slot, _ in _MAPS:
+        ti = m.texture_indices[:, slot]
+        has = (ti != NO_TEXTURE) & (ti < tex.count)
+        safe = jnp.where(has, ti, 0).astype(jnp.int32)
+        f = lambda a: jnp.where(has, a[safe].astype(jnp.float32), 0.0)[:, None]
+        cols += [has.astype(jnp.float32)[:, None], f(tex.offset_row),
+                 f(tex.srows), f(tex.width), f(tex.height), f(tex.wrap)]
+    table = jnp.concatenate(cols, axis=1)                        # [M, 33]
+    table = jnp.pad(table, ((0, (-table.shape[0]) % 8),
+                            (0, 40 - table.shape[1])))
+    return table.T                                               # [40, Mp]
+
+
+def _atlas_planes(scene: Scene):
+    """[4, 128, Rp] bf16 RGBA byte-planes, texel lanes on the sublane axis
+    (the matmul LHS layout), atlas rows padded to a multiple of 128."""
+    d = scene.textures.data_u32.reshape(-1, 128)                 # [R,128]
+    d = jnp.pad(d, ((0, (-d.shape[0]) % 128), (0, 0)))
+    return jnp.stack([
+        ((d >> (8 * c)) & 0xFF).astype(jnp.bfloat16).T for c in range(4)])
+
+
+def _wrap_f(x, size, mode):
+    """f32 sampler wrap of integer-valued coords to [0, size) on (1,128)
+    tiles; mode 0=REPEAT 1=CLAMP 2=MIRRORED (per-lane)."""
+    size = jnp.maximum(size, 1.0)
+    repeat = x - size * jnp.floor(x / size)
+    clamp = jnp.clip(x, 0.0, size - 1.0)
+    per = x - (2.0 * size) * jnp.floor(x / (2.0 * size))
+    mirror = jnp.where(per < size, per, 2.0 * size - 1.0 - per)
+    return jnp.where(mode == 1.0, clamp,
+                     jnp.where(mode == 2.0, mirror, repeat))
+
+
+def _tap_setup(u, v, meta):
+    """Per-lane bilinear tap base in the guard-band atlas →
+    (rowA, lane, srows, fx, fy), all (1,128) f32. Mirrors
+    ops/texture.py::tap_base (incl. the MIRRORED flip and CLAMP low-edge
+    collapse)."""
+    has, off_row, srows, w, h, mode = meta
+    uf = u * w - 0.5
+    vf = v * h - 0.5
+    x0 = jnp.floor(uf)
+    y0 = jnp.floor(vf)
+    fx = uf - x0
+    fy = vf - y0
+
+    def axis(c0, f, size):
+        cw = _wrap_f(c0, size, mode)
+        f = jnp.where((mode == 1.0) & (c0 < 0.0), 0.0, f)
+        per = c0 - (2.0 * size) * jnp.floor(c0 / (2.0 * size))
+        flip = (mode == 2.0) & (per >= size)
+        f = jnp.where(flip, jnp.where(cw == 0.0, 0.0, 1.0 - f), f)
+        cw = jnp.where(flip, jnp.maximum(cw - 1.0, 0.0), cw)
+        return cw, f
+
+    xw, fx = axis(x0, fx, w)
+    yw, fy = axis(y0, fy, h)
+    k = jnp.floor(xw / TEX_CHUNK)
+    lane = xw - k * TEX_CHUNK
+    rowA = off_row + yw * srows + k
+    return rowA, lane, srows, fx, fy
+
+
+def _sample_map(plane_ref, rows_pad, meta, u, v, channels):
+    """Bilinear-sample one map for a 128-ray group → dict channel→(1,128).
+
+    One bf16 matmul per channel fetches BOTH tap rows ([128lanes, R] @
+    [R, 256] with the y0 one-hot in lanes 0-127 and y1 in 128-255), an f32
+    lerp blends them vertically, and a weighted lane one-hot reduces the
+    horizontal pair. Absent-map lanes read row 0 harmlessly; the caller
+    masks with `has`."""
+    rowA, lane, srows, fx, fy = _tap_setup(u, v, meta)
+    rit = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, 1),
+                               0).astype(jnp.float32)
+    w0 = (rit == rowA).astype(jnp.bfloat16)                  # [R,128]
+    w1 = (rit == rowA + srows).astype(jnp.bfloat16)
+    wstack = jnp.concatenate([w0, w1], axis=1)               # [R,256]
+
+    lit = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1),
+                               0).astype(jnp.float32)
+    hl = ((lit == lane).astype(jnp.float32) * (1.0 - fx)
+          + (lit == lane + 1.0).astype(jnp.float32) * fx)    # [128,128]
+
+    out = {}
+    for c in channels:
+        res = jax.lax.dot_general(
+            plane_ref[c], wstack, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [128,256]
+        col = (res[:, :LANES] * (1.0 - fy) + res[:, LANES:] * fy)
+        out[c] = jnp.sum(col * hl, axis=0, keepdims=True) * (1.0 / 255.0)
+    return tuple(out[c] for c in channels)
+
+
+def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
+            n_mats, mats_pad, rows_pad, present, sky):
+    for g in range(GROUPS_PER_BLOCK):
+        ls_r = in_ref[0, 0, g:g + 1, :]                      # (1,128) each
+        ls_g = in_ref[0, 1, g:g + 1, :]
+        ls_b = in_ref[0, 2, g:g + 1, :]
+        matf = in_ref[0, 3, g:g + 1, :]
+        u = in_ref[0, 4, g:g + 1, :]
+        v = in_ref[0, 5, g:g + 1, :]
+
+        live = matf >= 0.0
+        skyv = tuple(jnp.full((1, LANES), float(sky[c]), jnp.float32)
+                     for c in range(3))
+
+        def shade(_):
+            mid = jnp.clip(matf, 0.0, float(n_mats - 1))
+            mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
+                                           0).astype(jnp.float32)
+            ohm = (mit == mid).astype(jnp.float32)           # [Mp,128]
+            mrow = jax.lax.dot_general(
+                mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [40,128]
+
+            alb = [mrow[c:c + 1, :] for c in range(3)]
+            emi = [mrow[3 + c:4 + c, :] for c in range(3)]
+            metal = mrow[6:7, :]
+            ior = mrow[7:8, :]
+            trans = mrow[8:9, :]
+            occ = None
+
+            for mi, (slot, channels) in enumerate(_MAPS):
+                if slot not in present:
+                    continue
+                meta = tuple(mrow[9 + 6 * mi + j:10 + 6 * mi + j, :]
+                             for j in range(6))
+                has = meta[0] > 0.0
+                # skip the matmuls when no lane of the group has this map
+                ones = tuple(jnp.ones((1, LANES), jnp.float32)
+                             for _ in channels)
+                s = jax.lax.cond(
+                    jnp.any(has),
+                    lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
+                                          channels),
+                    lambda _: ones, 0)
+                pick = {c: jnp.where(has, s[i], 1.0)
+                        for i, c in enumerate(channels)}
+                if slot == TEX_BASE_COLOR:
+                    alb = [alb[c] * pick[c] for c in range(3)]
+                elif slot == TEX_EMISSIVE:
+                    emi = [emi[c] * pick[c] for c in range(3)]
+                elif slot == TEX_METALLIC_ROUGHNESS:
+                    metal = metal * pick[2]
+                elif slot == TEX_OCCLUSION:
+                    occ = pick[0]
+
+            # shade_deferred's formula: albedo*(0.1*occ + brdf*S) + emission
+            is_metal = (metal > 0.5).astype(jnp.float32)
+            brdf = (is_metal * 0.5
+                    + (1.0 - is_metal) * (1.0 / 3.141592653589793))
+            amb = 0.1 if occ is None else 0.1 * occ
+            S = (ls_r, ls_g, ls_b)
+            rgb = [alb[c] * (amb + brdf * S[c]) + emi[c] for c in range(3)]
+
+            # dispersion blend (shader/src/lib.rs:322-337)
+            denom = ior - 1.0
+            for c in range(3):
+                wl_ior = ior + _DISP[c]
+                transmitted = _TBASE[c] * (wl_ior - 1.0) / denom
+                blended = rgb[c] * (1.0 - trans) + transmitted * trans
+                rgb[c] = jnp.where(trans > 0.0, blended, rgb[c])
+
+            invalid = matf >= float(n_mats)
+            return tuple(
+                jnp.where(live, jnp.where(invalid, _MAGENTA[c], rgb[c]),
+                          float(sky[c])) for c in range(3))
+
+        # all-sky groups (tile-coherent rays make them common) skip the
+        # whole shade including every matmul
+        rgb = jax.lax.cond(jnp.any(live), shade, lambda _: skyv, 0)
+        for c in range(3):
+            out_ref[0, c, g:g + 1, :] = rgb[c]
+
+
+@partial(jax.jit, static_argnames=("sky", "interpret"))
+def pallas_texture_shade(scene: Scene, out6: jnp.ndarray,
+                         sky: tuple = (0.0, 0.0, 0.0),
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused texture shading of the deferred trace output
+    `out6 [B, 6, sub, 128]` (light_sum rgb, material_id, uv) → RGB [N, 3]
+    in ray order."""
+    B, six, sub, lanes = out6.shape
+    assert six == 6 and lanes == LANES and sub % GROUPS_PER_BLOCK == 0
+    planes = _atlas_planes(scene)                    # [4,128,Rp]
+    mtable = _material_table(scene)                  # [40,Mp]
+    rows_pad = planes.shape[2]
+    mats_pad = mtable.shape[1]
+    present = tuple(
+        slot for slot, _ in _MAPS
+        if scene.materials.present_slots is None
+        or slot in scene.materials.present_slots)
+
+    blocks_per_packet = sub // GROUPS_PER_BLOCK
+    kernel = partial(_kernel, n_mats=scene.materials.count,
+                     mats_pad=mats_pad, rows_pad=rows_pad,
+                     present=present, sky=tuple(float(x) for x in sky))
+    grid = (B * blocks_per_packet,)
+    in_map = lambda i: (i // blocks_per_packet, 0, i % blocks_per_packet, 0)
+    rgb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 6, GROUPS_PER_BLOCK, LANES), in_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(planes.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mtable.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, GROUPS_PER_BLOCK, LANES), in_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, sub, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(planes.size * 2 + mtable.size * 4
+                              + 32 * 1024 * 1024)),
+        interpret=interpret,
+    )(out6, planes, mtable)
+    return rgb.transpose(0, 2, 3, 1).reshape(-1, 3)

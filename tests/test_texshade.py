@@ -1,0 +1,123 @@
+"""Fused MXU texture-shade kernel (ops/pallas/texshade.py) vs the XLA
+shade_deferred reference — field-identical shading through one-hot matmul
+texture fetches on the guard-band atlas."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_raytracer_tpu.models.geometry import Textures
+from gpu_raytracer_tpu.models.material import MaterialBuilder
+from gpu_raytracer_tpu.models.scene import build_default_scene, prepare_scene
+from gpu_raytracer_tpu.ops.shading import shade_deferred
+from gpu_raytracer_tpu.ops.pallas.texshade import (
+    pallas_texture_shade, texshade_eligible)
+
+
+def _textured_scene(rng, n_mats=6, degenerate_glass=False):
+    mb = MaterialBuilder()
+    imgs, wraps = [], []
+    for i in range(3):
+        imgs.append(rng.integers(0, 256, size=(5 + 3 * i, 9 + 11 * i, 4),
+                                 dtype=np.uint8))
+        wraps.append(i)  # one of each wrap mode
+    for i in range(n_mats):
+        ti = np.full(8, 0xFFFFFFFF, np.uint32)
+        if i % 2 == 0:
+            ti[0] = i % 3
+        if i % 3 == 0:
+            ti[1] = (i + 1) % 3
+            ti[3] = (i + 2) % 3
+            ti[4] = i % 3
+        ior = 1.0 + 0.5 * (i % 3)
+        trans = 0.5 * (i % 2)
+        if not degenerate_glass and trans > 0.0 and ior == 1.0:
+            ior = 1.3  # ior=1 transmissive is 0/0 in the reference formula
+        mb.add(albedo=rng.uniform(0.2, 1.0, 3), metallic=float(i % 2),
+               roughness=0.5, emission=rng.uniform(0, 0.3, 3),
+               ior=ior, transmission=trans, texture_indices=ti)
+    tex = Textures.from_images(imgs, wrap=wraps)
+    base = build_default_scene()
+    return prepare_scene(base.camera, base.spheres, base.mesh, mb.build(),
+                         base.lights, textures=tex)
+
+
+def _random_gbuffer(rng, B=2, sub=64, n_mats=6):
+    N = B * sub * 128
+    light = rng.uniform(0, 3, (N, 3)).astype(np.float32)
+    mat_id = rng.integers(-1, n_mats + 2, N).astype(np.int32)  # miss+invalid
+    uv = rng.uniform(-1.5, 2.5, (N, 2)).astype(np.float32)
+    out6 = np.concatenate([light, mat_id[:, None].astype(np.float32), uv],
+                          axis=1)
+    return (out6.reshape(B, sub, 128, 6).transpose(0, 3, 1, 2),
+            light, mat_id, uv)
+
+
+def test_texshade_parity_full():
+    """All wrap modes, all four map slots, miss/invalid lanes, dispersion."""
+    rng = np.random.default_rng(0)
+    scene = _textured_scene(rng)
+    assert texshade_eligible(scene)
+    out6, light, mat_id, uv = _random_gbuffer(rng)
+    want = np.asarray(shade_deferred(scene, jnp.asarray(light),
+                                     jnp.asarray(mat_id), jnp.asarray(uv),
+                                     sky_color=(0.1, 0.2, 0.3)))
+    got = np.asarray(pallas_texture_shade(scene, jnp.asarray(out6),
+                                          sky=(0.1, 0.2, 0.3),
+                                          interpret=True))
+    assert np.isfinite(want).all()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_texshade_nan_parity_degenerate_glass():
+    """ior=1 transmissive materials are 0/0 in the reference dispersion
+    formula — the kernel must NaN in exactly the same lanes."""
+    rng = np.random.default_rng(1)
+    scene = _textured_scene(rng, degenerate_glass=True)
+    out6, light, mat_id, uv = _random_gbuffer(rng)
+    want = np.asarray(shade_deferred(scene, jnp.asarray(light),
+                                     jnp.asarray(mat_id), jnp.asarray(uv)))
+    got = np.asarray(pallas_texture_shade(scene, jnp.asarray(out6),
+                                          interpret=True))
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_texshade_many_materials():
+    """A 256-material textured scene stays on the fused path."""
+    rng = np.random.default_rng(2)
+    scene = _textured_scene(rng, n_mats=256)
+    assert texshade_eligible(scene)
+    out6, light, mat_id, uv = _random_gbuffer(rng, B=1, n_mats=256)
+    want = np.asarray(shade_deferred(scene, jnp.asarray(light),
+                                     jnp.asarray(mat_id), jnp.asarray(uv)))
+    got = np.asarray(pallas_texture_shade(scene, jnp.asarray(out6),
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_deferred_render_uses_texshade():
+    """End-to-end: pallas_render_deferred routes through the fused shade and
+    matches the chunked XLA pipeline on a textured frame."""
+    from gpu_raytracer_tpu.ops.pallas.render import (
+        pallas_render_deferred, fused_deferred_eligible)
+    from gpu_raytracer_tpu.engine.renderer import render_chunk
+    from gpu_raytracer_tpu.ops.packet_trace import tiled_pixel_order
+
+    from gpu_raytracer_tpu.models.geometry import Spheres
+
+    rng = np.random.default_rng(3)
+    scene = _textured_scene(rng)
+    # mesh-only: the deferred kernel has no in-kernel sphere UVs (no atan2)
+    scene = prepare_scene(scene.camera, Spheres.from_rows([]), scene.mesh,
+                          scene.materials, scene.lights,
+                          textures=scene.textures)
+    W = H = 128
+    px, py = tiled_pixel_order(W, H, tile=64)
+    px, py = jnp.asarray(px), jnp.asarray(py)
+    assert fused_deferred_eligible(scene, sphere_uv_ok=True)
+    got = np.asarray(pallas_render_deferred(scene, px, py, W, H,
+                                            packet_size=1024,
+                                            interpret=True))
+    want = np.asarray(render_chunk(scene, px, py, W, H))
+    np.testing.assert_allclose(got, want, atol=3e-4)
