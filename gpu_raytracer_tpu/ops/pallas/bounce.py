@@ -36,8 +36,8 @@ from ...models.scene import Scene
 from ..f16 import unpack_f16_high, unpack_f16_low
 from .traverse import (
     LANES, STACK, VMEM_HEADROOM,
-    _ordered_traverse, pack_node_rows, pack_tri_rows, pallas_scene_ok,
-    scene_vmem_bytes,
+    _ordered_traverse, pack_node_rows, pack_node4_rows, pack_tri_rows,
+    pallas_scene_ok, scene_vmem_bytes, traverse_best,
 )
 from .render import (
     MAX_LIGHTS, MAX_MATERIALS, MAX_SPHERES,
@@ -66,7 +66,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             no_ref, nd_ref, nthr_ref, nmed_ref, nchan_ref, nrt_ref, nbd_ref,
             nact_ref, rad_ref, stack_ref, *,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
-            light_sample):
+            light_sample, wide=False):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -83,9 +83,10 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     sph_any = sph_m >= 0.0
 
     # ---- triangles pruned at the sphere t ----
-    best = _ordered_traverse(node_ref, tri_ref, stack_ref,
-                             ox, oy, oz, dx, dy, dz, sph_t,
-                             max_iters, with_uv=False, slots=slots)
+    best = traverse_best(node_ref, tri_ref, stack_ref,
+                         ox, oy, oz, dx, dy, dz, sph_t,
+                         max_iters=max_iters, with_uv=False, slots=slots,
+                         wide=wide)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -158,7 +159,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
             p[10], nx, ny, nz, phx, phy, phz, hit_live,
             shadows=True, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots)
+            slots=slots, wide=wide)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
@@ -170,7 +171,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
                 node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                 nx, ny, nz, phx, phy, phz, hit_live,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-                slots=slots)
+                slots=slots, wide=wide)
             gate = (I > 0.0).astype(jnp.float32)
             w = brdf * I * gate
             tot_r = tot_r + alb_r * w * lcr
@@ -375,7 +376,8 @@ def pallas_bounce(
     nn = bvh.left.shape[0]
     Tp = scene.tri_v0.shape[0]
     slots = bvh.leaf_align
-    node_rows = pack_node_rows(bvh)
+    wide = bvh.has_wide
+    node_rows = pack_node4_rows(bvh) if wide else pack_node_rows(bvh)
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
                              scene.tri_mat, slots=slots)
 
@@ -411,7 +413,8 @@ def pallas_bounce(
 
     kernel = partial(_kernel, max_iters=nn + 4, n_mats=m.count,
                      n_lights=L.count, n_spheres=S.count, slots=slots,
-                     shadows=shadows, do_rr=do_rr, light_sample=light_sample)
+                     shadows=shadows, do_rr=do_rr, light_sample=light_sample,
+                     wide=wide)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -445,7 +448,8 @@ def pallas_bounce(
             jax.ShapeDtypeStruct(shape3, jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
+            vmem_limit_bytes=(node_rows.shape[0] + tri_rows.shape[0]) * 512
+            + VMEM_HEADROOM),
         interpret=interpret,
     )(node_rows, tri_rows, mat_rows, light_rows, sph_rows,
       o, d, thr, med, chan, rt, bd, act, uu)

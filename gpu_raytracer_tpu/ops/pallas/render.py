@@ -50,8 +50,8 @@ from ...models.scene import Scene
 from ..f16 import unpack_f16_high, unpack_f16_low
 from .traverse import (
     LANES, STACK, VMEM_HEADROOM,
-    _ordered_traverse, pack_node_rows, pack_tri_rows, pallas_scene_ok,
-    scene_vmem_bytes,
+    _ordered_traverse, pack_node_rows, pack_node4_rows, pack_tri_rows,
+    pallas_scene_ok, scene_vmem_bytes, traverse_best,
 )
 
 _MIN_T = 1e-5
@@ -177,7 +177,7 @@ def _sphere_occluders(sph_ref, n_spheres, sox, soy, soz, sdx, sdy, sdz, smax,
 
 def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
              nx, ny, nz, phx, phy, phz, hit_mask, *,
-             shadows, n_spheres, max_iters, slots):
+             shadows, n_spheres, max_iters, slots, wide=False):
     """Post-shadow intensity I and colour of light `li` at the hit points
     (lighting.rs:20-139 + the shadow occlusion the reference never wired).
     Shared by the primary, deferred and bounce kernels."""
@@ -188,13 +188,13 @@ def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                        row[0, 8], row[0, 9], row[0, 10],
                        nx, ny, nz, phx, phy, phz, hit_mask,
                        shadows=shadows, n_spheres=n_spheres,
-                       max_iters=max_iters, slots=slots)
+                       max_iters=max_iters, slots=slots, wide=wide)
 
 
 def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
                 lpx, lpy, lpz, ltype, lcr, lcg, lcb, lint, ldx, ldy, ldz,
                 nx, ny, nz, phx, phy, phz, hit_mask, *,
-                shadows, n_spheres, max_iters, slots):
+                shadows, n_spheres, max_iters, slots, wide=False):
     """_light_I with explicit light parameters — scalars (one static light)
     or per-lane tiles (a SAMPLED light per lane, ops/pallas/bounce.py's
     single-light NEE). `ldx/ldy/ldz` must be pre-normalised."""
@@ -235,10 +235,10 @@ def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
         sox = phx + nx * 1e-3
         soy = phy + ny * 1e-3
         soz = phz + nz * 1e-3
-        sb = _ordered_traverse(
+        sb = traverse_best(
             node_ref, tri_ref, stack_ref, sox, soy, soz,
-            sdx, sdy, sdz, smax, max_iters, with_uv=False, any_hit=True,
-            slots=slots)
+            sdx, sdy, sdz, smax, max_iters=max_iters, with_uv=False,
+            any_hit=True, slots=slots, wide=wide)
         blocked = (sb[1] >= 0).astype(jnp.float32)
         blocked = _sphere_occluders(sph_ref, n_spheres, sox, soy, soz,
                                     sdx, sdy, sdz, smax, blocked)
@@ -249,7 +249,7 @@ def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
 def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             px_ref, py_ref, rgb_ref, stack_ref, *,
             max_iters, width, height, n_mats, n_lights, n_spheres,
-            shadows, sky, slots):
+            shadows, sky, slots, wide=False):
     """Single-phase: shade in-kernel via a static material mask-select."""
     ox, oy, oz, dx, dy, dz = _camera_rays(cam_ref, px_ref, py_ref,
                                           width, height)
@@ -261,9 +261,10 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
 
     # ---- triangles: ordered BVH traversal pruned at the sphere t
     # (strict < keeps the sphere on exact ties, lib.rs:183-248) ----
-    best = _ordered_traverse(node_ref, tri_ref, stack_ref,
-                             ox, oy, oz, dx, dy, dz, sph_t,
-                             max_iters, with_uv=False, slots=slots)
+    best = traverse_best(node_ref, tri_ref, stack_ref,
+                         ox, oy, oz, dx, dy, dz, sph_t,
+                         max_iters=max_iters, with_uv=False, slots=slots,
+                         wide=wide)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -316,7 +317,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
             nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots)
+            slots=slots, wide=wide)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate
         tot_r = tot_r + alb_r * w * lcr
@@ -350,7 +351,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
 def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
                      px_ref, py_ref, out_ref, stack_ref, *,
                      max_iters, width, height, n_lights, n_spheres,
-                     shadows, slots, with_uv):
+                     shadows, slots, with_uv, wide=False):
     """Two-phase: all traversal (primary + shadow), winner attributes and
     the material-independent light sum in-kernel; material/texture apply
     happens in XLA (ops/shading.py::shade_deferred). Output planes:
@@ -363,9 +364,10 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
         jnp.full(tile, jnp.float32(_MAX_SEED)))
     sph_any = sph_m >= 0.0
 
-    best = _ordered_traverse(node_ref, tri_ref, stack_ref,
-                             ox, oy, oz, dx, dy, dz, sph_t,
-                             max_iters, with_uv=with_uv, slots=slots)
+    best = traverse_best(node_ref, tri_ref, stack_ref,
+                         ox, oy, oz, dx, dy, dz, sph_t,
+                         max_iters=max_iters, with_uv=with_uv, slots=slots,
+                         wide=wide)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -396,7 +398,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
             node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
             nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots)
+            slots=slots, wide=wide)
         Ig = I * (I > 0.0).astype(jnp.float32)
         S_r = S_r + Ig * lcr
         S_g = S_g + Ig * lcg
@@ -486,7 +488,9 @@ def pallas_render_primary(
     nn = scene.bvh.left.shape[0]
     Tp = scene.tri_v0.shape[0]
     slots = scene.bvh.leaf_align
-    node_rows = pack_node_rows(scene.bvh)
+    wide = scene.bvh.has_wide
+    node_rows = (pack_node4_rows(scene.bvh) if wide
+                 else pack_node_rows(scene.bvh))
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
                              scene.tri_mat, slots=slots)
     cam_row = _camera_row(scene)
@@ -502,7 +506,8 @@ def pallas_render_primary(
         _kernel, max_iters=nn + 4, width=float(width), height=float(height),
         n_mats=m.count, n_lights=scene.lights.count,
         n_spheres=scene.spheres.count,
-        shadows=shadows, sky=tuple(float(x) for x in sky), slots=slots)
+        shadows=shadows, sky=tuple(float(x) for x in sky), slots=slots,
+        wide=wide)
     rgb = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -520,7 +525,8 @@ def pallas_render_primary(
         out_specs=_per_packet((1, 3, sub, LANES)),
         out_shape=jax.ShapeDtypeStruct((B, 3, sub, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
+            vmem_limit_bytes=(node_rows.shape[0] + tri_rows.shape[0]) * 512
+            + VMEM_HEADROOM),
         interpret=interpret,
     )(node_rows, tri_rows, cam_row, mat_rows, light_rows, sph_rows, pxb, pyb)
 
@@ -552,7 +558,9 @@ def pallas_render_deferred(
     Tp = scene.tri_v0.shape[0]
     slots = scene.bvh.leaf_align
     textured = scene.textures.data_u32.shape[0] > 1
-    node_rows = pack_node_rows(scene.bvh)
+    wide = scene.bvh.has_wide
+    node_rows = (pack_node4_rows(scene.bvh) if wide
+                 else pack_node_rows(scene.bvh))
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
                              scene.tri_mat,
                              tri_uv=scene.tri_uv if textured else None,
@@ -568,7 +576,7 @@ def pallas_render_deferred(
         _kernel_deferred, max_iters=nn + 4, width=float(width),
         height=float(height), n_lights=scene.lights.count,
         n_spheres=scene.spheres.count, shadows=shadows, slots=slots,
-        with_uv=textured)
+        with_uv=textured, wide=wide)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -585,7 +593,8 @@ def pallas_render_deferred(
         out_specs=_per_packet((1, 6, sub, LANES)),
         out_shape=jax.ShapeDtypeStruct((B, 6, sub, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
+            vmem_limit_bytes=(node_rows.shape[0] + tri_rows.shape[0]) * 512
+            + VMEM_HEADROOM),
         interpret=interpret,
     )(node_rows, tri_rows, cam_row, light_rows, sph_rows, pxb, pyb)
 

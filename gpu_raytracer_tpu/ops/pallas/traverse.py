@@ -318,14 +318,162 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
     return best
 
 
+ROW4 = 4      # quad nodes per 128-lane row
+GROUP4 = 32   # lanes per quad node record
+
+
+def pack_node4_rows(bvh: Bvh) -> jnp.ndarray:
+    """Pack the BVH4 overlay (models/bvh.py::collapse4) into lane-dense
+    [R,128] f32 rows, 4 nodes x 32 lanes: per child (min.xyz, max.xyz)
+    (lanes 0-23), child links (24-27), leaf counts (28-31, lane 28 also
+    carrying the child-sort axis as +16*axis)."""
+    Q = bvh.q_child.shape[0]
+    lc = bvh.q_leafc.astype(jnp.float32)
+    lc0 = lc[:, 0:1] + 16.0 * bvh.q_axis.astype(jnp.float32)[:, None]
+    bounds = jnp.concatenate(
+        [jnp.concatenate([bvh.q_min[:, c], bvh.q_max[:, c]], axis=1)
+         for c in range(4)], axis=1)                        # [Q,24]
+    node = jnp.concatenate(
+        [bounds, bvh.q_child.astype(jnp.float32),
+         lc0, lc[:, 1:]], axis=1)                           # [Q,32]
+    pad = (-Q) % ROW4
+    if pad:
+        filler = jnp.zeros((pad, GROUP4), jnp.float32)
+        filler = filler.at[:, 24:28].set(-1.0)
+        node = jnp.concatenate([node, filler])
+    return node.reshape(-1, 128)
+
+
+def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
+                       mt0, max_iters, with_uv, any_hit=False, slots=8):
+    """BVH4 near-first DFS — the 4-wide sibling of _ordered_traverse with
+    the SAME carry/result tuple. One step fetches a 32-lane quad record and
+    slab-tests all four children, so the per-step scalar overhead (switch
+    fetch, stack ops, loop bookkeeping) is paid once per four boxes; the
+    visit order walks the pre-sorted children forward or backward by the
+    packet's majority sign along the stored sort axis."""
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    s0 = jnp.sum(dx) >= 0.0
+    s1 = jnp.sum(dy) >= 0.0
+    s2 = jnp.sum(dz) >= 0.0
+
+    def step(state):
+        cursor, sp, it, best = state
+        best_t = best[0]
+        row = cursor // ROW4
+
+        def pick(g):
+            def f():
+                b = node_ref[pl.ds(row, 1), g * GROUP4:(g + 1) * GROUP4]
+                return tuple(b[0, j] for j in range(GROUP4))
+            return f
+        vals = jax.lax.switch(cursor % ROW4, [pick(g) for g in range(ROW4)])
+
+        childf = [vals[24 + c] for c in range(4)]
+        axis = jnp.floor(vals[28] * (1.0 / 16.0))
+        lcs = [vals[28] - 16.0 * axis, vals[29], vals[30], vals[31]]
+        fwd = jnp.where(axis == 0.0, s0, jnp.where(axis == 1.0, s1, s2))
+
+        hits = []
+        for c in range(4):
+            t1x = (vals[6 * c + 0] - ox) * ix
+            t1y = (vals[6 * c + 1] - oy) * iy
+            t1z = (vals[6 * c + 2] - oz) * iz
+            t2x = (vals[6 * c + 3] - ox) * ix
+            t2y = (vals[6 * c + 4] - oy) * iy
+            t2z = (vals[6 * c + 5] - oz) * iz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                           jnp.maximum(t1y, t2y)),
+                               jnp.maximum(t1z, t2z))
+            rh = ((tmax >= 0.0) & (tmin <= tmax)
+                  & (jnp.maximum(tmin, 0.0) <= best_t))
+            if any_hit:
+                rh = rh & (best[1] < 0)
+            hits.append(jnp.any(rh))
+
+        # near-order view k=0..3 (forward or reversed children)
+        sel = lambda arr, k: jnp.where(fwd, arr[k], arr[3 - k])
+        wants, pushes = [], []
+        seen = None
+        for k in range(4):
+            hit_k = sel(hits, k)
+            lc_k = sel(lcs, k)
+            ch_k = sel(childf, k)
+            is_leaf = lc_k > 0.0
+            tri_s = ch_k.astype(jnp.int32)
+            best = jax.lax.cond(
+                hit_k & is_leaf,
+                lambda c, t=tri_s: _leaf_test(tri_ref, t, ox, oy, oz,
+                                              dx, dy, dz, c, with_uv,
+                                              any_hit, slots),
+                lambda c: c, best)
+            w = hit_k & (lc_k == 0.0) & (ch_k >= 0.0)
+            wants.append(w)
+            # push only if a NEARER internal child is already descending
+            pushes.append(w & seen if seen is not None else w & False)
+            seen = w if seen is None else (seen | w)
+
+        descend = wants[0] | wants[1] | wants[2] | wants[3]
+        cnext = jnp.int32(-1)
+        for k in reversed(range(4)):
+            cnext = jnp.where(wants[k], sel(childf, k).astype(jnp.int32),
+                              cnext)
+
+        spc = sp
+        for k in (3, 2, 1):   # far-to-near so the nearest pops first
+            @pl.when(pushes[k])
+            def _(k=k, spc=spc):
+                stack_ref[jnp.minimum(spc, STACK - 1)] = \
+                    sel(childf, k).astype(jnp.int32)
+            spc = spc + pushes[k].astype(jnp.int32)
+
+        sp2 = jnp.minimum(spc, STACK)
+        new_sp = jnp.where(descend, sp2, jnp.maximum(sp2 - 1, 0))
+        popped = stack_ref[jnp.minimum(new_sp, STACK - 1)]
+        cursor = jnp.where(descend, cnext,
+                           jnp.where(sp2 > 0, popped, jnp.int32(-1)))
+        return cursor, new_sp, it + 1, best
+
+    def cond(state):
+        cursor, _, it = state[0], state[1], state[2]
+        go = (cursor >= 0) & (it < max_iters)
+        if any_hit:
+            go = go & ~jnp.all(state[3][1] >= 0)
+        return go
+
+    tile = mt0.shape
+    zero = jnp.zeros(tile, jnp.float32)
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            (mt0, jnp.full(tile, -1, jnp.int32),
+             zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
+             zero, zero))
+    _, _, _, best = jax.lax.while_loop(cond, step, init)
+    return best
+
+
+def traverse_best(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
+                  mt0, *, max_iters, with_uv, any_hit=False, slots=8,
+                  wide=False):
+    """Closest/any-hit traversal over the packed node table — dispatches to
+    the BVH4 kernel when the table was packed wide (pack_node4_rows)."""
+    fn = _ordered_traverse4 if wide else _ordered_traverse
+    return fn(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
+              mt0, max_iters, with_uv, any_hit, slots)
+
+
 def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                     t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
-                    *, max_iters, with_uv, any_hit=False, slots=8):
+                    *, max_iters, with_uv, any_hit=False, slots=8,
+                    wide=False):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
-    best = _ordered_traverse(node_ref, tri_ref, stack_ref,
-                             ox, oy, oz, dx, dy, dz, mt_ref[0],
-                             max_iters, with_uv, any_hit, slots)
+    best = traverse_best(node_ref, tri_ref, stack_ref,
+                         ox, oy, oz, dx, dy, dz, mt_ref[0],
+                         max_iters=max_iters, with_uv=with_uv,
+                         any_hit=any_hit, slots=slots, wide=wide)
     t_ref[0] = best[0]
     tri_out_ref[0] = best[1]
     n_ref[0, 0] = best[2]
@@ -463,7 +611,9 @@ def pallas_packet_traverse(
     B = N // packet_size
     Tp = tri_v0.shape[0]
     nn = bvh.left.shape[0]
-    node_rows = pack_node_rows(bvh, ordered=ordered)
+    wide = ordered and bvh.has_wide
+    node_rows = (pack_node4_rows(bvh) if wide
+                 else pack_node_rows(bvh, ordered=ordered))
     tri_rows = pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_mat, tri_uv, slots)
 
     o = orig.reshape(B, sub, LANES, 3).transpose(0, 3, 1, 2)
@@ -484,9 +634,13 @@ def pallas_packet_traverse(
         shape, lambda i: (i,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
 
-    kernel = partial(_kernel_ordered if ordered else _kernel,
-                     max_iters=nn + 4, with_uv=tri_uv is not None,
-                     any_hit=any_hit, slots=slots)
+    kernel = (partial(_kernel_ordered, max_iters=nn + 4,
+                      with_uv=tri_uv is not None, any_hit=any_hit,
+                      slots=slots, wide=wide)
+              if ordered else
+              partial(_kernel, max_iters=nn + 4,
+                      with_uv=tri_uv is not None, any_hit=any_hit,
+                      slots=slots))
     t, tri_id, n, m, uvo = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -507,7 +661,8 @@ def pallas_packet_traverse(
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=scene_vmem_bytes(nn, Tp, slots) + VMEM_HEADROOM),
+            vmem_limit_bytes=(node_rows.shape[0] + tri_rows.shape[0]) * 512
+            + VMEM_HEADROOM),
         interpret=interpret,
     )(node_rows, tri_rows, o, d, mt)
 
