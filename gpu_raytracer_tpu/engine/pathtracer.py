@@ -26,15 +26,33 @@ from .perf import PerformanceState, ProgressiveTiming, Timer, block_on
 
 def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                   max_depth, rr_start, shadows, leaf_size, use_bvh, jitter,
-                  live=None):
+                  live=None, spp=1):
+    """Trace `spp` independent samples of every pixel in ONE wavefront pool.
+
+    The samples are laid out chunk-major (sample s of pixel i at lane
+    s*C + i) and summed back to [C, 3]. One big pool amortises launch and
+    sort overhead over spp, and because same-pixel samples bounce into
+    similar hemispheres, the coherence sort packs them into the same
+    traversal packets — bounce packets get spp-times denser in direction
+    space than spp separate 1-sample pools."""
+    if spp > 1:
+        px = jnp.tile(px, spp)
+        py = jnp.tile(py, spp)
+        jitter = (None if jitter is None
+                  else jax.random.uniform(jax.random.fold_in(key, 0x5a),
+                                          (px.shape[0], 2)))
+        live = None if live is None else jnp.tile(live, spp)
     rays = camera_wavefront_rays(scene.camera, width, height, px, py, channel,
                                  jitter=jitter)
     if live is not None:  # tail-chunk padding lanes: excluded from counts
         from ..utils.pytree import replace
         rays = replace(rays, active=rays.active & live)
-    return path_trace_pool(scene, rays, key, max_depth=max_depth,
-                           rr_start=rr_start, shadows=shadows,
-                           leaf_size=leaf_size, use_bvh=use_bvh)
+    contrib, counts = path_trace_pool(scene, rays, key, max_depth=max_depth,
+                                      rr_start=rr_start, shadows=shadows,
+                                      leaf_size=leaf_size, use_bvh=use_bvh)
+    if spp > 1:
+        contrib = contrib.reshape(spp, -1, 3).sum(axis=0)
+    return contrib, counts
 
 
 class PathTracer:
@@ -43,7 +61,8 @@ class PathTracer:
     def __init__(self, scene: Scene, width: int, height: int,
                  config: RaytracerConfig = DEFAULT_CONFIG,
                  spectral: bool = True, shadows: bool = True,
-                 antialias: bool = True, seed: int = 0):
+                 antialias: bool = True, seed: int = 0,
+                 samples_per_step: int = 1):
         self.scene = scene
         self.width = width
         self.height = height
@@ -51,6 +70,10 @@ class PathTracer:
         self.spectral = spectral
         self.shadows = shadows
         self.antialias = antialias
+        # Samples traced per step() in ONE pooled wavefront (spp-times
+        # larger pool; see _sample_chunk). >1 amortises sort/launch overhead
+        # and tightens bounce-packet coherence.
+        self.samples_per_step = max(int(samples_per_step), 1)
         self.key = jax.random.PRNGKey(seed)
         self.use_bvh = scene.bvh.num_nodes > 1
         self.accum = jnp.zeros((height * width, 3), jnp.float32)
@@ -142,14 +165,15 @@ class PathTracer:
             contrib, counts = _sample_chunk(self.scene, px, py, self.width,
                                             self.height, jit_key, chan, md,
                                             rr, self.shadows, ls,
-                                            self.use_bvh, jitter, live)
+                                            self.use_bvh, jitter, live,
+                                            spp=self.samples_per_step)
             updates.append((s, e, contrib))
             self._last_counts = (counts if self._last_counts is None
                                  else self._last_counts + counts)
         for s, e, contrib in updates:
             self.accum = jax.lax.dynamic_update_slice(
                 self.accum, self.accum[s:e] + contrib[: e - s], (s, 0))
-        self.samples += 1
+        self.samples += self.samples_per_step
         self.perf.update_frame_count()
 
     def render(self, spp: int, progress: bool = False) -> np.ndarray:

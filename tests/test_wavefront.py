@@ -142,3 +142,23 @@ def test_pathtracer_counters_real_device_counts(default_scene):
     assert wc.get_ray_count(0) == 32 * 32          # all camera rays active
     assert wc.get_ray_count(1) <= wc.get_ray_count(0)
     assert wc.next_active_bounce_depth(0) in (1, None)
+
+
+def test_multi_spp_pooled_step(default_scene):
+    """samples_per_step=2 traces both samples in one pooled wavefront; the
+    accumulated mean must agree statistically with two 1-spp steps."""
+    from gpu_raytracer_tpu.engine.pathtracer import PathTracer
+
+    a = PathTracer(default_scene, 32, 32, shadows=False, seed=5,
+                   samples_per_step=2)
+    a.step()
+    assert a.samples == 2
+    img_a = a.image()
+    assert np.isfinite(img_a).all()
+
+    b = PathTracer(default_scene, 32, 32, shadows=False, seed=5)
+    b.step()
+    b.step()
+    img_b = b.image()
+    # independent RNG streams -> compare aggregate brightness, not pixels
+    assert abs(img_a.mean() - img_b.mean()) / max(img_b.mean(), 1e-6) < 0.25
