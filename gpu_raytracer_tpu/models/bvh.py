@@ -123,7 +123,11 @@ class BvhBuildResult:
         max_leaf = int(leaf_counts.max()) if leaf_counts.size else 0
         quad = {}
         if wide and self.left.shape[0] > 1:
-            qc, ql, qmn, qmx, qax = collapse4(
+            from .bvh_native import collapse4_native
+            out = collapse4_native(self.left, self.right, self.tri_start,
+                                   self.tri_count, self.node_min,
+                                   self.node_max)
+            qc, ql, qmn, qmx, qax = out if out is not None else collapse4(
                 self.left, self.right, self.tri_start, self.tri_count,
                 self.node_min, self.node_max)
             quad = dict(q_child=jnp.asarray(qc), q_leafc=jnp.asarray(ql),

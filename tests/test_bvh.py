@@ -163,3 +163,24 @@ def test_degenerate_scene_coincident_triangles(rng):
     assert np.asarray(h_bvh.hit).all()
     np.testing.assert_allclose(np.asarray(h_bvh.t), np.asarray(h_bf.t),
                                rtol=1e-5)
+
+
+def test_collapse4_native_matches_python():
+    """The C++ bvh_collapse4 implements the identical greedy collapse —
+    bit-equal outputs on a real build (the Python version is the oracle)."""
+    import numpy as np
+    from gpu_raytracer_tpu.models.bvh import build_bvh, collapse4
+    from gpu_raytracer_tpu.models.bvh_native import collapse4_native
+
+    rng = np.random.default_rng(4)
+    verts = rng.uniform(-5, 5, (3000, 3)).astype(np.float32)
+    idx = rng.integers(0, 3000, (2000, 3)).astype(np.uint32)
+    res = build_bvh(verts, idx, leaf_size=8, use_native=False)
+    want = collapse4(res.left, res.right, res.tri_start, res.tri_count,
+                     res.node_min, res.node_max)
+    got = collapse4_native(res.left, res.right, res.tri_start, res.tri_count,
+                           res.node_min, res.node_max)
+    assert got is not None, "native library missing (csrc make failed?)"
+    for g, w, name in zip(got, want,
+                          ("child", "leafc", "min", "max", "axis")):
+        np.testing.assert_array_equal(g, w, err_msg=name)
