@@ -107,6 +107,17 @@ def cmd_fly(args, config):
     print(f"wrote {len(frames)} frames to {args.output}/")
 
 
+def cmd_serve(args, config):
+    from .engine.viewer import Viewer
+    from .engine.server import ViewerServer
+
+    scene = _load_scene(args, config)
+    v = Viewer(scene, args.width, args.height, config=config,
+               shadows=args.shadows)
+    ViewerServer(v, host=args.host, port=args.port,
+                 max_fps=args.max_fps).serve_forever()
+
+
 def cmd_info(args, config):
     from .models.gltf import GltfLoader
 
@@ -152,6 +163,17 @@ def main(argv=None):
     p.add_argument("--shadows", action="store_true")
     add_config_args(p)
     p.set_defaults(fn=cmd_fly)
+
+    p = sub.add_parser("serve", help="live viewer over HTTP (browser WASD)")
+    p.add_argument("--gltf", type=str, default=None)
+    p.add_argument("--demo", action="store_true")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--shadows", action="store_true")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8642)
+    p.add_argument("--max-fps", type=float, default=30.0)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("info", help="inspect a glTF file")
     p.add_argument("--gltf", type=str, required=True)

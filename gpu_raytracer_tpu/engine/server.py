@@ -1,0 +1,180 @@
+"""Live present loop over HTTP: the windowed event loop, headless.
+
+The reference's application surface is a winit window with a swapchain
+present pass and WASD/mouse input (/root/reference/src/main.rs:229-293,
+renderer.rs:778-818, input.rs). A TPU host has no display, so this module
+realises the same loop for any browser: frames stream as a
+`multipart/x-mixed-replace` PNG stream (the motion-JPEG idiom; our PNG
+codec is zero-dependency), and key/mouse events come back over fetch. The
+render loop, camera controller, progressive scheduler and perf counters are
+the SAME `engine/viewer.py::Viewer` the offline fly-through uses — the
+server only adds transport.
+
+    python -m gpu_raytracer_tpu serve --gltf scene.gltf --port 8642
+    # then open http://localhost:8642/
+
+Endpoints: `/` (interactive page), `/stream` (PNG stream), `/key?k=w`,
+`/drag?dx=..&dy=..`, `/stats` (JSON: fps, frame ms, camera).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..utils.image import encode_png
+
+_PAGE = """<!doctype html>
+<html><head><title>tpu-raytracer</title><style>
+body { background:#111; color:#ddd; font-family:monospace; margin:0 }
+#hud { padding:6px 10px } img { display:block; margin:auto;
+image-rendering:pixelated; outline:none }
+</style></head><body>
+<div id="hud">tpu-raytracer &mdash; WASD move &middot; drag to look &middot;
+Esc quit &middot; <span id="stats"></span></div>
+<img id="v" src="/stream" tabindex="0">
+<script>
+const send = (p) => fetch(p, {method: "POST"});
+document.addEventListener("keydown", (e) => {
+  const k = e.key === " " ? "space" : e.key;
+  send("/key?k=" + encodeURIComponent(k));
+});
+let drag = null;
+const img = document.getElementById("v");
+img.addEventListener("mousedown", (e) => { drag = [e.clientX, e.clientY]; });
+document.addEventListener("mouseup", () => { drag = null; });
+document.addEventListener("mousemove", (e) => {
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  drag = [e.clientX, e.clientY];
+  if (dx || dy) send(`/drag?dx=${dx}&dy=${dy}`);
+});
+setInterval(async () => {
+  const s = await (await fetch("/stats")).json();
+  document.getElementById("stats").textContent =
+    `${s.fps.toFixed(1)} fps  ${s.frame_ms.toFixed(1)} ms  ` +
+    `cam ${s.camera.map(v => v.toFixed(1)).join(",")}`;
+}, 1000);
+</script></body></html>"""
+
+_BOUNDARY = b"tpuframe"
+
+
+class ViewerServer:
+    """Wraps a `Viewer` in a threaded HTTP server (stdlib only)."""
+
+    def __init__(self, viewer, host: str = "127.0.0.1", port: int = 8642,
+                 max_fps: float = 30.0):
+        self.viewer = viewer
+        self.max_fps = max_fps
+        self._lock = threading.Lock()     # serialises viewer access
+        self._frame_ms = 0.0
+        self._fps = 0.0
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                with server._lock:
+                    if u.path == "/key":
+                        server.viewer.handle_key(q.get("k", [""])[0])
+                    elif u.path == "/drag":
+                        server.viewer.handle_mouse_drag(
+                            float(q.get("dx", ["0"])[0]),
+                            float(q.get("dy", ["0"])[0]))
+                    else:
+                        return self._json({"err": "unknown"}, 404)
+                self._json({"ok": True})
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/":
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif u.path == "/stats":
+                    with server._lock:
+                        cam = [float(x) for x in
+                               server.viewer.controller.position]
+                    self._json({"fps": server._fps,
+                                "frame_ms": server._frame_ms,
+                                "camera": cam})
+                elif u.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary="
+                        + _BOUNDARY.decode())
+                    self.end_headers()
+                    try:
+                        server._stream(self.wfile)
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                else:
+                    self._json({"err": "unknown"}, 404)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = None
+
+    def _stream(self, wfile) -> None:
+        """Render-and-present loop for one /stream client: progressive tiles
+        advance under the lock, the finished framebuffer goes out as a PNG
+        part (the swapchain-present analogue)."""
+        min_dt = 1.0 / self.max_fps
+        last = None
+        while not self.viewer.should_quit:
+            t0 = time.perf_counter()
+            if last is not None:                # presented loop-to-loop rate
+                self._fps = 1.0 / max(t0 - last, 1e-6)
+            last = t0
+            with self._lock:
+                self.viewer.run_compute()
+                frame = self.viewer.frame()
+            png = encode_png(frame, level=1)    # speed over size
+            dt = time.perf_counter() - t0
+            self._frame_ms = dt * 1e3
+            wfile.write(b"--" + _BOUNDARY + b"\r\n"
+                        b"Content-Type: image/png\r\n"
+                        b"Content-Length: " + str(len(png)).encode()
+                        + b"\r\n\r\n" + png + b"\r\n")
+            wfile.flush()
+            if dt < min_dt:
+                time.sleep(min_dt - dt)
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.viewer.should_quit = True
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def serve_forever(self) -> None:
+        print(f"serving http://{self.host}:{self.port}/  (Esc in page quits)")
+        try:
+            self._httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()

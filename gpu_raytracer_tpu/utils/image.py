@@ -19,8 +19,8 @@ def to_u8(img: np.ndarray) -> np.ndarray:
     return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write [H,W,3] float (linear, clamped) or uint8 to an RGB PNG."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode [H,W,3] float (linear, clamped) or uint8 as RGB PNG bytes."""
     if img.dtype != np.uint8:
         img = to_u8(img)
     h, w = img.shape[:2]
@@ -31,10 +31,14 @@ def write_png(path: str, img: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, level)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write [H,W,3] float (linear, clamped) or uint8 to an RGB PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img))
 
 
 def write_ppm(path: str, img: np.ndarray) -> None:
