@@ -182,6 +182,55 @@ def main():
         log(f"PARITY CHECK FAILED: {type(e).__name__}: {e}")
         extra["parity_fused_vs_xla"] = -1.0
 
+    # ---- 5. interactive loop (BASELINE config 5): Viewer frame rate at
+    # 1080p, camera moving every frame, plus per-frame on-device BVH refit
+    # with animated geometry — both measured through the SAME Viewer that
+    # embodies the reference's event loop (src/main.rs:278-286) ----
+    try:
+        from gpu_raytracer_tpu.engine.viewer import Viewer
+
+        v = Viewer(scene, W, H, config=config, shadows=True, verbose=False)
+        v.run_compute()
+        float(v._fb_dev[-1, 0] if v._fb_dev is not None
+              else v._fb_host[-1, -1, 0])
+
+        def vloop(k=8):
+            t0 = time.perf_counter()
+            for i in range(k):
+                v.handle_key("w" if i % 2 == 0 else "s")  # camera moves
+                v.run_compute()
+            fb = v._fb_dev if v._fb_dev is not None else None
+            if fb is not None:
+                float(fb[-1, 0])
+            return (time.perf_counter() - t0 - rpc_lat) / k
+
+        vloop(2)
+        vt = min(vloop() for _ in range(3))
+        extra["viewer_fps_1080p"] = round(1.0 / vt, 1)
+        log(f"viewer loop: {vt*1e3:.1f}ms/frame -> "
+            f"{extra['viewer_fps_1080p']} FPS (camera moving, shadows)")
+
+        base_v = np.asarray(scene.mesh.vertices)
+        v.update_geometry(base_v)       # compile the refit pipeline once
+        v.run_compute()
+        if v._fb_dev is not None:
+            float(v._fb_dev[-1, 0])
+        t_ref = time.perf_counter()
+        for i in range(4):
+            off = np.zeros(3, np.float32)
+            off[1] = 0.05 * (i + 1)
+            v.update_geometry(base_v + off)
+            v.run_compute()
+        if v._fb_dev is not None:
+            float(v._fb_dev[-1, 0])
+        rt = (time.perf_counter() - t_ref - rpc_lat) / 4
+        extra["refit_fps_1080p"] = round(1.0 / rt, 1)
+        log(f"refit loop (device LBVH rebuild + frame): {rt*1e3:.1f}ms -> "
+            f"{extra['refit_fps_1080p']} FPS")
+    except Exception as e:
+        log(f"VIEWER BENCH FAILED: {type(e).__name__}: {e}")
+        extra["viewer_fps_1080p"] = 0.0
+
     print(json.dumps({
         "metric": "primary_mrays_per_s_courtyard100k_1080p",
         "value": round(mrays, 2),
