@@ -136,6 +136,39 @@ def prepare_scene(
 
 
 @jax.jit
+def _refit_core(vertices, indices, material_id, uv):
+    """Jitted refit pipeline over the MINIMAL inputs (vertex positions +
+    static mesh topology) so every refit — including the first one from a
+    host-built scene, whose Scene pytree has different shapes (SAH-packed
+    triangle table, BVH4 overlay) — shares ONE compiled executable."""
+    from ..ops.lbvh import build_lbvh_grouped_arrays
+
+    GROUP = 8
+    a = vertices[indices[:, 0]]
+    b = vertices[indices[:, 1]]
+    c = vertices[indices[:, 2]]
+    tri_min = jnp.minimum(a, jnp.minimum(b, c))
+    tri_max = jnp.maximum(a, jnp.maximum(b, c))
+    (nmin, nmax, left, right, tri_start, tri_count, hit, miss,
+     order) = build_lbvh_grouped_arrays(tri_min, tri_max)
+    v0 = a[order]
+    e1 = b[order] - v0
+    e2 = c[order] - v0
+    mat = material_id[order]
+    tuv = uv[indices][order]                      # [T,3,2]
+    T = v0.shape[0]
+    pad = (-T) % GROUP
+    if pad:
+        z = jnp.zeros((pad, 3), jnp.float32)
+        v0 = jnp.concatenate([v0, z])
+        e1 = jnp.concatenate([e1, z])   # zero edges -> det 0 -> no hit
+        e2 = jnp.concatenate([e2, z])
+        mat = jnp.concatenate([mat, jnp.zeros((pad,), jnp.int32)])
+        tuv = jnp.concatenate([tuv, jnp.zeros((pad, 3, 2), jnp.float32)])
+    return (nmin, nmax, left, right, tri_start, tri_count, hit, miss,
+            v0, e1, e2, mat, tuv)
+
+
 def refit_scene(scene: Scene, vertices: jnp.ndarray) -> Scene:
     """Per-frame on-device BVH rebuild for animated geometry.
 
@@ -147,38 +180,20 @@ def refit_scene(scene: Scene, vertices: jnp.ndarray) -> Scene:
     reduce → triangle re-expansion (+UV reorder). The result passes
     `pallas_scene_ok`, so refit scenes STAY on the fused Pallas fast path
     (BASELINE config 5: interactive fly-through with per-frame refit).
-    Shapes are static — successive refits of the same mesh reuse the
-    compiled executable.
+    The jit closes over only (vertices, topology), so successive refits —
+    and the FIRST refit from a host-built scene — reuse one executable
+    (~60 ms warm at 100k triangles).
     """
-    from ..ops.lbvh import build_lbvh_grouped_arrays
-
     GROUP = 8
-    idx = scene.mesh.indices.astype(jnp.int32)
-    a = vertices[idx[:, 0]]
-    b = vertices[idx[:, 1]]
-    c = vertices[idx[:, 2]]
-    tri_min = jnp.minimum(a, jnp.minimum(b, c))
-    tri_max = jnp.maximum(a, jnp.maximum(b, c))
+    vertices = jnp.asarray(vertices, jnp.float32)
     (nmin, nmax, left, right, tri_start, tri_count, hit, miss,
-     order) = build_lbvh_grouped_arrays(tri_min, tri_max)
+     v0, e1, e2, mat, tuv) = _refit_core(
+        vertices, scene.mesh.indices.astype(jnp.int32),
+        scene.mesh.material_id.astype(jnp.int32), scene.mesh.uv)
     bvh = Bvh(node_min=nmin, node_max=nmax, left=left, right=right,
               tri_start=tri_start, tri_count=tri_count,
               hit_link=hit, miss_link=miss,
               leaf_align=GROUP, max_leaf=GROUP)
-    v0 = a[order]
-    e1 = b[order] - v0
-    e2 = c[order] - v0
-    mat = scene.mesh.material_id.astype(jnp.int32)[order]
-    tuv = scene.mesh.uv[idx][order]               # [T,3,2]
-    T = v0.shape[0]
-    pad = (-T) % GROUP
-    if pad:
-        z = jnp.zeros((pad, 3), jnp.float32)
-        v0 = jnp.concatenate([v0, z])
-        e1 = jnp.concatenate([e1, z])   # zero edges → det 0 → no hit
-        e2 = jnp.concatenate([e2, z])
-        mat = jnp.concatenate([mat, jnp.zeros((pad,), jnp.int32)])
-        tuv = jnp.concatenate([tuv, jnp.zeros((pad, 3, 2), jnp.float32)])
     mesh = replace(scene.mesh, vertices=vertices)
     return replace(scene, mesh=mesh, bvh=bvh, tri_v0=v0, tri_e1=e1,
                    tri_e2=e2, tri_mat=mat, tri_uv=tuv)

@@ -89,6 +89,11 @@ def pallas_scene_ok(bvh, num_tris: int, want_uv: bool = False) -> bool:
         return False
     if want_uv and bvh.leaf_align != 8:
         return False
+    if bvh.has_wide:
+        # wide node table: 4 nodes per row — ~3x smaller than binary
+        node_rows = -(-bvh.q_child.shape[0] // ROW4)
+        tri_rows = -(-num_tris // bvh.leaf_align)
+        return (node_rows + tri_rows) * 512 <= VMEM_TABLE_BUDGET
     return (scene_vmem_bytes(bvh.num_nodes, num_tris, bvh.leaf_align)
             <= VMEM_TABLE_BUDGET)
 
@@ -161,6 +166,12 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
     best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy = carry
     tg = TRI_FORMATS[slots]
     leaf_row = tri_s // slots
+    # Leaves share rows (models/bvh.py::align_leaves first-fit packing), so
+    # slot ids are row-based — and slots outside this leaf's range hold a
+    # NEIGHBOUR leaf's real triangles, which the dense test covers
+    # harmlessly (extra true candidates never break strict-< closest-hit
+    # or any-hit).
+    row_base = leaf_row * slots
     tr = tri_ref[pl.ds(leaf_row, 1), :]                # [1,128] f32
     for j in range(slots):
         g = j * tg
@@ -186,7 +197,7 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
               & (v >= 0.0) & (u + v <= 1.0)
               & (t > _MIN_T) & (t < best_t))
         if any_hit:
-            best_tri = jnp.where(ok, tri_s + j, best_tri)
+            best_tri = jnp.where(ok, row_base + j, best_tri)
             continue
         # winner attributes are the shared triangle's own scalars —
         # geometric unit normal from e1 x e2 (scalar math), material id
@@ -198,7 +209,7 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
         rl = jax.lax.rsqrt(
             jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
         best_t = jnp.where(ok, t, best_t)
-        best_tri = jnp.where(ok, tri_s + j, best_tri)
+        best_tri = jnp.where(ok, row_base + j, best_tri)
         bnx = jnp.where(ok, cnx * rl, bnx)
         bny = jnp.where(ok, cny * rl, bny)
         bnz = jnp.where(ok, cnz * rl, bnz)

@@ -184,3 +184,26 @@ def test_collapse4_native_matches_python():
     for g, w, name in zip(got, want,
                           ("child", "leafc", "min", "max", "axis")):
         np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+
+def test_align_leaves_first_fit_packing():
+    """First-fit row packing: leaves share 8-slot rows without straddling,
+    every triangle appears once, expansion is small."""
+    import numpy as np
+    from gpu_raytracer_tpu.models.bvh import align_leaves, build_bvh
+
+    rng = np.random.default_rng(9)
+    verts = rng.uniform(-5, 5, (4000, 3)).astype(np.float32)
+    idx = rng.integers(0, 4000, (3000, 3)).astype(np.uint32)
+    res = build_bvh(verts, idx, leaf_size=8, use_native=False)
+    packed = align_leaves(res, 8)
+    assert packed.tri_order.shape[0] % 8 == 0
+    assert packed.tri_order.shape[0] < 3000 * 1.25  # was ~1.5x one-row-per-leaf
+    keep = packed.tri_order[packed.tri_order >= 0]
+    assert sorted(keep.tolist()) == list(range(3000))
+    leaves = packed.left < 0
+    st = packed.tri_start[leaves]
+    ct = packed.tri_count[leaves]
+    # no leaf straddles a row boundary
+    assert ((st // 8) == ((st + np.maximum(ct, 1) - 1) // 8)).all()
