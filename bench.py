@@ -157,6 +157,32 @@ def main():
         log(f"PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
         extra["pathtrace_spp_per_s"] = 0.0
 
+    # ---- 3b. TEXTURED path tracing: the fused bounce's in-kernel matmul
+    # material lookup + atlas sampling (config 4 content meets config 3) ----
+    try:
+        from gpu_raytracer_tpu.engine.pathtracer import PathTracer
+
+        ptt = PathTracer(tex_scene, 1024, 1024, config=config,
+                         spectral=True, shadows=True)
+        ptt.step()
+        float(ptt.accum[-1, 0])
+
+        def spp_burst_t(k=4):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                ptt.step()
+            float(ptt.accum[-1, 0])
+            return (time.perf_counter() - t0 - rpc_lat) / k
+
+        spp_burst_t(2)
+        tspp = min(spp_burst_t() for _ in range(2))
+        log(f"textured pathtrace: {tspp*1e3:.0f}ms/spp, "
+            f"64 spp in {64*tspp:.1f}s")
+        extra["pathtrace_textured_spp_per_s"] = round(1.0 / tspp, 3)
+    except Exception as e:
+        log(f"TEXTURED PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
+        extra["pathtrace_textured_spp_per_s"] = 0.0
+
     # ---- 4. on-TPU parity: real Mosaic vs the chunked XLA pipeline ----
     try:
         from gpu_raytracer_tpu.engine.renderer import render_chunk

@@ -13,11 +13,15 @@ import numpy as np
 from ..utils.pytree import pytree_dataclass
 
 
-@pytree_dataclass
+@pytree_dataclass(meta_fields=("all_guards",))
 class Spheres:
     center: jnp.ndarray       # [S,3] f32
     radius: jnp.ndarray       # [S] f32
     material_id: jnp.ndarray  # [S] u32
+    # STATIC: every sphere is a radius-0 guard (can never hit) — lets
+    # jit-traced eligibility checks (textured fused bounce) know the
+    # sphere-UV gap is unreachable without fetching device values.
+    all_guards: bool = False
 
     @property
     def count(self) -> int:
@@ -33,7 +37,8 @@ class Spheres:
         c = np.asarray([r[0] for r in rows], np.float32).reshape(-1, 3)
         rad = np.asarray([r[1] for r in rows], np.float32)
         mid = np.asarray([r[2] for r in rows], np.uint32)
-        return Spheres(jnp.asarray(c), jnp.asarray(rad), jnp.asarray(mid))
+        return Spheres(jnp.asarray(c), jnp.asarray(rad), jnp.asarray(mid),
+                       all_guards=bool((rad == 0.0).all()))
 
 
 @pytree_dataclass

@@ -43,6 +43,11 @@ from .render import (
     MAX_LIGHTS, MAX_MATERIALS, MAX_SPHERES,
     _light_I, _light_eval, _light_rows, _sphere_pass, _sphere_rows,
 )
+from .texshade import (
+    _MAPS, _atlas_planes, _sample_map, texshade_eligible,
+)
+from ...models.material import (
+    TEX_BASE_COLOR, TEX_EMISSIVE, TEX_METALLIC_ROUGHNESS, TEX_OCCLUSION)
 
 _MIN_T = 1e-5
 _MAX_SEED = 3.4028235e38 - 2.0
@@ -53,20 +58,120 @@ _PI = 3.14159265358979
 
 
 def fused_bounce_eligible(scene: Scene) -> bool:
-    return (scene.textures.data_u32.shape[0] <= 1
-            and 1 <= scene.materials.count <= MAX_MATERIALS
+    textured = scene.textures.data_u32.shape[0] > 1
+    if textured:
+        # Textured path tracing: material lookup by one-hot matmul
+        # (unbounded count up to the texshade table cap) + in-kernel
+        # guard-band atlas sampling. Spheres are excluded — a sphere hit
+        # would need equirect UV (atan2, which Mosaic does not lower).
+        return (texshade_eligible(scene)
+                and scene.spheres.all_guards
+                and scene.lights.count <= MAX_LIGHTS
+                and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0],
+                                    want_uv=True))
+    return (1 <= scene.materials.count <= MAX_MATERIALS
             and scene.lights.count <= MAX_LIGHTS
             and scene.spheres.count <= MAX_SPHERES
             and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0]))
 
 
+def _bounce_material_table(scene: Scene):
+    """[40, Mp] f32 transposed material+texture-metadata table for the
+    textured bounce: albedo(3) emission(3) metallic roughness ior
+    transmission, then per samplable map (has, offset_row, srows, w, h,
+    wrap) — the bounce twin of texshade._material_table (adds roughness,
+    which the deferred shade does not need but the BSDF fuzz does)."""
+    from ...models.material import NO_TEXTURE
+    from ..f16 import unpack_f16_high, unpack_f16_low
+
+    m = scene.materials
+    tex = scene.textures
+    cols = [
+        m.albedo,
+        m.emission,
+        unpack_f16_low(m.metallic_roughness_f16)[:, None],
+        unpack_f16_high(m.metallic_roughness_f16)[:, None],
+        unpack_f16_low(m.ior_transmission_f16)[:, None],
+        unpack_f16_high(m.ior_transmission_f16)[:, None],
+    ]
+    for slot, _ in _MAPS:
+        ti = m.texture_indices[:, slot]
+        has = (ti != NO_TEXTURE) & (ti < tex.count)
+        safe = jnp.where(has, ti, 0).astype(jnp.int32)
+        f = lambda a: jnp.where(has, a[safe].astype(jnp.float32), 0.0)[:, None]
+        cols += [has.astype(jnp.float32)[:, None], f(tex.offset_row),
+                 f(tex.srows), f(tex.width), f(tex.height), f(tex.wrap)]
+    table = jnp.concatenate(cols, axis=1)                        # [M, 34]
+    table = jnp.pad(table, ((0, (-table.shape[0]) % 8),
+                            (0, 40 - table.shape[1])))
+    return table.T
+
+
+def _textured_materials(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
+                        n_mats, mats_pad, rows_pad, present):
+    """Per-lane textured material parameters → 11 (sub,128) tiles
+    (alb rgb, emi rgb, metal, rough, ior, trans, ambient-occ).
+
+    Works one 128-lane sublane group at a time so the one-hot matmuls keep
+    rays on the MXU's free axis (the texshade layout): material lookup is
+    one [40,Mp]@[Mp,128] matmul, each present map is sampled through the
+    guard-band atlas via texshade._sample_map. Group results stack back
+    into full packet tiles."""
+    sub = uvx.shape[0]
+    rows = {k: [] for k in range(11)}
+    for g in range(sub):
+        u = uvx[g:g + 1, :]
+        v = uvy[g:g + 1, :]
+        mid = jnp.clip(mat_id[g:g + 1, :], 0.0, float(n_mats - 1))
+        mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
+                                       0).astype(jnp.float32)
+        ohm = (mit == mid).astype(jnp.float32)               # [Mp,128]
+        mrow = jax.lax.dot_general(
+            mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [40,128]
+        vals = [mrow[c:c + 1, :] for c in range(10)]
+        occ = jnp.ones((1, uvx.shape[1]), jnp.float32)
+        for mi, (slot, channels) in enumerate(_MAPS):
+            if slot not in present:
+                continue
+            meta = tuple(mrow[10 + 6 * mi + j:11 + 6 * mi + j, :]
+                         for j in range(6))
+            has = meta[0] > 0.0
+            smp = jax.lax.cond(
+                jnp.any(has),
+                lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
+                                      channels),
+                lambda _: tuple(jnp.ones((1, uvx.shape[1]), jnp.float32)
+                                for _ in channels), 0)
+            pick = {c: jnp.where(has, smp[i], 1.0)
+                    for i, c in enumerate(channels)}
+            if slot == TEX_BASE_COLOR:
+                vals[0] = vals[0] * pick[0]
+                vals[1] = vals[1] * pick[1]
+                vals[2] = vals[2] * pick[2]
+            elif slot == TEX_EMISSIVE:
+                vals[3] = vals[3] * pick[0]
+                vals[4] = vals[4] * pick[1]
+                vals[5] = vals[5] * pick[2]
+            elif slot == TEX_METALLIC_ROUGHNESS:
+                vals[6] = vals[6] * pick[2]
+            elif slot == TEX_OCCLUSION:
+                occ = pick[0]
+        for k in range(10):
+            rows[k].append(vals[k])
+        rows[10].append(occ)
+    return tuple(jnp.concatenate(rows[k], axis=0) for k in range(11))
+
+
 def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
+            planes_ref, mtable_ref,
             o_ref, d_ref, thr_ref, med_ref, chan_ref, rt_ref, bd_ref,
             act_ref, u_ref,
             no_ref, nd_ref, nthr_ref, nmed_ref, nchan_ref, nrt_ref, nbd_ref,
             nact_ref, rad_ref, stack_ref, *,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
-            light_sample, wide=False):
+            light_sample, wide=False, textured=False, mats_pad=0,
+            rows_pad=0, present=()):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -85,7 +190,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     # ---- triangles pruned at the sphere t ----
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
-                         max_iters=max_iters, with_uv=False, slots=slots,
+                         max_iters=max_iters, with_uv=textured, slots=slots,
                          wide=wide)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
@@ -111,35 +216,46 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     rad_g = jnp.where(miss_live, _SKY[1] * thr_g, 0.0)
     rad_b = jnp.where(miss_live, _SKY[2] * thr_b, 0.0)
 
-    # ---- material params: static mask-select (no gathers) ----
-    alb_r = jnp.zeros(tile, jnp.float32)
-    alb_g = jnp.zeros(tile, jnp.float32)
-    alb_b = jnp.zeros(tile, jnp.float32)
-    emi_r = jnp.zeros(tile, jnp.float32)
-    emi_g = jnp.zeros(tile, jnp.float32)
-    emi_b = jnp.zeros(tile, jnp.float32)
-    metal = jnp.zeros(tile, jnp.float32)
-    rough = jnp.zeros(tile, jnp.float32)
-    iorv = jnp.ones(tile, jnp.float32)
-    trans = jnp.zeros(tile, jnp.float32)
-    for m in range(n_mats):
-        row = mat_ref[m:m + 1, :]
-        sel = mat_id == float(m)
-        alb_r = jnp.where(sel, row[0, 0], alb_r)
-        alb_g = jnp.where(sel, row[0, 1], alb_g)
-        alb_b = jnp.where(sel, row[0, 2], alb_b)
-        emi_r = jnp.where(sel, row[0, 3], emi_r)
-        emi_g = jnp.where(sel, row[0, 4], emi_g)
-        emi_b = jnp.where(sel, row[0, 5], emi_b)
-        metal = jnp.where(sel, row[0, 6], metal)
-        rough = jnp.where(sel, row[0, 7], rough)
-        iorv = jnp.where(sel, row[0, 8], iorv)
-        trans = jnp.where(sel, row[0, 9], trans)
+    # ---- material params: static mask-select (no gathers), or the
+    # textured matmul lookup + atlas sampling subroutine ----
+    if textured:
+        uvx = jnp.where(use_tri, best[6], 0.0)
+        uvy = jnp.where(use_tri, best[7], 0.0)
+        (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, metal, rough, iorv,
+         trans, occ) = _textured_materials(
+            planes_ref, mtable_ref, uvx, uvy, mat_id, n_mats=n_mats,
+            mats_pad=mats_pad, rows_pad=rows_pad, present=present)
+    else:
+        occ = None
+        alb_r = jnp.zeros(tile, jnp.float32)
+        alb_g = jnp.zeros(tile, jnp.float32)
+        alb_b = jnp.zeros(tile, jnp.float32)
+        emi_r = jnp.zeros(tile, jnp.float32)
+        emi_g = jnp.zeros(tile, jnp.float32)
+        emi_b = jnp.zeros(tile, jnp.float32)
+        metal = jnp.zeros(tile, jnp.float32)
+        rough = jnp.zeros(tile, jnp.float32)
+        iorv = jnp.ones(tile, jnp.float32)
+        trans = jnp.zeros(tile, jnp.float32)
+        for m in range(n_mats):
+            row = mat_ref[m:m + 1, :]
+            sel = mat_id == float(m)
+            alb_r = jnp.where(sel, row[0, 0], alb_r)
+            alb_g = jnp.where(sel, row[0, 1], alb_g)
+            alb_b = jnp.where(sel, row[0, 2], alb_b)
+            emi_r = jnp.where(sel, row[0, 3], emi_r)
+            emi_g = jnp.where(sel, row[0, 4], emi_g)
+            emi_b = jnp.where(sel, row[0, 5], emi_b)
+            metal = jnp.where(sel, row[0, 6], metal)
+            rough = jnp.where(sel, row[0, 7], rough)
+            iorv = jnp.where(sel, row[0, 8], iorv)
+            trans = jnp.where(sel, row[0, 9], trans)
 
     # ---- direct lighting (lighting.rs:20-139) + shadows ----
-    tot_r = alb_r * 0.1
-    tot_g = alb_g * 0.1
-    tot_b = alb_b * 0.1
+    amb = 0.1 if occ is None else 0.1 * occ
+    tot_r = alb_r * amb
+    tot_g = alb_g * amb
+    tot_b = alb_b * amb
     is_metal_f = (metal > 0.5).astype(jnp.float32)
     brdf = is_metal_f * 0.5 + (1.0 - is_metal_f) * (1.0 / _PI)
     if shadows and light_sample and n_lights > 1:
@@ -378,8 +494,22 @@ def pallas_bounce(
     slots = bvh.leaf_align
     wide = bvh.has_wide
     node_rows = pack_node4_rows(bvh) if wide else pack_node_rows(bvh)
+    textured = scene.textures.data_u32.shape[0] > 1
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                             scene.tri_mat, slots=slots)
+                             scene.tri_mat,
+                             tri_uv=scene.tri_uv if textured else None,
+                             slots=slots)
+    if textured:
+        planes = _atlas_planes(scene)                  # [4,128,Rp]
+        mtable = _bounce_material_table(scene)         # [40,Mp]
+        present = tuple(
+            slot for slot, _ in _MAPS
+            if scene.materials.present_slots is None
+            or slot in scene.materials.present_slots)
+    else:
+        planes = jnp.zeros((4, 128, 128), jnp.bfloat16)
+        mtable = jnp.zeros((40, 8), jnp.float32)
+        present = ()
 
     m = scene.materials
     mat_rows = jnp.concatenate(
@@ -414,7 +544,9 @@ def pallas_bounce(
     kernel = partial(_kernel, max_iters=nn + 4, n_mats=m.count,
                      n_lights=L.count, n_spheres=S.count, slots=slots,
                      shadows=shadows, do_rr=do_rr, light_sample=light_sample,
-                     wide=wide)
+                     wide=wide, textured=textured,
+                     mats_pad=mtable.shape[1], rows_pad=planes.shape[2],
+                     present=present)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -423,6 +555,7 @@ def pallas_bounce(
             resident(node_rows.shape), resident(tri_rows.shape),
             resident(mat_rows.shape), resident(light_rows.shape),
             resident(sph_rows.shape),
+            resident(planes.shape), resident(mtable.shape),
             per_packet((1, 3, sub, LANES)), per_packet((1, 3, sub, LANES)),
             per_packet((1, 3, sub, LANES)), per_packet((1, sub, LANES)),
             per_packet((1, sub, LANES)), per_packet((1, sub, LANES)),
@@ -449,9 +582,9 @@ def pallas_bounce(
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(node_rows.shape[0] + tri_rows.shape[0]) * 512
-            + VMEM_HEADROOM),
+            + planes.size * 2 + mtable.size * 4 + VMEM_HEADROOM),
         interpret=interpret,
-    )(node_rows, tri_rows, mat_rows, light_rows, sph_rows,
+    )(node_rows, tri_rows, mat_rows, light_rows, sph_rows, planes, mtable,
       o, d, thr, med, chan, rt, bd, act, uu)
 
     unpack3 = lambda a: a.transpose(0, 2, 3, 1).reshape(N, 3)

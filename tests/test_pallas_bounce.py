@@ -161,3 +161,63 @@ def test_light_sampled_nee_parity_and_unbiasedness():
     ref = np.asarray(full_rad)
     # Monte-Carlo tolerance: compare aggregates, not per-lane
     assert abs(mean.sum() - ref.sum()) / max(ref.sum(), 1e-6) < 0.08
+
+
+def test_textured_fused_bounce_parity():
+    """Textured scenes on the fused bounce: in-kernel matmul material lookup
+    + guard-band atlas sampling must match the XLA body field-for-field
+    (radiance, pool state) on a mesh-only textured scene."""
+    from gpu_raytracer_tpu.models.geometry import Mesh, Spheres, Textures
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+    from gpu_raytracer_tpu.models.light import LightBuilder
+    from gpu_raytracer_tpu.models.camera import Camera
+    from gpu_raytracer_tpu.models.scene import prepare_scene
+    from gpu_raytracer_tpu.ops.pallas.bounce import fused_bounce_eligible
+
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 256, size=(6, 9, 4), dtype=np.uint8),
+            rng.integers(0, 256, size=(8, 5, 4), dtype=np.uint8)]
+    mb = MaterialBuilder()
+    for i in range(4):
+        ti = np.full(8, 0xFFFFFFFF, np.uint32)
+        if i % 2 == 0:
+            ti[0] = i % 2          # base color
+        if i == 2:
+            ti[1] = 1              # metallic-roughness
+            ti[3] = 0              # occlusion
+            ti[4] = 1              # emissive
+        mb.add(albedo=rng.uniform(0.3, 1.0, 3), metallic=float(i == 1),
+               roughness=0.4, emission=rng.uniform(0, 0.2, 3),
+               ior=1.4, transmission=0.6 if i == 3 else 0.0,
+               texture_indices=ti)
+    lb = LightBuilder()
+    lb.add_point((3.0, 6.0, 3.0), (1.0, 0.9, 0.8), 2.0, float("inf"))
+
+    # random triangle soup with uvs
+    verts = rng.uniform(-3, 3, (600, 3)).astype(np.float32)
+    idx = rng.integers(0, 600, (400, 3)).astype(np.uint32)
+    uvs = rng.uniform(-1, 2, (600, 2)).astype(np.float32)
+    mesh = Mesh.from_arrays(verts, idx,
+                            rng.integers(0, 4, 400).astype(np.uint32),
+                            uv=uvs)
+    scene = prepare_scene(Camera.default(), Spheres.from_rows([]), mesh,
+                          mb.build(), lb.build(),
+                          textures=Textures.from_images(imgs))
+    assert fused_bounce_eligible(scene)
+
+    rays = _pool(scene, RGB_CHANNEL)
+    u = jax.random.uniform(jax.random.PRNGKey(13), (rays.count, 7),
+                           jnp.float32)
+    r2, rad = xla_bounce(scene, rays, u, shadows=True, rr_enabled=False,
+                         rr_now=jnp.bool_(False))
+    o, d, thr, med, chan, rt, bd, act, radF = pallas_bounce(
+        scene, rays.origin, rays.direction, rays.throughput, rays.medium_ior,
+        rays.wavelength_channel, rays.ray_type, rays.bounce_depth,
+        rays.active, u, shadows=True, do_rr=False, packet_size=1024,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(act), np.asarray(r2.active))
+    np.testing.assert_allclose(np.asarray(radF), np.asarray(rad), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(thr), np.asarray(r2.throughput),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(r2.direction),
+                               atol=2e-5)

@@ -16,6 +16,7 @@ from gpu_raytracer_tpu.engine.server import ViewerServer
 def server():
     scene = build_default_scene()
     v = Viewer(scene, 64, 64, shadows=False, verbose=False)
+    v.run_compute()   # compile outside any HTTP request timeout
     s = ViewerServer(v, port=0, max_fps=60)
     s.start()
     yield s
@@ -24,7 +25,7 @@ def server():
 
 def _get(server, path):
     return urllib.request.urlopen(
-        f"http://{server.host}:{server.port}{path}", timeout=30)
+        f"http://{server.host}:{server.port}{path}", timeout=180)
 
 
 def test_page_and_stats(server):
@@ -38,7 +39,7 @@ def test_key_moves_camera(server):
     z0 = json.loads(_get(server, "/stats").read())["camera"][2]
     req = urllib.request.Request(
         f"http://{server.host}:{server.port}/key?k=w", method="POST")
-    assert json.loads(urllib.request.urlopen(req, timeout=30).read())["ok"]
+    assert json.loads(urllib.request.urlopen(req, timeout=180).read())["ok"]
     z1 = json.loads(_get(server, "/stats").read())["camera"][2]
     assert z1 < z0  # default camera looks down -Z; 'w' moves forward
 
