@@ -34,7 +34,8 @@ def _load_scene(args, config):
     if getattr(args, "courtyard", 0):
         from .utils.procgen import make_courtyard_scene
 
-        return make_courtyard_scene(args.courtyard, seed=0, config=config)
+        return make_courtyard_scene(args.courtyard, seed=0, config=config,
+                                    textured=getattr(args, "textured", False))
     return build_default_scene(config)
 
 
@@ -167,6 +168,10 @@ def main(argv=None):
     p = sub.add_parser("serve", help="live viewer over HTTP (browser WASD)")
     p.add_argument("--gltf", type=str, default=None)
     p.add_argument("--demo", action="store_true")
+    p.add_argument("--courtyard", type=int, default=0, metavar="TRIS",
+                   help="procedural courtyard with TRIS triangles")
+    p.add_argument("--textured", action="store_true",
+                   help="with --courtyard: procedural texture atlases")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--shadows", action="store_true")
