@@ -181,7 +181,12 @@ class Renderer:
         W, H = self.width, self.height
         n = int(px.shape[0])
         if n % PALLAS_PACKET == 0:
-            if self._use_fused():
+            textured = self.scene.textures.data_u32.shape[0] > 1
+            # Textured scenes prefer the TWO-phase pipeline: the dedicated
+            # texshade kernel skips all-sky lane groups at block granularity
+            # and measured ~6% faster than in-kernel sampling interleaved
+            # with traversal (30.7 vs 32.5 ms at 1080p).
+            if self._use_fused() and not textured:
                 from ..ops.pallas.render import pallas_render_primary
 
                 return pallas_render_primary(self.scene, px, py, W, H,
@@ -209,7 +214,8 @@ class Renderer:
         where compute writes storage textures and present samples them
         (src/renderer.rs:778-818)."""
         W, H = self.width, self.height
-        if self._use_fused():
+        textured = self.scene.textures.data_u32.shape[0] > 1
+        if self._use_fused() and not textured:   # see render(): textured
             from ..ops.pallas.render import pallas_render_primary
 
             out = [pallas_render_primary(

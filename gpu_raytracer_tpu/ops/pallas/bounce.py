@@ -44,10 +44,9 @@ from .render import (
     _light_I, _light_eval, _light_rows, _sphere_pass, _sphere_rows,
 )
 from .texshade import (
-    _MAPS, _atlas_planes, _sample_map, texshade_eligible,
+    _MAPS, _atlas_planes, material_table_full, sample_materials_tiles,
+    texshade_eligible,
 )
-from ...models.material import (
-    TEX_BASE_COLOR, TEX_EMISSIVE, TEX_METALLIC_ROUGHNESS, TEX_OCCLUSION)
 
 _MIN_T = 1e-5
 _MAX_SEED = 3.4028235e38 - 2.0
@@ -73,94 +72,6 @@ def fused_bounce_eligible(scene: Scene) -> bool:
             and scene.lights.count <= MAX_LIGHTS
             and scene.spheres.count <= MAX_SPHERES
             and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0]))
-
-
-def _bounce_material_table(scene: Scene):
-    """[40, Mp] f32 transposed material+texture-metadata table for the
-    textured bounce: albedo(3) emission(3) metallic roughness ior
-    transmission, then per samplable map (has, offset_row, srows, w, h,
-    wrap) — the bounce twin of texshade._material_table (adds roughness,
-    which the deferred shade does not need but the BSDF fuzz does)."""
-    from ...models.material import NO_TEXTURE
-    from ..f16 import unpack_f16_high, unpack_f16_low
-
-    m = scene.materials
-    tex = scene.textures
-    cols = [
-        m.albedo,
-        m.emission,
-        unpack_f16_low(m.metallic_roughness_f16)[:, None],
-        unpack_f16_high(m.metallic_roughness_f16)[:, None],
-        unpack_f16_low(m.ior_transmission_f16)[:, None],
-        unpack_f16_high(m.ior_transmission_f16)[:, None],
-    ]
-    for slot, _ in _MAPS:
-        ti = m.texture_indices[:, slot]
-        has = (ti != NO_TEXTURE) & (ti < tex.count)
-        safe = jnp.where(has, ti, 0).astype(jnp.int32)
-        f = lambda a: jnp.where(has, a[safe].astype(jnp.float32), 0.0)[:, None]
-        cols += [has.astype(jnp.float32)[:, None], f(tex.offset_row),
-                 f(tex.srows), f(tex.width), f(tex.height), f(tex.wrap)]
-    table = jnp.concatenate(cols, axis=1)                        # [M, 34]
-    table = jnp.pad(table, ((0, (-table.shape[0]) % 8),
-                            (0, 40 - table.shape[1])))
-    return table.T
-
-
-def _textured_materials(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
-                        n_mats, mats_pad, rows_pad, present):
-    """Per-lane textured material parameters → 11 (sub,128) tiles
-    (alb rgb, emi rgb, metal, rough, ior, trans, ambient-occ).
-
-    Works one 128-lane sublane group at a time so the one-hot matmuls keep
-    rays on the MXU's free axis (the texshade layout): material lookup is
-    one [40,Mp]@[Mp,128] matmul, each present map is sampled through the
-    guard-band atlas via texshade._sample_map. Group results stack back
-    into full packet tiles."""
-    sub = uvx.shape[0]
-    rows = {k: [] for k in range(11)}
-    for g in range(sub):
-        u = uvx[g:g + 1, :]
-        v = uvy[g:g + 1, :]
-        mid = jnp.clip(mat_id[g:g + 1, :], 0.0, float(n_mats - 1))
-        mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
-                                       0).astype(jnp.float32)
-        ohm = (mit == mid).astype(jnp.float32)               # [Mp,128]
-        mrow = jax.lax.dot_general(
-            mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [40,128]
-        vals = [mrow[c:c + 1, :] for c in range(10)]
-        occ = jnp.ones((1, uvx.shape[1]), jnp.float32)
-        for mi, (slot, channels) in enumerate(_MAPS):
-            if slot not in present:
-                continue
-            meta = tuple(mrow[10 + 6 * mi + j:11 + 6 * mi + j, :]
-                         for j in range(6))
-            has = meta[0] > 0.0
-            smp = jax.lax.cond(
-                jnp.any(has),
-                lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
-                                      channels),
-                lambda _: tuple(jnp.ones((1, uvx.shape[1]), jnp.float32)
-                                for _ in channels), 0)
-            pick = {c: jnp.where(has, smp[i], 1.0)
-                    for i, c in enumerate(channels)}
-            if slot == TEX_BASE_COLOR:
-                vals[0] = vals[0] * pick[0]
-                vals[1] = vals[1] * pick[1]
-                vals[2] = vals[2] * pick[2]
-            elif slot == TEX_EMISSIVE:
-                vals[3] = vals[3] * pick[0]
-                vals[4] = vals[4] * pick[1]
-                vals[5] = vals[5] * pick[2]
-            elif slot == TEX_METALLIC_ROUGHNESS:
-                vals[6] = vals[6] * pick[2]
-            elif slot == TEX_OCCLUSION:
-                occ = pick[0]
-        for k in range(10):
-            rows[k].append(vals[k])
-        rows[10].append(occ)
-    return tuple(jnp.concatenate(rows[k], axis=0) for k in range(11))
 
 
 def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
@@ -222,7 +133,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
         uvx = jnp.where(use_tri, best[6], 0.0)
         uvy = jnp.where(use_tri, best[7], 0.0)
         (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, metal, rough, iorv,
-         trans, occ) = _textured_materials(
+         trans, occ) = sample_materials_tiles(
             planes_ref, mtable_ref, uvx, uvy, mat_id, n_mats=n_mats,
             mats_pad=mats_pad, rows_pad=rows_pad, present=present)
     else:
@@ -501,7 +412,7 @@ def pallas_bounce(
                              slots=slots)
     if textured:
         planes = _atlas_planes(scene)                  # [4,128,Rp]
-        mtable = _bounce_material_table(scene)         # [40,Mp]
+        mtable = material_table_full(scene)            # [40,Mp]
         present = tuple(
             slot for slot, _ in _MAPS
             if scene.materials.present_slots is None

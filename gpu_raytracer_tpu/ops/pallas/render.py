@@ -67,9 +67,20 @@ _TRANS_BASE = (0.2, 0.2, 0.3)
 
 
 def fused_render_eligible(scene: Scene) -> bool:
-    """Static preconditions for the single-phase kernel."""
-    return (scene.textures.data_u32.shape[0] <= 1
-            and 1 <= scene.materials.count <= MAX_MATERIALS
+    """Static preconditions for the single-phase kernel. Textured scenes
+    qualify too (in-kernel matmul material lookup + guard-band atlas
+    sampling, ops/pallas/texshade.py) when the tables fit VMEM and every
+    sphere is a radius-0 guard (sphere equirect UV needs atan2, which
+    Mosaic does not lower)."""
+    from .texshade import texshade_eligible
+
+    if scene.textures.data_u32.shape[0] > 1:
+        return (texshade_eligible(scene)
+                and scene.spheres.all_guards
+                and scene.lights.count <= MAX_LIGHTS
+                and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0],
+                                    want_uv=True))
+    return (1 <= scene.materials.count <= MAX_MATERIALS
             and scene.lights.count <= MAX_LIGHTS
             and scene.spheres.count <= MAX_SPHERES
             and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0]))
@@ -247,10 +258,14 @@ def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
 
 
 def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
+            planes_ref, mtable_ref,
             px_ref, py_ref, rgb_ref, stack_ref, *,
             max_iters, width, height, n_mats, n_lights, n_spheres,
-            shadows, sky, slots, wide=False):
-    """Single-phase: shade in-kernel via a static material mask-select."""
+            shadows, sky, slots, wide=False, textured=False, mats_pad=0,
+            rows_pad=0, present=()):
+    """Single-phase: shade in-kernel — material parameters via a static
+    mask-select loop, or (textured) the matmul lookup + atlas sampling
+    subroutine shared with the fused bounce."""
     ox, oy, oz, dx, dy, dz = _camera_rays(cam_ref, px_ref, py_ref,
                                           width, height)
     tile = dx.shape
@@ -263,7 +278,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     # (strict < keeps the sphere on exact ties, lib.rs:183-248) ----
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
-                         max_iters=max_iters, with_uv=False, slots=slots,
+                         max_iters=max_iters, with_uv=textured, slots=slots,
                          wide=wide)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
@@ -283,33 +298,46 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     nz = jnp.where(use_tri, best[4], snz * snl)
     mat_id = jnp.where(use_tri, best[5], sph_m)
 
-    # ---- per-lane material params: static mask-select over the table ----
-    alb_r = jnp.zeros(tile, jnp.float32)
-    alb_g = jnp.zeros(tile, jnp.float32)
-    alb_b = jnp.zeros(tile, jnp.float32)
-    emi_r = jnp.zeros(tile, jnp.float32)
-    emi_g = jnp.zeros(tile, jnp.float32)
-    emi_b = jnp.zeros(tile, jnp.float32)
-    metal = jnp.zeros(tile, jnp.float32)
-    iorv = jnp.ones(tile, jnp.float32)
-    trans = jnp.zeros(tile, jnp.float32)
-    for m in range(n_mats):
-        row = mat_ref[m:m + 1, :]
-        sel = mat_id == float(m)
-        alb_r = jnp.where(sel, row[0, 0], alb_r)
-        alb_g = jnp.where(sel, row[0, 1], alb_g)
-        alb_b = jnp.where(sel, row[0, 2], alb_b)
-        emi_r = jnp.where(sel, row[0, 3], emi_r)
-        emi_g = jnp.where(sel, row[0, 4], emi_g)
-        emi_b = jnp.where(sel, row[0, 5], emi_b)
-        metal = jnp.where(sel, row[0, 6], metal)
-        iorv = jnp.where(sel, row[0, 7], iorv)
-        trans = jnp.where(sel, row[0, 8], trans)
+    # ---- per-lane material params: static mask-select over the table,
+    # or (textured) the matmul lookup + atlas sampling subroutine ----
+    if textured:
+        from .texshade import sample_materials_tiles
+
+        uvx = jnp.where(use_tri, best[6], 0.0)
+        uvy = jnp.where(use_tri, best[7], 0.0)
+        (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, metal, _rough, iorv,
+         trans, occ) = sample_materials_tiles(
+            planes_ref, mtable_ref, uvx, uvy, mat_id, n_mats=n_mats,
+            mats_pad=mats_pad, rows_pad=rows_pad, present=present)
+    else:
+        occ = None
+        alb_r = jnp.zeros(tile, jnp.float32)
+        alb_g = jnp.zeros(tile, jnp.float32)
+        alb_b = jnp.zeros(tile, jnp.float32)
+        emi_r = jnp.zeros(tile, jnp.float32)
+        emi_g = jnp.zeros(tile, jnp.float32)
+        emi_b = jnp.zeros(tile, jnp.float32)
+        metal = jnp.zeros(tile, jnp.float32)
+        iorv = jnp.ones(tile, jnp.float32)
+        trans = jnp.zeros(tile, jnp.float32)
+        for m in range(n_mats):
+            row = mat_ref[m:m + 1, :]
+            sel = mat_id == float(m)
+            alb_r = jnp.where(sel, row[0, 0], alb_r)
+            alb_g = jnp.where(sel, row[0, 1], alb_g)
+            alb_b = jnp.where(sel, row[0, 2], alb_b)
+            emi_r = jnp.where(sel, row[0, 3], emi_r)
+            emi_g = jnp.where(sel, row[0, 4], emi_g)
+            emi_b = jnp.where(sel, row[0, 5], emi_b)
+            metal = jnp.where(sel, row[0, 6], metal)
+            iorv = jnp.where(sel, row[0, 7], iorv)
+            trans = jnp.where(sel, row[0, 8], trans)
 
     # ---- direct lighting (lighting.rs:20-139) ----
-    tot_r = alb_r * 0.1
-    tot_g = alb_g * 0.1
-    tot_b = alb_b * 0.1
+    amb = 0.1 if occ is None else 0.1 * occ
+    tot_r = alb_r * amb
+    tot_g = alb_g * amb
+    tot_b = alb_b * amb
     is_metal = (metal > 0.5).astype(jnp.float32)
     brdf = is_metal * 0.5 + (1.0 - is_metal) * (1.0 / 3.14159265358979)
     for li in range(n_lights):
@@ -489,14 +517,30 @@ def pallas_render_primary(
     Tp = scene.tri_v0.shape[0]
     slots = scene.bvh.leaf_align
     wide = scene.bvh.has_wide
+    textured = scene.textures.data_u32.shape[0] > 1
     node_rows = (pack_node4_rows(scene.bvh) if wide
                  else pack_node_rows(scene.bvh))
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                             scene.tri_mat, slots=slots)
+                             scene.tri_mat,
+                             tri_uv=scene.tri_uv if textured else None,
+                             slots=slots)
     cam_row = _camera_row(scene)
     mat_rows = _material_rows_primary(scene)
     light_rows = _light_rows(scene)
     sph_rows = _sphere_rows(scene)
+    if textured:
+        from .texshade import _MAPS, _atlas_planes, material_table_full
+
+        planes = _atlas_planes(scene)
+        mtable = material_table_full(scene)
+        present = tuple(
+            slot for slot, _ in _MAPS
+            if scene.materials.present_slots is None
+            or slot in scene.materials.present_slots)
+    else:
+        planes = jnp.zeros((4, 128, 128), jnp.bfloat16)
+        mtable = jnp.zeros((40, 8), jnp.float32)
+        present = ()
 
     pxb = px.reshape(B, sub, LANES)
     pyb = py.reshape(B, sub, LANES)
@@ -507,7 +551,8 @@ def pallas_render_primary(
         n_mats=m.count, n_lights=scene.lights.count,
         n_spheres=scene.spheres.count,
         shadows=shadows, sky=tuple(float(x) for x in sky), slots=slots,
-        wide=wide)
+        wide=wide, textured=textured, mats_pad=mtable.shape[1],
+        rows_pad=planes.shape[2], present=present)
     rgb = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -519,6 +564,8 @@ def pallas_render_primary(
             _resident(mat_rows.shape),
             _resident(light_rows.shape),
             _resident(sph_rows.shape),
+            _resident(planes.shape),
+            _resident(mtable.shape),
             _per_packet((1, sub, LANES)),
             _per_packet((1, sub, LANES)),
         ],
@@ -526,9 +573,10 @@ def pallas_render_primary(
         out_shape=jax.ShapeDtypeStruct((B, 3, sub, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(node_rows.shape[0] + tri_rows.shape[0]) * 512
-            + VMEM_HEADROOM),
+            + planes.size * 2 + mtable.size * 4 + VMEM_HEADROOM),
         interpret=interpret,
-    )(node_rows, tri_rows, cam_row, mat_rows, light_rows, sph_rows, pxb, pyb)
+    )(node_rows, tri_rows, cam_row, mat_rows, light_rows, sph_rows,
+      planes, mtable, pxb, pyb)
 
     return rgb.transpose(0, 2, 3, 1).reshape(N, 3)
 

@@ -73,7 +73,9 @@ def test_deferred_matches_xla_textured(shadows):
     reference bound textures its kernel never read; we sample them in the
     XLA phase of the two-phase kernel)."""
     scene = make_courtyard_scene(2000, seed=1, textured=True)
-    assert not fused_render_eligible(scene)       # textures exclude phase 1
+    # since round 2, textured scenes qualify for the SINGLE-phase kernel
+    # too (in-kernel atlas sampling); the two-phase variant stays available
+    assert fused_render_eligible(scene)
     assert fused_deferred_eligible(scene, sphere_uv_ok=True)
     W = H = 32
     px, py = _coords(W, H)
@@ -140,3 +142,54 @@ def test_deferred_eligibility_sphere_guard():
         [onp.full((2, 2, 4), 255, onp.uint8)]))
     assert not fused_deferred_eligible(textured)
     assert fused_deferred_eligible(textured, sphere_uv_ok=True)
+
+
+def test_single_phase_textured_render_parity():
+    """Textured scenes on the SINGLE-phase fused kernel (in-kernel matmul
+    materials + atlas sampling) must match the chunked XLA pipeline."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpu_raytracer_tpu.models.geometry import Mesh, Spheres, Textures
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+    from gpu_raytracer_tpu.models.light import LightBuilder
+    from gpu_raytracer_tpu.models.camera import Camera
+    from gpu_raytracer_tpu.models.scene import prepare_scene
+    from gpu_raytracer_tpu.ops.pallas.render import (
+        fused_render_eligible, pallas_render_primary)
+    from gpu_raytracer_tpu.engine.renderer import render_chunk
+    from gpu_raytracer_tpu.ops.packet_trace import tiled_pixel_order
+
+    rng = np.random.default_rng(31)
+    imgs = [rng.integers(0, 256, size=(7, 6, 4), dtype=np.uint8),
+            rng.integers(0, 256, size=(4, 10, 4), dtype=np.uint8)]
+    mb = MaterialBuilder()
+    for i in range(3):
+        ti = np.full(8, 0xFFFFFFFF, np.uint32)
+        ti[0] = i % 2
+        if i == 1:
+            ti[3] = 1    # occlusion
+            ti[4] = 0    # emissive
+        mb.add(albedo=rng.uniform(0.3, 1.0, 3), metallic=float(i == 2),
+               roughness=0.5, emission=rng.uniform(0, 0.4, 3),
+               texture_indices=ti)
+    lb = LightBuilder()
+    lb.add_point((2.0, 5.0, 4.0), (1.0, 1.0, 0.9), 3.0, float("inf"))
+    verts = rng.uniform(-4, 4, (500, 3)).astype(np.float32)
+    idx = rng.integers(0, 500, (300, 3)).astype(np.uint32)
+    uvs = rng.uniform(-1, 2, (500, 2)).astype(np.float32)
+    mesh = Mesh.from_arrays(verts, idx,
+                            rng.integers(0, 3, 300).astype(np.uint32),
+                            uv=uvs)
+    scene = prepare_scene(Camera.default(), Spheres.from_rows([]), mesh,
+                          mb.build(), lb.build(),
+                          textures=Textures.from_images(imgs))
+    assert fused_render_eligible(scene)
+
+    W = H = 128
+    px, py = tiled_pixel_order(W, H, tile=64)
+    px, py = jnp.asarray(px), jnp.asarray(py)
+    got = np.asarray(pallas_render_primary(scene, px, py, W, H,
+                                           shadows=True, packet_size=1024,
+                                           interpret=True))
+    want = np.asarray(render_chunk(scene, px, py, W, H, shadows=True))
+    np.testing.assert_allclose(got, want, atol=3e-4)
