@@ -34,7 +34,7 @@ body { background:#111; color:#ddd; font-family:monospace; margin:0 }
 image-rendering:pixelated; outline:none }
 </style></head><body>
 <div id="hud">tpu-raytracer &mdash; WASD move &middot; drag to look &middot;
-Esc quit &middot; <span id="stats"></span></div>
+P path-trace &middot; Esc quit &middot; <span id="stats"></span></div>
 <img id="v" src="/stream" tabindex="0">
 <script>
 const send = (p) => fetch(p, {method: "POST"});

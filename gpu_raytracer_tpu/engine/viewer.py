@@ -49,6 +49,10 @@ class Viewer:
         self._fb_host = np.zeros((height, width, 3), np.float32)
         self._fb_dev = None
         self.should_quit = False
+        # Interactive progressive path tracing ('p' key): one spp per frame
+        # accumulated by engine/pathtracer.py; camera moves restart it.
+        self.pathtrace = False
+        self._pt = None
         # Tile pixel template in 64x64-subtile order: 128x128 progressive
         # tiles = two coherent 8192-lane traversal packets per dispatch, so
         # each tile rides the fused Pallas path at full packet occupancy.
@@ -96,6 +100,14 @@ class Viewer:
             self.controller.move(strafe=1.0)
         elif key == " " or key == "space":
             pass  # fallthrough to recompute below
+        elif key == "p":
+            # Toggle progressive path tracing (an extension: the reference's
+            # wavefront renderer was dead code, compute.rs:365-553 — here
+            # it's the same engine behind one key).
+            self.pathtrace = not self.pathtrace
+            if self.pathtrace:
+                self._ensure_pathtracer()
+            return
         elif key == "l":
             self.load_gltf("model.gltf")
             return
@@ -113,8 +125,17 @@ class Viewer:
     def _apply_camera(self) -> None:
         self.scene = self.scene.with_camera(self.controller.camera())
         self.renderer.scene = self.scene
+        if self._pt is not None:
+            self._pt.set_camera(self.scene.camera)  # restart accumulation
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
+
+    def _ensure_pathtracer(self):
+        if self._pt is None:
+            from .pathtracer import PathTracer
+
+            self._pt = PathTracer(self.scene, self.width, self.height,
+                                  config=self.config, shadows=self.shadows)
 
     def load_gltf(self, path: str) -> None:
         """ContentManager::load_gltf semantics (main.rs:63-72): replace the
@@ -182,6 +203,14 @@ class Viewer:
         Renderer.render_rays, i.e. the same fused Pallas path as the
         headline benchmark — the Viewer is no longer the slow pipeline.
         """
+        if self.pathtrace:
+            self._ensure_pathtracer()
+            with Timer() as timer:
+                self._pt.step()
+            self.timing.record_tile(timer.ms)
+            self._fb_host = self._pt.image()
+            self._fb_dev = None
+            return 1
         tiles = self.progressive.next_tiles()
         if self._whole_frame:
             if tiles:

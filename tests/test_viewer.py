@@ -72,3 +72,26 @@ def test_edge_tiles_clamp(default_scene):
     v.render_to_completion()
     assert v.framebuffer.shape == (40, 50, 3)
     assert np.isfinite(v.framebuffer).all()
+
+
+def test_viewer_pathtrace_toggle():
+    """'p' switches the event loop to progressive path tracing; camera
+    moves restart accumulation; 'p' again returns to Whitted."""
+    from gpu_raytracer_tpu import build_default_scene
+    from gpu_raytracer_tpu.engine.viewer import Viewer
+
+    v = Viewer(build_default_scene(), 32, 32, shadows=False, verbose=False)
+    v.handle_key("p")
+    assert v.pathtrace
+    v.run_compute()
+    v.run_compute()
+    assert v._pt.samples == 2
+    fb = v.framebuffer
+    assert np.isfinite(fb).all() and fb.shape == (32, 32, 3)
+    v.handle_key("w")              # move -> accumulation restarts
+    assert v._pt.samples == 0
+    v.run_compute()
+    assert v._pt.samples == 1
+    v.handle_key("p")
+    assert not v.pathtrace
+    v.run_compute()                # whitted path still works
