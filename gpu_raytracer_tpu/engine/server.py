@@ -148,7 +148,8 @@ class ViewerServer:
             last = t0
             with self._lock:
                 self.viewer.run_compute()
-                frame = self.viewer.frame()
+                self.viewer.perf.update_frame_count()
+                frame = self.viewer.framebuffer
             png = encode_png(frame, level=1)    # speed over size
             dt = time.perf_counter() - t0
             self._frame_ms = dt * 1e3
