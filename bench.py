@@ -66,6 +66,18 @@ def main():
     from gpu_raytracer_tpu import RaytracerConfig, Renderer
     from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
 
+    # Soft deadline for the OPTIONAL sections (pathtrace/viewer/refit):
+    # the headline metric must reach stdout even if the driver bounds the
+    # bench run. Each optional section checks the clock before starting.
+    start_time = time.time()
+    BUDGET_S = float(__import__("os").environ.get("BENCH_BUDGET_S", 1320))
+
+    def over_budget(section):
+        if time.time() - start_time > BUDGET_S:
+            log(f"SKIP {section}: over {BUDGET_S:.0f}s soft budget")
+            return True
+        return False
+
     W, H = 1920, 1080
     n = W * H
     config = RaytracerConfig()
@@ -128,6 +140,8 @@ def main():
 
     # ---- 3. path tracing (BASELINE config 3): 1024², depth 4, shadows ----
     try:
+        if over_budget("pathtrace"):
+            raise TimeoutError("budget")
         from gpu_raytracer_tpu.engine.pathtracer import PathTracer
 
         pt_scene = make_courtyard_scene(target_triangles=100_000, seed=0,
@@ -160,6 +174,8 @@ def main():
     # ---- 3b. TEXTURED path tracing: the fused bounce's in-kernel matmul
     # material lookup + atlas sampling (config 4 content meets config 3) ----
     try:
+        if over_budget("textured pathtrace"):
+            raise TimeoutError("budget")
         from gpu_raytracer_tpu.engine.pathtracer import PathTracer
 
         ptt = PathTracer(tex_scene, 1024, 1024, config=config,
@@ -213,6 +229,8 @@ def main():
     # with animated geometry — both measured through the SAME Viewer that
     # embodies the reference's event loop (src/main.rs:278-286) ----
     try:
+        if over_budget("viewer/refit"):
+            raise TimeoutError("budget")
         from gpu_raytracer_tpu.engine.viewer import Viewer
 
         v = Viewer(scene, W, H, config=config, shadows=True, verbose=False)
