@@ -14,7 +14,8 @@ server only adds transport.
     # then open http://localhost:8642/
 
 Endpoints: `/` (interactive page), `/stream` (PNG stream), `/key?k=w`,
-`/drag?dx=..&dy=..`, `/stats` (JSON: fps, frame ms, camera).
+`/drag?dx=..&dy=..`, `/resize?w=..&h=..` (the reference's
+WindowEvent::Resized), `/stats` (JSON: fps, frame ms, camera).
 """
 
 from __future__ import annotations
@@ -73,6 +74,15 @@ class ViewerServer:
         self._lock = threading.Lock()     # serialises viewer access
         self._frame_ms = 0.0
         self._fps = 0.0
+        # Single-producer present loop: exactly one render loop advances the
+        # viewer no matter how many /stream clients connect (a second client
+        # must not double-advance progressive/pathtrace state); clients
+        # broadcast-read the latest encoded frame.
+        self._cond = threading.Condition()
+        self._clients = 0
+        self._seq = 0
+        self._latest: bytes | None = None
+        self._producer: threading.Thread | None = None
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -97,6 +107,12 @@ class ViewerServer:
                         server.viewer.handle_mouse_drag(
                             float(q.get("dx", ["0"])[0]),
                             float(q.get("dy", ["0"])[0]))
+                    elif u.path == "/resize":
+                        # WindowEvent::Resized over HTTP
+                        # (/root/reference/src/main.rs:246-250)
+                        server.viewer.resize(
+                            int(q.get("w", ["0"])[0]),
+                            int(q.get("h", ["0"])[0]))
                     else:
                         return self._json({"err": "unknown"}, 404)
                 self._json({"ok": True})
@@ -135,13 +151,18 @@ class ViewerServer:
         self.host, self.port = self._httpd.server_address[:2]
         self._thread = None
 
-    def _stream(self, wfile) -> None:
-        """Render-and-present loop for one /stream client: progressive tiles
-        advance under the lock, the finished framebuffer goes out as a PNG
-        part (the swapchain-present analogue)."""
+    def _produce(self) -> None:
+        """THE render loop (one per server): progressive tiles advance under
+        the lock, the finished framebuffer is encoded once and broadcast to
+        every connected /stream client. Parks while no client is connected."""
         min_dt = 1.0 / self.max_fps
         last = None
         while not self.viewer.should_quit:
+            with self._cond:
+                if self._clients == 0:
+                    last = None                 # rate window restarts
+                    self._cond.wait(timeout=0.25)
+                    continue
             t0 = time.perf_counter()
             if last is not None:                # presented loop-to-loop rate
                 self._fps = 1.0 / max(t0 - last, 1e-6)
@@ -153,13 +174,46 @@ class ViewerServer:
             png = encode_png(frame, level=1)    # speed over size
             dt = time.perf_counter() - t0
             self._frame_ms = dt * 1e3
-            wfile.write(b"--" + _BOUNDARY + b"\r\n"
-                        b"Content-Type: image/png\r\n"
-                        b"Content-Length: " + str(len(png)).encode()
-                        + b"\r\n\r\n" + png + b"\r\n")
-            wfile.flush()
+            with self._cond:
+                self._seq += 1
+                self._latest = png
+                self._cond.notify_all()
             if dt < min_dt:
                 time.sleep(min_dt - dt)
+        with self._cond:                        # release waiting clients
+            self._cond.notify_all()
+
+    def _stream(self, wfile) -> None:
+        """Present loop for one /stream client: waits for frames from the
+        single producer and writes each as a PNG part (the swapchain-present
+        analogue). Any number of clients share one render loop."""
+        with self._cond:
+            self._clients += 1
+            if self._producer is None or not self._producer.is_alive():
+                self._producer = threading.Thread(target=self._produce,
+                                                  daemon=True)
+                self._producer.start()
+            self._cond.notify_all()
+        seen = -1
+        try:
+            while not self.viewer.should_quit:
+                with self._cond:
+                    self._cond.wait_for(
+                        lambda: self._seq != seen or self.viewer.should_quit,
+                        timeout=1.0)
+                    if self._seq == seen:
+                        continue
+                    seen, png = self._seq, self._latest
+                if png is None:
+                    continue
+                wfile.write(b"--" + _BOUNDARY + b"\r\n"
+                            b"Content-Type: image/png\r\n"
+                            b"Content-Length: " + str(len(png)).encode()
+                            + b"\r\n\r\n" + png + b"\r\n")
+                wfile.flush()
+        finally:
+            with self._cond:
+                self._clients -= 1
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._httpd.serve_forever,

@@ -123,6 +123,10 @@ class BvhBuildResult:
         max_leaf = int(leaf_counts.max()) if leaf_counts.size else 0
         quad = {}
         if wide and self.left.shape[0] > 1:
+            # pack_node4_rows folds the child-sort axis into leaf counts as
+            # lc + 16*axis — the BVH4 overlay needs every leaf count < 16.
+            assert max_leaf < 16, \
+                f"BVH4 overlay requires leaf counts < 16 (got {max_leaf})"
             from .bvh_native import collapse4_native
             out = collapse4_native(self.left, self.right, self.tri_start,
                                    self.tri_count, self.node_min,
@@ -240,6 +244,14 @@ def align_leaves(res: "BvhBuildResult", align: int = 8) -> "BvhBuildResult":
     leaf_nodes = np.nonzero(res.left < 0)[0]
     starts = res.tri_start[leaf_nodes]
     counts = res.tri_count[leaf_nodes]
+    if counts.size and int(counts.max()) > align:
+        # The Pallas leaf test covers exactly ONE `align`-slot row per leaf;
+        # a bigger leaf could not be row-packed without silently dropping
+        # triangles. Builders cap leaf_size at the alignment (prepare_scene);
+        # reject loudly rather than corrupt the packing.
+        raise ValueError(
+            f"align_leaves: leaf with {int(counts.max())} triangles exceeds "
+            f"align={align}; build the BVH with leaf_size <= {align}")
     # First-fit-DECREASING bin packing into `align`-slot rows, tracked with
     # per-remaining-capacity buckets (O(L)): big leaves open rows, small
     # ones fill the gaps — near-optimal occupancy. Secondary key keeps the

@@ -374,6 +374,13 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
         for mi, (slot, channels) in enumerate(_MAPS):
             if slot not in present:
                 continue
+            if slot == TEX_METALLIC_ROUGHNESS:
+                # The bounce BSDF needs roughness too: sample G (roughness)
+                # alongside B (metallic), matching the XLA twin
+                # (ops/wavefront.py xla_bounce: metallic*=mr[:,2],
+                # roughness*=mr[:,1]). The deferred-shade kernel keeps the
+                # metallic-only _MAPS entry — it never evaluates roughness.
+                channels = (1, 2)
             meta = tuple(mrow[10 + 6 * mi + j:11 + 6 * mi + j, :]
                          for j in range(6))
             has = meta[0] > 0.0
@@ -394,7 +401,8 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
                 vals[4] = vals[4] * pick[1]
                 vals[5] = vals[5] * pick[2]
             elif slot == TEX_METALLIC_ROUGHNESS:
-                vals[6] = vals[6] * pick[2]
+                vals[6] = vals[6] * pick[2]   # B scales metallic
+                vals[7] = vals[7] * pick[1]   # G scales roughness
             elif slot == TEX_OCCLUSION:
                 occ = pick[0]
         for k in range(10):

@@ -399,6 +399,10 @@ def _permute_pool(r: WavefrontRays, radiance, orig_lane, perm):
     as f32 (ray_type/depth/channel are tiny; pixel and orig_lane are exact
     below 2^24 — pools are ≤ a few M lanes).
     """
+    # pixel / orig_lane ride as f32: a pool at or beyond 2^24 lanes would
+    # silently round lane ids and scramble the final radiance unscramble.
+    assert r.origin.shape[0] < 2 ** 24, \
+        "wavefront pool too large for the packed f32 permute (>= 2^24 lanes)"
     cols = jnp.concatenate([
         r.origin, r.direction, r.throughput, radiance,
         r.medium_ior[:, None], r.inv_pdf[:, None],
@@ -421,6 +425,15 @@ def _permute_pool(r: WavefrontRays, radiance, orig_lane, perm):
         active=cols[:, 21] > 0.0,
     )
     return r2, cols[:, 9:12], cols[:, 20].astype(jnp.int32)
+
+
+def _unscramble(radiance, orig_lane):
+    """Undo the composed coherence sorts: row i belongs to original lane
+    orig_lane[i]. A direct scatter (`zeros.at[orig_lane].set(radiance)`)
+    measured 91 ms at 1M lanes on the chip — 20% of a whole path-tracing
+    step; the equivalent inverse-permutation GATHER via argsort is ~10x
+    cheaper (TPU scatters serialise; sorts and row gathers vectorise)."""
+    return radiance[jnp.argsort(orig_lane)]
 
 
 def _fused_pool_ok(scene: Scene, n: int, use_bvh: bool) -> bool:
@@ -466,8 +479,7 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
                     ray_type=rt.astype(jnp.int32),
                     bounce_depth=bd.astype(jnp.int32), active=act)
         radiance = radiance + rad
-    radiance = jnp.zeros_like(radiance).at[orig_lane].set(radiance)
-    return radiance, jnp.stack(counts)
+    return _unscramble(radiance, orig_lane), jnp.stack(counts)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "rr_start", "shadows",
@@ -526,9 +538,7 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
     orig_lane = jnp.arange(N, dtype=jnp.int32)
     _, _, radiance, counts, orig_lane = jax.lax.while_loop(
         cond, body, (jnp.int32(0), rays, radiance, counts, orig_lane))
-    # unscramble the coherence sort: one scatter back to input ray order
-    radiance = jnp.zeros_like(radiance).at[orig_lane].set(radiance)
-    return radiance, counts
+    return _unscramble(radiance, orig_lane), counts
 
 
 @partial(jax.jit, static_argnames=("width", "height", "leaf_size", "use_bvh",

@@ -186,6 +186,11 @@ def test_textured_fused_bounce_parity():
             ti[1] = 1              # metallic-roughness
             ti[3] = 0              # occlusion
             ti[4] = 1              # emissive
+        if i == 1:
+            # METAL with an MR texture: its G (roughness) channel scales the
+            # metal-lobe fuzz, so direction parity fails if the fused kernel
+            # ignores it (ADVICE r2: only non-metal MR textures were covered)
+            ti[1] = 1
         mb.add(albedo=rng.uniform(0.3, 1.0, 3), metallic=float(i == 1),
                roughness=0.4, emission=rng.uniform(0, 0.2, 3),
                ior=1.4, transmission=0.6 if i == 3 else 0.0,
