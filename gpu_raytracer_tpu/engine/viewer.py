@@ -29,12 +29,21 @@ from .renderer import Renderer
 class Viewer:
     def __init__(self, scene: Scene, width: int = 1280, height: int = 720,
                  config: RaytracerConfig = DEFAULT_CONFIG,
-                 shadows: bool = False, verbose: bool = True):
+                 shadows: bool = False, verbose: bool = True,
+                 sync_timing: bool = False):
         self.config = config
         self.width = width
         self.height = height
         self.shadows = shadows
         self.verbose = verbose
+        # sync_timing=True fences the device after every whole-frame compute
+        # so per-tile timings measure true execution. Off by default: on a
+        # tunneled device a fence is a ~25-30 ms RPC value fetch PER FRAME —
+        # measured 43.5 ms/frame vs 5.5 ms for the raw renderer, i.e. the
+        # fence WAS the Viewer's 4x overhead. Unfenced, frames pipeline and
+        # timings measure submission, exactly like the reference
+        # (/root/reference/src/compute.rs:77 acknowledges the same).
+        self.sync_timing = sync_timing
         self.scene = scene
         self.renderer = Renderer(scene, width, height, config=config,
                                  shadows=shadows)
@@ -152,6 +161,11 @@ class Viewer:
         self.renderer = Renderer(new_scene, self.width, self.height,
                                  config=self.config, shadows=self.shadows)
         self.controller = CameraController(new_scene.camera, self.config)
+        # Drop the path tracer with the OLD scene — 'L' while path tracing
+        # must render the new one (it is re-created lazily on the next
+        # pathtrace frame; the reference marks all five buffers dirty here,
+        # main.rs:65-69).
+        self._pt = None
         self._sync_mode()
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
@@ -167,11 +181,42 @@ class Viewer:
 
         self.scene = refit_scene(self.scene, jnp.asarray(vertices))
         self.renderer.scene = self.scene
+        if self._pt is not None:
+            # moving geometry invalidates the accumulation AND the path
+            # tracer's scene (refit while 'p' is active must not render the
+            # stale geometry)
+            self._pt.scene = self.scene
+            self._pt.reset()
         if not getattr(self, "_refit_mode", False):
             # first refit changes BVH shape/layout; re-check the fast path
             self._refit_mode = True
             self._sync_mode()
         self.progressive.trigger_recompute()
+
+    def resize(self, width: int, height: int) -> None:
+        """In-session resolution change — the reference's
+        `WindowEvent::Resized`/`ScaleFactorChanged` path
+        (/root/reference/src/main.rs:246-250, renderer.rs:477-495): rebuild
+        the render surface (renderer + coordinate caches), the progressive
+        grid and the framebuffer at the new size, then trigger a full
+        re-render. The camera and scene are untouched."""
+        if (width, height) == (self.width, self.height) or width < 1 \
+                or height < 1:
+            return
+        self.width = width
+        self.height = height
+        self.renderer = Renderer(self.scene, width, height,
+                                 config=self.config, shadows=self.shadows)
+        self._fb_host = np.zeros((height, width, 3), np.float32)
+        self._fb_dev = None
+        self._tile_coords = {}
+        if self._pt is not None:     # accumulation shape is per-resolution
+            self._pt = None
+            if self.pathtrace:
+                self._ensure_pathtracer()
+        self._sync_mode()            # rebuilds the progressive grid too
+        self.progressive.trigger_recompute()
+        self.timing = ProgressiveTiming()
 
     # ---- frame loop (run_compute + render, main.rs:136-144, 278-286) ----
 
@@ -216,7 +261,8 @@ class Viewer:
             if tiles:
                 with Timer() as timer:
                     self._fb_dev = self.renderer.render_device()
-                    block_on(self._fb_dev)   # completion fence, not readback
+                    if self.sync_timing:
+                        block_on(self._fb_dev)   # completion fence (opt-in)
                 self.timing.record_tile(timer.ms)
                 if self.progressive.complete and self.verbose:
                     self.timing.print_summary()

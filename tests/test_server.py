@@ -56,3 +56,28 @@ def test_stream_emits_png_frames(server):
         data += chunk
     assert b"\x89PNG\r\n\x1a\n" in data
     resp.close()
+
+
+def test_resize_endpoint(server):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/resize?w=48&h=32", method="POST")
+    assert json.loads(urllib.request.urlopen(req, timeout=180).read())["ok"]
+    assert (server.viewer.width, server.viewer.height) == (48, 32)
+    server.viewer.run_compute()
+    assert server.viewer.framebuffer.shape == (32, 48, 3)
+
+
+def test_second_stream_client_shares_one_render_loop(server):
+    """Two /stream clients must NOT double-advance the viewer: both are fed
+    by the single producer loop (ADVICE r2)."""
+    a = _get(server, "/stream")
+    b = _get(server, "/stream")
+    got_a = a.read(2048)
+    got_b = b.read(2048)
+    assert got_a and got_b
+    # exactly one producer thread exists
+    import threading
+    assert server._producer is not None and server._producer.is_alive()
+    assert server._clients == 2
+    a.close()
+    b.close()

@@ -95,3 +95,58 @@ def test_viewer_pathtrace_toggle():
     v.handle_key("p")
     assert not v.pathtrace
     v.run_compute()                # whitted path still works
+
+
+def test_load_gltf_resets_pathtracer(default_scene, tmp_path):
+    """'L' while path tracing must render the NEW scene: load_gltf drops the
+    stale PathTracer (the reference marks every buffer dirty on load,
+    main.rs:63-72)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from gltf_fixtures import cornell_box_gltf, write_gltf
+
+    v = _viewer(default_scene, 32, 32)
+    v.handle_key("p")
+    v.run_compute()
+    stale = v._pt
+    assert stale is not None
+    path = write_gltf(tmp_path / "box.gltf", cornell_box_gltf())
+    v.load_gltf(path)
+    assert v._pt is None or v._pt is not stale
+    v.run_compute()                       # path tracing still on: new scene
+    assert v.pathtrace and v._pt is not stale
+    assert v._pt.scene is v.scene
+
+
+def test_update_geometry_resets_pathtracer(default_scene):
+    """Refit while 'p' is active must path-trace the moved geometry."""
+    v = _viewer(default_scene, 32, 32)
+    v.handle_key("p")
+    v.run_compute()
+    assert v._pt.samples == 1
+    base = np.asarray(default_scene.mesh.vertices)
+    v.update_geometry(base + np.float32([0.0, 0.25, 0.0]))
+    assert v._pt.samples == 0             # accumulation restarted
+    assert v._pt.scene is v.scene         # new geometry, not stale
+    v.run_compute()
+    assert np.isfinite(v.framebuffer).all()
+
+
+def test_viewer_resize(default_scene):
+    """In-session resolution change (main.rs:246-250, renderer.rs:477-495):
+    the next frame renders at the new size."""
+    v = _viewer(default_scene, 64, 48)
+    v.render_to_completion()
+    assert v.framebuffer.shape == (48, 64, 3)
+    v.resize(40, 24)
+    assert not v.progressive.complete     # full re-render triggered
+    v.render_to_completion()
+    fb = v.framebuffer
+    assert fb.shape == (24, 40, 3)
+    assert np.isfinite(fb).all() and fb.max() > 0.0
+    # resize while path tracing keeps the mode at the new resolution
+    v.handle_key("p")
+    v.run_compute()
+    v.resize(32, 32)
+    v.run_compute()
+    assert v.framebuffer.shape == (32, 32, 3)
