@@ -2,18 +2,21 @@
 
 Prints ONE JSON line to stdout. The primary metric keeps the round-1
 contract (Mrays/s on the Sponza-scale courtyard at 1080p); the same line
-carries the round-2 additions as extra keys so every BENCH_r*.json is a
+carries the later-round additions as extra keys so every BENCH_r*.json is a
 combined perf + correctness record:
 
+  * pathtrace_spp_per_s       — BASELINE config 3: 1024², depth 4, shadowed
+                                progressive path tracing (spectral
+                                channel-cycled), samples/pixel per second
+  * pathtrace_64spp_s         — projected seconds for the full 64 spp config
+  * viewer_fps_1080p          — BASELINE config 5: the interactive Viewer
+                                loop, camera moving every frame
+  * refit_fps_1080p           — per-frame on-device LBVH rebuild + frame
   * textured_mrays_per_s      — BASELINE config 4 class: the SAME courtyard
                                 with procedural RGBA8 atlases through the
                                 two-phase fused path (textures sampled for
                                 real — the reference bound but never read
                                 them, /root/reference/shader/src/lib.rs:34-35)
-  * pathtrace_spp_per_s       — BASELINE config 3: 1024², depth 4, shadowed
-                                progressive path tracing (spectral
-                                channel-cycled), samples/pixel per second
-  * pathtrace_64spp_s         — projected seconds for the full 64 spp config
   * parity_fused_vs_xla       — max |fused − chunked-XLA| over a packet of
                                 real-Mosaic output (the on-TPU correctness
                                 check; CPU tests only exercise interpret mode)
@@ -26,23 +29,39 @@ the identical frame in one pass, so one benchmark frame counts W*H*3
 reference-equivalent rays. vs_baseline is against the 200 Mrays/s/chip
 target (BASELINE.json; the reference itself publishes no numbers).
 
+Budget discipline (VERDICT r2 #1): sections run in METRIC-PRIORITY order
+(headline → pathtrace → viewer/refit → textured → display/parity), every
+section logs absolute elapsed stamps to stderr, the soft budget clock starts
+AFTER backend init (the axon tunnel connect can block for many minutes under
+pool contention — r2 lost ~20 min there and skipped the flagship sections),
+and the persistent compilation cache amortises compiles across rounds.
+
 Extra diagnostics go to stderr only.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# Persistent compilation cache: the primary/textured/pathtrace compiles cost
+# 20-40 s each cold; across driver rounds they are identical programs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+_T0 = time.time()
+
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[t={time.time()-_T0:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
-def measure_frame(render_fn, fetch_probe, rpc_lat, K=8, reps=4):
+def measure_frame(render_fn, fetch_probe, rpc_lat, K=8, reps=3):
     """Best-of burst timing: dispatch K frames, one fetch, subtract the
     tunnel's RPC latency once, divide by K (see memory: block_until_ready
     returns at dispatch under axon; only a value fetch proves execution)."""
@@ -63,25 +82,32 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # amortise compiles across rounds (harmless if unsupported)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from gpu_raytracer_tpu import RaytracerConfig, Renderer
     from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
-
-    # Soft deadline for the OPTIONAL sections (pathtrace/viewer/refit):
-    # the headline metric must reach stdout even if the driver bounds the
-    # bench run. Each optional section checks the clock before starting.
-    start_time = time.time()
-    BUDGET_S = float(__import__("os").environ.get("BENCH_BUDGET_S", 1320))
-
-    def over_budget(section):
-        if time.time() - start_time > BUDGET_S:
-            log(f"SKIP {section}: over {BUDGET_S:.0f}s soft budget")
-            return True
-        return False
 
     W, H = 1920, 1080
     n = W * H
     config = RaytracerConfig()
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}")     # ← backend init happens HERE
+
+    # Soft deadline for the OPTIONAL sections: the headline metric must
+    # reach stdout even if the driver bounds the bench run. The clock starts
+    # after backend init (r2 lost ~20 min to the tunnel connect and skipped
+    # every optional section while the timed work summed to ~40 s).
+    start_time = time.time()
+    BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1320))
+
+    def over_budget(section):
+        dt = time.time() - start_time
+        if dt > BUDGET_S:
+            log(f"SKIP {section}: {dt:.0f}s over {BUDGET_S:.0f}s soft budget")
+            return True
+        return False
 
     # RPC latency baseline for the tunneled TPU.
     @jax.jit
@@ -114,53 +140,31 @@ def main():
     log(f"primary: best={best*1e3:.1f}ms median={med*1e3:.1f}ms "
         f"-> {mrays:.1f} Mrays/s (ref-equiv)")
 
-    t0 = time.perf_counter()
-    renderer.render_u8()
-    log(f"display path (u8 + readback): {(time.perf_counter()-t0)*1e3:.1f}ms")
-
-    # ---- 2. textured courtyard (BASELINE config 4 class), two-phase ----
-    try:
-        tex_scene = make_courtyard_scene(target_triangles=100_000, seed=0,
-                                         config=config, textured=True)
-        tex_renderer = Renderer(tex_scene, W, H, config=config)
-        assert tex_renderer._use_deferred(), "textured scene must stay fused"
-        t0 = time.time()
-        fb = tex_renderer.render_device()
-        float(fb[-1, 0])
-        log(f"textured compile+first frame: {time.time()-t0:.1f}s")
-        tbest, tmed = measure_frame(tex_renderer.render_device,
-                                    lambda fb: float(fb[-1, 0]), rpc_lat)
-        tmrays = n * 3 / tbest / 1e6
-        log(f"textured: best={tbest*1e3:.1f}ms median={tmed*1e3:.1f}ms "
-            f"-> {tmrays:.1f} Mrays/s (ref-equiv)")
-        extra["textured_mrays_per_s"] = round(tmrays, 2)
-    except Exception as e:  # keep the primary metric alive no matter what
-        log(f"TEXTURED BENCH FAILED: {type(e).__name__}: {e}")
-        extra["textured_mrays_per_s"] = 0.0
-
-    # ---- 3. path tracing (BASELINE config 3): 1024², depth 4, shadows ----
+    # ---- 2. path tracing (BASELINE config 3): 1024², depth 4, shadows ----
     try:
         if over_budget("pathtrace"):
             raise TimeoutError("budget")
         from gpu_raytracer_tpu.engine.pathtracer import PathTracer
 
-        pt_scene = make_courtyard_scene(target_triangles=100_000, seed=0,
-                                        config=config)
-        pt = PathTracer(pt_scene, 1024, 1024, config=config, spectral=True,
-                        shadows=True, antialias=True)
+        # SAME scene object as the headline (scene reuse: VERDICT r2 #1)
+        pt = PathTracer(scene, 1024, 1024, config=config, spectral=True,
+                        shadows=True, antialias=True,
+                        samples_per_step=config.pathtrace_samples_per_step)
         t0 = time.time()
         pt.step()
         float(pt.accum[-1, 0])
-        log(f"pathtrace compile+first spp: {time.time()-t0:.1f}s")
+        log(f"pathtrace compile+first step: {time.time()-t0:.1f}s "
+            f"({pt.samples_per_step} spp/step)")
 
-        def spp_burst(k=4):
+        def spp_burst(k=2):
             t0 = time.perf_counter()
             for _ in range(k):
                 pt.step()
             float(pt.accum[-1, 0])
-            return (time.perf_counter() - t0 - rpc_lat) / k
+            return ((time.perf_counter() - t0 - rpc_lat)
+                    / (k * pt.samples_per_step))
 
-        spp_burst(2)
+        spp_burst(1)
         spp_t = min(spp_burst() for _ in range(3))
         spp_per_s = 1.0 / spp_t
         log(f"pathtrace: {spp_t*1e3:.0f}ms/spp -> {spp_per_s:.2f} spp/s, "
@@ -171,60 +175,7 @@ def main():
         log(f"PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
         extra["pathtrace_spp_per_s"] = 0.0
 
-    # ---- 3b. TEXTURED path tracing: the fused bounce's in-kernel matmul
-    # material lookup + atlas sampling (config 4 content meets config 3) ----
-    try:
-        if over_budget("textured pathtrace"):
-            raise TimeoutError("budget")
-        from gpu_raytracer_tpu.engine.pathtracer import PathTracer
-
-        ptt = PathTracer(tex_scene, 1024, 1024, config=config,
-                         spectral=True, shadows=True)
-        ptt.step()
-        float(ptt.accum[-1, 0])
-
-        def spp_burst_t(k=4):
-            t0 = time.perf_counter()
-            for _ in range(k):
-                ptt.step()
-            float(ptt.accum[-1, 0])
-            return (time.perf_counter() - t0 - rpc_lat) / k
-
-        spp_burst_t(2)
-        tspp = min(spp_burst_t() for _ in range(2))
-        log(f"textured pathtrace: {tspp*1e3:.0f}ms/spp, "
-            f"64 spp in {64*tspp:.1f}s")
-        extra["pathtrace_textured_spp_per_s"] = round(1.0 / tspp, 3)
-    except Exception as e:
-        log(f"TEXTURED PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
-        extra["pathtrace_textured_spp_per_s"] = 0.0
-
-    # ---- 4. on-TPU parity: real Mosaic vs the chunked XLA pipeline ----
-    try:
-        from gpu_raytracer_tpu.engine.renderer import render_chunk
-        from gpu_raytracer_tpu.ops.pallas.render import (
-            pallas_render_deferred, pallas_render_primary)
-        from gpu_raytracer_tpu.ops.packet_trace import tiled_pixel_order
-
-        px, py = tiled_pixel_order(128, 64, 64)  # one 8192-ray packet
-        px, py = jnp.asarray(px), jnp.asarray(py)
-        ref = np.asarray(render_chunk(scene, px, py, W, H, shadows=True,
-                                      use_bvh=True, leaf_size=8))
-        got = np.asarray(pallas_render_primary(scene, px, py, W, H,
-                                               shadows=True))
-        extra["parity_fused_vs_xla"] = float(np.abs(got - ref).max())
-        refT = np.asarray(render_chunk(tex_scene, px, py, W, H, shadows=True,
-                                       use_bvh=True, leaf_size=8))
-        gotT = np.asarray(pallas_render_deferred(tex_scene, px, py, W, H,
-                                                 shadows=True))
-        extra["parity_deferred_vs_xla"] = float(np.abs(gotT - refT).max())
-        log(f"on-TPU parity: fused {extra['parity_fused_vs_xla']:.2e}, "
-            f"deferred {extra['parity_deferred_vs_xla']:.2e}")
-    except Exception as e:
-        log(f"PARITY CHECK FAILED: {type(e).__name__}: {e}")
-        extra["parity_fused_vs_xla"] = -1.0
-
-    # ---- 5. interactive loop (BASELINE config 5): Viewer frame rate at
+    # ---- 3. interactive loop (BASELINE config 5): Viewer frame rate at
     # 1080p, camera moving every frame, plus per-frame on-device BVH refit
     # with animated geometry — both measured through the SAME Viewer that
     # embodies the reference's event loop (src/main.rs:278-286) ----
@@ -234,9 +185,11 @@ def main():
         from gpu_raytracer_tpu.engine.viewer import Viewer
 
         v = Viewer(scene, W, H, config=config, shadows=True, verbose=False)
+        t0 = time.time()
         v.run_compute()
         float(v._fb_dev[-1, 0] if v._fb_dev is not None
               else v._fb_host[-1, -1, 0])
+        log(f"viewer first frame: {time.time()-t0:.1f}s")
 
         def vloop(k=8):
             t0 = time.perf_counter()
@@ -255,10 +208,12 @@ def main():
             f"{extra['viewer_fps_1080p']} FPS (camera moving, shadows)")
 
         base_v = np.asarray(scene.mesh.vertices)
+        t0 = time.time()
         v.update_geometry(base_v)       # compile the refit pipeline once
         v.run_compute()
         if v._fb_dev is not None:
             float(v._fb_dev[-1, 0])
+        log(f"refit compile+first frame: {time.time()-t0:.1f}s")
         t_ref = time.perf_counter()
         for i in range(4):
             off = np.zeros(3, np.float32)
@@ -275,6 +230,99 @@ def main():
         log(f"VIEWER BENCH FAILED: {type(e).__name__}: {e}")
         extra["viewer_fps_1080p"] = 0.0
 
+    # ---- 4. textured courtyard (BASELINE config 4 class), two-phase ----
+    tex_scene = None
+    try:
+        if over_budget("textured"):
+            raise TimeoutError("budget")
+        t0 = time.time()
+        tex_scene = make_courtyard_scene(target_triangles=100_000, seed=0,
+                                         config=config, textured=True)
+        log(f"textured scene build: {time.time()-t0:.1f}s")
+        tex_renderer = Renderer(tex_scene, W, H, config=config)
+        assert tex_renderer._use_deferred(), "textured scene must stay fused"
+        t0 = time.time()
+        fb = tex_renderer.render_device()
+        float(fb[-1, 0])
+        log(f"textured compile+first frame: {time.time()-t0:.1f}s")
+        tbest, tmed = measure_frame(tex_renderer.render_device,
+                                    lambda fb: float(fb[-1, 0]), rpc_lat)
+        tmrays = n * 3 / tbest / 1e6
+        log(f"textured: best={tbest*1e3:.1f}ms median={tmed*1e3:.1f}ms "
+            f"-> {tmrays:.1f} Mrays/s (ref-equiv)")
+        extra["textured_mrays_per_s"] = round(tmrays, 2)
+    except Exception as e:  # keep the primary metric alive no matter what
+        log(f"TEXTURED BENCH FAILED: {type(e).__name__}: {e}")
+        extra["textured_mrays_per_s"] = 0.0
+
+    # ---- 4b. TEXTURED path tracing: the fused bounce's in-kernel matmul
+    # material lookup + atlas sampling (config 4 content meets config 3) ----
+    try:
+        if tex_scene is None or over_budget("textured pathtrace"):
+            raise TimeoutError("budget")
+        from gpu_raytracer_tpu.engine.pathtracer import PathTracer
+
+        ptt = PathTracer(tex_scene, 1024, 1024, config=config,
+                         spectral=True, shadows=True,
+                         samples_per_step=config.pathtrace_samples_per_step)
+        t0 = time.time()
+        ptt.step()
+        float(ptt.accum[-1, 0])
+        log(f"textured pathtrace compile+first step: {time.time()-t0:.1f}s")
+
+        def spp_burst_t(k=2):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                ptt.step()
+            float(ptt.accum[-1, 0])
+            return ((time.perf_counter() - t0 - rpc_lat)
+                    / (k * ptt.samples_per_step))
+
+        tspp = min(spp_burst_t() for _ in range(2))
+        log(f"textured pathtrace: {tspp*1e3:.0f}ms/spp, "
+            f"64 spp in {64*tspp:.1f}s")
+        extra["pathtrace_textured_spp_per_s"] = round(1.0 / tspp, 3)
+    except Exception as e:
+        log(f"TEXTURED PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
+        extra["pathtrace_textured_spp_per_s"] = 0.0
+
+    # ---- 5. display path + on-TPU parity (nice-to-haves, run last) ----
+    try:
+        if over_budget("display/parity"):
+            raise TimeoutError("budget")
+        t0 = time.perf_counter()
+        renderer.render_u8()
+        log(f"display path (u8 + readback): "
+            f"{(time.perf_counter()-t0)*1e3:.1f}ms")
+
+        from gpu_raytracer_tpu.engine.renderer import render_chunk
+        from gpu_raytracer_tpu.ops.pallas.render import (
+            pallas_render_deferred, pallas_render_primary)
+        from gpu_raytracer_tpu.ops.packet_trace import tiled_pixel_order
+
+        px, py = tiled_pixel_order(128, 64, 64)  # one 8192-ray packet
+        px, py = jnp.asarray(px), jnp.asarray(py)
+        ref = np.asarray(render_chunk(scene, px, py, W, H, shadows=True,
+                                      use_bvh=True, leaf_size=8))
+        got = np.asarray(pallas_render_primary(scene, px, py, W, H,
+                                               shadows=True))
+        extra["parity_fused_vs_xla"] = float(np.abs(got - ref).max())
+        log(f"on-TPU parity: fused {extra['parity_fused_vs_xla']:.2e}")
+        if tex_scene is not None:
+            refT = np.asarray(render_chunk(tex_scene, px, py, W, H,
+                                           shadows=True, use_bvh=True,
+                                           leaf_size=8))
+            gotT = np.asarray(pallas_render_deferred(tex_scene, px, py, W, H,
+                                                     shadows=True))
+            extra["parity_deferred_vs_xla"] = float(np.abs(gotT - refT).max())
+            log(f"on-TPU parity: deferred "
+                f"{extra['parity_deferred_vs_xla']:.2e}")
+    except Exception as e:
+        log(f"PARITY CHECK FAILED: {type(e).__name__}: {e}")
+        extra.setdefault("parity_fused_vs_xla", -1.0)
+
+    log(f"total bench wall-clock: {time.time()-start_time:.1f}s "
+        f"(+{start_time-_T0:.1f}s backend init)")
     print(json.dumps({
         "metric": "primary_mrays_per_s_courtyard100k_1080p",
         "value": round(mrays, 2),

@@ -37,6 +37,11 @@ class RaytracerConfig:
     # Wavefront path tracing.
     max_bounce_depth: int = 4            # PushConstants::new default (shared/src/lib.rs:1088)
     russian_roulette_start: int = 2      # bounce depth at which RR kicks in
+    # Samples traced per PathTracer.step() in ONE pooled wavefront: >1 makes
+    # the pool spp-times larger, amortising launch/sort overhead and packing
+    # same-pixel bounce rays into denser traversal packets
+    # (engine/pathtracer.py::_sample_chunk).
+    pathtrace_samples_per_step: int = 1
     # Rendering precision for the compute path.
     dtype: str = "float32"
     # Use the Pallas kernels where available (falls back to pure XLA if not).
