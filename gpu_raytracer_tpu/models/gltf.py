@@ -121,39 +121,18 @@ def _paeth(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Minimal PNG decoder: 8/16-bit gray/gray-alpha/RGB/RGBA,
-    non-interlaced (16-bit samples are truncated to their high byte, the
-    standard to_rgba8 conversion). Returns [H,W,4] uint8 (always expanded
-    to RGBA, like the reference's conversion, gltf_loader.rs:136-167)."""
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise GltfError("not a PNG")
-    pos, w = 8, 0
-    idat = b""
-    h = bit_depth = color_type = 0
-    while pos < len(data):
-        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", body)
-            if bit_depth not in (8, 16) or interlace != 0:
-                raise GltfError(f"unsupported PNG (depth={bit_depth}, interlaced={interlace})")
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise GltfError(f"unsupported PNG color type {color_type}")
-    raw = zlib.decompress(idat)
-    bpp = channels * (bit_depth // 8)    # PNG filters operate on BYTES
-    stride = w * bpp
+def _unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int,
+              stride: int) -> tuple[np.ndarray, int]:
+    """Reverse PNG scanline filters for one (sub-)image of `h` scanlines of
+    `stride` bytes (filters operate on BYTES, pixel unit = `bpp` bytes).
+    Returns ([h, stride] u8, bytes consumed from `raw`)."""
     img = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
+    pos = offset
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
         if f == 0:
             out = line
         elif f == 2:  # up
@@ -182,13 +161,108 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise GltfError(f"bad PNG filter {f}")
         img[y] = out
         prev = img[y]
+    return img, pos - offset
+
+
+def _unpack_samples(rows: np.ndarray, w: int, channels: int,
+                    bit_depth: int) -> np.ndarray:
+    """[h, stride] filtered bytes → [h, w, channels] u8 samples.
+    Sub-byte depths (1/2/4, gray or palette indices) unpack MSB-first;
+    16-bit samples truncate to the high byte (the standard to_rgba8)."""
+    h = rows.shape[0]
     if bit_depth == 16:
-        # big-endian u16 → high byte (== value >> 8)
-        px = img.reshape(h, w, channels, 2)[..., 0]
+        return rows.reshape(h, w, channels, 2)[..., 0]
+    if bit_depth == 8:
+        return rows.reshape(h, w, channels)
+    per_byte = 8 // bit_depth
+    bits = np.unpackbits(rows, axis=1).reshape(h, -1, per_byte, bit_depth)
+    vals = np.zeros(bits.shape[:3], np.uint8)
+    for b in range(bit_depth):
+        vals = (vals << 1) | bits[..., b]
+    return vals.reshape(h, -1)[:, :w].reshape(h, w, 1)
+
+
+# Adam7 pass layout: (x offset, y offset, x step, y step) — libpng order
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Minimal PNG decoder: gray / gray-alpha / RGB / RGBA / PALETTED
+    (color type 3 incl. tRNS transparency), bit depths 1/2/4/8/16,
+    non-interlaced AND Adam7-interlaced (the reference's `image` crate
+    accepts all of these, /root/reference/src/gltf_loader.rs:128-163;
+    16-bit samples truncate to their high byte, the standard to_rgba8
+    conversion). Returns [H,W,4] uint8 (always expanded to RGBA, like the
+    reference's conversion, gltf_loader.rs:136-167)."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise GltfError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    palette = trns = None
+    h = bit_depth = color_type = interlace = 0
+    while pos < len(data):
+        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise GltfError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise GltfError("paletted PNG without PLTE chunk")
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}[color_type]
+    if bit_depth not in valid_depths:
+        raise GltfError(f"unsupported PNG (depth={bit_depth}, "
+                        f"color_type={color_type})")
+    raw = zlib.decompress(idat)
+
+    def stride_of(width):
+        return (width * channels * bit_depth + 7) // 8
+
+    bpp = max(channels * bit_depth // 8, 1)      # filter pixel unit, bytes
+    if interlace == 0:
+        rows, _ = _unfilter(raw, 0, w, h, bpp, stride_of(w))
+        px = _unpack_samples(rows, w, channels, bit_depth)
+    elif interlace == 1:                         # Adam7
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rows, used = _unfilter(raw, off, pw, ph, bpp, stride_of(pw))
+            off += used
+            px[y0::dy, x0::dx] = _unpack_samples(rows, pw, channels,
+                                                 bit_depth)
     else:
-        px = img.reshape(h, w, channels)
+        raise GltfError(f"unsupported PNG interlace method {interlace}")
+
     rgba = np.zeros((h, w, 4), np.uint8)
     rgba[..., 3] = 255
+    if color_type == 3:                          # palette lookup + tRNS
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise GltfError("paletted PNG index out of palette range")
+        rgba[..., :3] = palette[idx]
+        if trns is not None:
+            alpha = np.full(palette.shape[0], 255, np.uint8)
+            alpha[:trns.shape[0]] = trns
+            rgba[..., 3] = alpha[idx]
+        return rgba
+    if bit_depth in (1, 2, 4):                   # grayscale scale-to-8-bit
+        px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
     if channels == 1:
         rgba[..., :3] = px
     elif channels == 2:

@@ -264,3 +264,85 @@ def test_16bit_png(tmp_path):
     np.testing.assert_array_equal(got[..., 0], want)
     np.testing.assert_array_equal(got[..., 1], want)
     assert (got[..., 3] == 255).all()
+
+
+def test_paletted_png(tmp_path):
+    """Color-type-3 (indexed) PNGs appear in real asset packs; the
+    reference's `image` crate decodes them (gltf_loader.rs:128-163) so we
+    must too — incl. tRNS transparency and sub-byte index depths."""
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(5)
+    rgb = (rng.integers(0, 7, (13, 9)) * 37).astype(np.uint8)
+    img = PIL.fromarray(np.stack([rgb, rgb // 2, 255 - rgb], axis=-1), "RGB")
+    for colors in (8, 4):  # 8 colors -> depth 4 or 8; PIL picks depths
+        pal = img.quantize(colors=colors)
+        buf = io.BytesIO()
+        pal.save(buf, format="PNG")
+        got = decode_png(buf.getvalue())
+        want = np.asarray(pal.convert("RGBA"))
+        np.testing.assert_array_equal(got, want)
+    # tRNS: palette entry 0 transparent
+    pal = img.quantize(colors=8)
+    pal.info["transparency"] = bytes([0, 255, 255, 255, 255, 255, 255, 255])
+    buf = io.BytesIO()
+    pal.save(buf, format="PNG", transparency=bytes([0] + [255] * 7))
+    got = decode_png(buf.getvalue())
+    want = np.asarray(pal.convert("RGBA"))
+    idx = np.asarray(pal)
+    assert (got[..., 3][idx == 0] == 0).all() if (idx == 0).any() else True
+    np.testing.assert_array_equal(got[..., :3], want[..., :3])
+
+
+def test_interlaced_png(tmp_path):
+    """Adam7-interlaced PNGs (the reference's crate handles them). Pillow
+    cannot WRITE interlaced files, so the fixture is hand-assembled
+    (filter 0 scanlines per Adam7 pass) and cross-checked with Pillow's
+    READER as the oracle."""
+    import io
+    import struct
+    import zlib
+
+    import pytest
+
+    rng = np.random.default_rng(6)
+    h, w = 21, 17
+    arr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = b""
+    for (x0, y0, dx, dy) in passes:
+        sub = arr[y0::dy, x0::dx]
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+    got = decode_png(data)
+    np.testing.assert_array_equal(got, arr)
+    PIL = pytest.importorskip("PIL.Image")
+    oracle = np.asarray(PIL.open(io.BytesIO(data)).convert("RGBA"))
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_gray_subbyte_png(tmp_path):
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    arr = (np.arange(9 * 7).reshape(9, 7) % 2 * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(arr, "L").convert("1").save(buf, format="PNG")
+    got = decode_png(buf.getvalue())
+    np.testing.assert_array_equal(got[..., 0], arr)
