@@ -265,6 +265,81 @@ def build_lbvh_grouped_arrays(tri_min: jnp.ndarray, tri_max: jnp.ndarray):
             hit, miss, order)
 
 
+def collapse4_device(node_min, node_max, left, right, tri_start, tri_count):
+    """Vectorised on-device BVH4 overlay of a Karras binary tree →
+    (q_child, q_leafc, q_min, q_max, q_axis), shapes [I,4]/[I,4,3]/[I].
+
+    The host collapse (models/bvh.py::collapse4) grows each wide node
+    greedily by surface area — a sequential queue walk. Refit cannot afford
+    a host round-trip, so this uses the even-depth collapse instead: EVERY
+    internal binary node b emits a quad record whose children are b's
+    grandchildren (or a child directly when that child is a leaf). Starting
+    from the root, traversal then reaches exactly the even-depth internal
+    nodes — odd-depth records are computed too (static shapes) but
+    unreachable, so no depth computation is needed at all. Quad child ids
+    ARE binary internal-node ids (no compaction), and the table ends up the
+    same size as the binary one it replaces (I records × 32 lanes vs
+    2I+1 nodes × 16 lanes).
+
+    Children are sorted along the parent's longest axis by centroid, the
+    same ordered-visit contract the host collapse establishes for
+    _ordered_traverse4. Empty slots get child -1 / count 0 / inert FAR
+    point bounds. Requires >= 1 internal node and leaf counts < 16
+    (grouped-LBVH leaves are always 8)."""
+    FAR = jnp.float32(1e30)
+    n_nodes = left.shape[0]
+    I = (n_nodes + 1) // 2 - 1            # internal nodes 0..I-1 (root 0)
+    is_leaf = left < 0                    # over all 2I+1 nodes
+
+    def side_slots(c):
+        """Child node c of an internal parent → its two quad slots:
+        (left[c], right[c]) when c is internal, else (c, empty)."""
+        expand = ~is_leaf[c]
+        s0 = jnp.where(expand, left[c], c)
+        s1 = jnp.where(expand, right[c], jnp.int32(-1))
+        return s0, s1
+
+    li = left[:I]
+    ri = right[:I]
+    s0, s1 = side_slots(li)
+    s2, s3 = side_slots(ri)
+    slots = jnp.stack([s0, s1, s2, s3], axis=1)          # [I,4]
+    valid = slots >= 0
+    sc = jnp.where(valid, slots, 0)
+    slot_leaf = valid & is_leaf[sc]
+    q_child = jnp.where(valid,
+                        jnp.where(slot_leaf, tri_start[sc], sc),
+                        jnp.int32(-1)).astype(jnp.int32)
+    q_leafc = jnp.where(slot_leaf, tri_count[sc], 0).astype(jnp.int32)
+    q_min = jnp.where(valid[..., None], node_min[sc], FAR)   # [I,4,3]
+    q_max = jnp.where(valid[..., None], node_max[sc], FAR)
+
+    ext = node_max[:I] - node_min[:I]
+    q_axis = jnp.argmax(ext, axis=1).astype(jnp.int32)       # [I]
+
+    cent = q_min + q_max                                      # 2x centroid
+    key = jnp.take_along_axis(cent, q_axis[:, None, None],
+                              axis=2)[..., 0]                # [I,4]
+    key = jnp.where(valid, key, jnp.float32(3e38))
+
+    def cswap(i, j, key, arrs):
+        swap = key[:, i] > key[:, j]
+
+        def sw(a):
+            s = swap if a.ndim == 2 else swap[:, None]
+            ai, aj = a[:, i], a[:, j]
+            a = a.at[:, i].set(jnp.where(s, aj, ai))
+            return a.at[:, j].set(jnp.where(s, ai, aj))
+
+        return sw(key), [sw(a) for a in arrs]
+
+    arrs = [q_child, q_leafc, q_min, q_max]
+    for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):  # 4-sort network
+        key, arrs = cswap(i, j, key, arrs)
+    q_child, q_leafc, q_min, q_max = arrs
+    return q_child, q_leafc, q_min, q_max, q_axis
+
+
 def lbvh_from_mesh_device(vertices: jnp.ndarray, indices: jnp.ndarray,
                           material_id: jnp.ndarray, group: int = 1):
     """Full on-device pipeline: mesh arrays → (Bvh, tri_v0, tri_e1, tri_e2,
