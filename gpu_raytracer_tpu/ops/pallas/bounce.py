@@ -40,8 +40,9 @@ from .traverse import (
     pallas_scene_ok, scene_vmem_bytes, traverse_best,
 )
 from .render import (
-    MAX_LIGHTS, MAX_MATERIALS, MAX_SPHERES,
-    _light_I, _light_eval, _light_rows, _sphere_pass, _sphere_rows,
+    MAX_LIGHTS, MAX_MATERIALS, MAX_SAMPLED_LIGHTS, MAX_SPHERES,
+    _light_I, _light_eval, _light_rows, _sampled_light, _sphere_pass,
+    _sphere_rows,
 )
 from .texshade import (
     _MAPS, _atlas_planes, material_table_full, sample_materials_tiles,
@@ -65,11 +66,11 @@ def fused_bounce_eligible(scene: Scene) -> bool:
         # would need equirect UV (atan2, which Mosaic does not lower).
         return (texshade_eligible(scene)
                 and scene.spheres.all_guards
-                and scene.lights.count <= MAX_LIGHTS
+                and scene.lights.count <= MAX_SAMPLED_LIGHTS
                 and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0],
                                     want_uv=True))
     return (1 <= scene.materials.count <= MAX_MATERIALS
-            and scene.lights.count <= MAX_LIGHTS
+            and scene.lights.count <= MAX_SAMPLED_LIGHTS
             and scene.spheres.count <= MAX_SPHERES
             and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0]))
 
@@ -173,14 +174,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
         # single-light NEE: each lane samples ONE light (u6), weight x L —
         # one any-hit shadow traversal per bounce instead of n_lights
         # (unbiased; sum over lights recovered in expectation)
-        u6 = u_ref[0, 6]
-        li_f = jnp.minimum(jnp.floor(u6 * float(n_lights)),
-                           float(n_lights - 1))
-        p = [jnp.zeros(tile, jnp.float32) for _ in range(11)]
-        for li in range(n_lights):
-            row = light_ref[li:li + 1, :]
-            sel = li_f == float(li)
-            p = [jnp.where(sel, row[0, k], p[k]) for k in range(11)]
+        p = _sampled_light(light_ref, n_lights, u_ref[0, 6], tile)
         I, lcr, lcg, lcb = _light_eval(
             node_ref, tri_ref, stack_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
