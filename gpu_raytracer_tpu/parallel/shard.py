@@ -98,6 +98,7 @@ class GeometryShards:
         nmins, nmaxs, lefts, rights, starts, counts, hits, misses = \
             [], [], [], [], [], [], [], []
         v0s, e1s, e2s, mats, uvs, gids = [], [], [], [], [], []
+        qcs, qls, qmns, qmxs, qaxs = [], [], [], [], []
         self.max_leaf = 1
         for chunk in chunks:
             chunk = np.asarray(chunk, np.int64)
@@ -114,6 +115,24 @@ class GeometryShards:
                                                2**31 - 1, np.int64)])
             dev = res.to_device()
             self.max_leaf = max(self.max_leaf, dev.max_leaf)
+            if dev.has_wide:
+                qcs.append(np.asarray(dev.q_child))
+                qls.append(np.asarray(dev.q_leafc))
+                qmns.append(np.asarray(dev.q_min))
+                qmxs.append(np.asarray(dev.q_max))
+                qaxs.append(np.asarray(dev.q_axis))
+            else:  # single-node shard: synthesize a one-record quad root
+                qcs.append(np.asarray([[int(dev.tri_start[0]), -1, -1, -1]],
+                                      np.int32))
+                qls.append(np.asarray([[int(dev.tri_count[0]), 0, 0, 0]],
+                                      np.int32))
+                qmn = np.full((1, 4, 3), 1e30, np.float32)
+                qmx = np.full((1, 4, 3), 1e30, np.float32)
+                qmn[0, 0] = np.asarray(dev.node_min[0])
+                qmx[0, 0] = np.asarray(dev.node_max[0])
+                qmns.append(qmn)
+                qmxs.append(qmx)
+                qaxs.append(np.asarray([0], np.int32))
             nmins.append(np.asarray(dev.node_min))
             nmaxs.append(np.asarray(dev.node_max))
             lefts.append(np.asarray(dev.left))
@@ -132,6 +151,7 @@ class GeometryShards:
         big = np.float32(3.0e38)
         Nn = max(a.shape[0] for a in lefts)
         Tp = max(a.shape[0] for a in v0s)
+        Qn = max(a.shape[0] for a in qcs)
 
         def pad_nodes(a, fill, width=None):
             out = []
@@ -169,20 +189,46 @@ class GeometryShards:
         self.tri_uv = pad_tris(uvs, 0.0)
         self.orig_id = pad_tris(gids, 2**31 - 1)
 
+        # stacked BVH4 overlays (padding records: child -1 / count 0 /
+        # inert FAR bounds — never visited, pack_node4_rows filler shape)
+        def pad_q(a, fill):
+            out = []
+            for x in a:
+                p = Qn - x.shape[0]
+                if p:
+                    x = np.concatenate(
+                        [x, np.full((p,) + x.shape[1:], fill, x.dtype)])
+                out.append(x)
+            return jnp.asarray(np.stack(out))
+
+        self.q_child = pad_q(qcs, -1)
+        self.q_leafc = pad_q(qls, 0)
+        self.q_min = pad_q(qmns, 1e30)
+        self.q_max = pad_q(qmxs, 1e30)
+        self.q_axis = pad_q(qaxs, 0)
+
 
 def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
                            mesh: Mesh, shards: GeometryShards | None = None,
-                           packet_size: int | None = None) -> Hit:
+                           packet_size: int | None = None,
+                           use_pallas: bool | None = None,
+                           interpret: bool | None = None) -> Hit:
     """Closest hit with triangles sharded across chips via per-shard BVHs.
 
-    Each chip runs the packet BVH traversal of the FULL (replicated) ray
-    batch against its own sub-BVH, extracts its local winner's attributes,
-    and the global winner is combined over ICI with the reference tie rule
-    (lower ORIGINAL triangle index wins at equal t) by keying the reduction
-    on (t, original id). Build `shards = GeometryShards(scene, D)` once per
-    scene and pass it in; it is rebuilt per call otherwise.
+    Each chip runs the PALLAS packet traversal (BVH4 ordered — the same
+    kernel as the single-chip fast path; XLA lockstep fallback for
+    non-packet ray counts) of the FULL (replicated) ray batch against its
+    own sub-BVH, then the global winner is combined over ICI by REDUCTION:
+    pmin(t) → pmin(original id among t-winners, the reference tie rule:
+    lower original index wins at equal t) → masked psum of the unique
+    winner's attributes. That is 8 reduced words/ray independent of D,
+    vs the 6·(D-1) gathered words/ray of the r2 all-gather combine.
+    Build `shards = GeometryShards(scene, D)` once per scene and pass it
+    in; it is rebuilt per call otherwise.
     """
     from ..ops.packet_trace import packet_traverse
+    from ..ops.pallas.traverse import pallas_packet_traverse
+    from ..ops.trace import _pallas_available
     from ..ops.texture import sphere_uv
     from ..models.bvh import Bvh
 
@@ -192,55 +238,69 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     assert shards.n_shards == n_dev
 
     N = orig.shape[0]
+    if interpret is None:  # virtual CPU meshes run the kernel interpreted
+        interpret = not _pallas_available()
+    if use_pallas is None:
+        use_pallas = N % 1024 == 0
     if packet_size is None:
-        packet_size = max(k for k in (8192, 4096, 1024, 512, 256, 128, 64,
-                                      32, 16, 8, 4, 2, 1) if N % k == 0)
+        if use_pallas:
+            packet_size = 8192 if N % 8192 == 0 else 1024
+        else:
+            packet_size = max(k for k in (8192, 4096, 1024, 512, 256, 128,
+                                          64, 32, 16, 8, 4, 2, 1)
+                              if N % k == 0)
     leaf_size = shards.max_leaf
     SHARD = RAY_AXIS  # one mesh axis: shards ride the same axis as rays
+    INT_MAX = jnp.int32(2**31 - 1)
 
     def shard_fn(o_rep, d_rep, nmin, nmax, left, right, ts_, tc_, hl, ml,
-                 v0, e1, e2, tmat, tuv, gid):
+                 qc, ql, qmn, qmx, qax, v0, e1, e2, tmat, tuv, gid):
         bvh = Bvh(node_min=nmin[0], node_max=nmax[0], left=left[0],
                   right=right[0], tri_start=ts_[0], tri_count=tc_[0],
                   hit_link=hl[0], miss_link=ml[0],
-                  leaf_align=8, max_leaf=leaf_size)
+                  q_child=qc[0], q_leafc=ql[0], q_min=qmn[0], q_max=qmx[0],
+                  q_axis=qax[0], leaf_align=8, max_leaf=leaf_size)
         mt = jnp.full((o_rep.shape[0],), MISS_T - 2.0, jnp.float32)
-        t, i_loc, hit, nrm, mat, bary = packet_traverse(
-            bvh, v0[0], e1[0], e2[0], o_rep, d_rep, mt, tri_mat=tmat[0],
-            leaf_size=leaf_size, packet_size=packet_size)
-        il = jnp.clip(i_loc, 0, gid.shape[1] - 1)
-        g = jnp.where(hit, gid[0, il], jnp.int32(2**31 - 1))
-        # winner's interpolated UV from the local table
-        w0 = 1.0 - bary[:, 0] - bary[:, 1]
-        uvt = tuv[0, il]                                   # [N,3,2]
-        uv = (w0[:, None] * uvt[:, 0] + bary[:, 0:1] * uvt[:, 1]
-              + bary[:, 1:2] * uvt[:, 2])
-        # ICI combine: lexicographic (t, original id) argmin
-        ts = jax.lax.all_gather(jnp.where(hit, t, MISS_T), SHARD)   # [D,N]
-        gs = jax.lax.all_gather(g, SHARD)
-        hs = jax.lax.all_gather(hit, SHARD)
-        ns = jax.lax.all_gather(nrm, SHARD)
-        ms = jax.lax.all_gather(mat, SHARD)
-        us = jax.lax.all_gather(uv, SHARD)
-        tmin = jnp.min(ts, axis=0)
-        cand = ts <= tmin[None, :]
-        order = jnp.argmin(jnp.where(cand, gs, 2**31 - 1), axis=0)
-        take = lambda a: jnp.take_along_axis(
-            a, order.reshape((1,) + order.shape + (1,) * (a.ndim - 2)),
-            axis=0)[0]
-        return (take(ts), take(gs), take(ns), take(ms), take(us),
-                jnp.any(hs, axis=0))
+        if use_pallas:
+            t, i_loc, hit, nrm, mat, uv = pallas_packet_traverse(
+                bvh, v0[0], e1[0], e2[0], o_rep, d_rep, mt, tri_mat=tmat[0],
+                tri_uv=tuv[0], interpret=interpret,
+                packet_size=packet_size)
+            il = jnp.clip(i_loc, 0, gid.shape[1] - 1)
+        else:
+            t, i_loc, hit, nrm, mat, bary = packet_traverse(
+                bvh, v0[0], e1[0], e2[0], o_rep, d_rep, mt, tri_mat=tmat[0],
+                leaf_size=leaf_size, packet_size=packet_size)
+            il = jnp.clip(i_loc, 0, gid.shape[1] - 1)
+            w0 = 1.0 - bary[:, 0] - bary[:, 1]
+            uvt = tuv[0, il]                               # [N,3,2]
+            uv = (w0[:, None] * uvt[:, 0] + bary[:, 0:1] * uvt[:, 1]
+                  + bary[:, 1:2] * uvt[:, 2])
+        g = jnp.where(hit, gid[0, il], INT_MAX)
+        # ICI combine by reduction (no [D,N] gathers):
+        tm = jnp.where(hit, t, MISS_T)
+        tmin = jax.lax.pmin(tm, SHARD)                     # global closest t
+        on_t = hit & (tm <= tmin)
+        gwin = jax.lax.pmin(jnp.where(on_t, g, INT_MAX), SHARD)
+        win = on_t & (g == gwin)                           # exactly one chip
+        wf = win.astype(jnp.float32)
+        nrm_g = jax.lax.psum(nrm * wf[:, None], SHARD)
+        uv_g = jax.lax.psum(uv * wf[:, None], SHARD)
+        mat_g = jax.lax.psum(jnp.where(win, mat, 0), SHARD)
+        hit_any = jax.lax.psum(hit.astype(jnp.int32), SHARD) > 0
+        return tmin, gwin, nrm_g, mat_g, uv_g, hit_any
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P()) + (P(RAY_AXIS),) * 14,
+        in_specs=(P(), P()) + (P(RAY_AXIS),) * 19,
         out_specs=(P(),) * 6, check_vma=False,
     )
     tri_t, tri_g, tri_n, tri_m, tri_uv, tri_hit = jax.jit(fn)(
         orig, dirn, shards.node_min, shards.node_max, shards.left,
         shards.right, shards.tri_start, shards.tri_count, shards.hit_link,
-        shards.miss_link, shards.tri_v0, shards.tri_e1, shards.tri_e2,
-        shards.tri_mat, shards.tri_uv, shards.orig_id)
+        shards.miss_link, shards.q_child, shards.q_leafc, shards.q_min,
+        shards.q_max, shards.q_axis, shards.tri_v0, shards.tri_e1,
+        shards.tri_e2, shards.tri_mat, shards.tri_uv, shards.orig_id)
 
     # sphere pass is tiny: replicated
     s_t, s_hit = sphere_intersect(orig, dirn, scene.spheres.center,
