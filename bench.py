@@ -321,6 +321,39 @@ def main():
         log(f"PARITY CHECK FAILED: {type(e).__name__}: {e}")
         extra.setdefault("parity_fused_vs_xla", -1.0)
 
+    # ---- 6. geometry sharding A/B (single chip, 1-device mesh): the
+    # Pallas per-shard path vs the XLA lockstep path it replaced ----
+    try:
+        if over_budget("geometry-shard A/B"):
+            raise TimeoutError("budget")
+        from gpu_raytracer_tpu.parallel.mesh import make_mesh
+        from gpu_raytracer_tpu.parallel.shard import (
+            GeometryShards, trace_geometry_sharded)
+        from gpu_raytracer_tpu.ops.camera_rays import generate_rays
+
+        mesh1 = make_mesh(1)
+        shards = GeometryShards(scene, 1)
+        ab_n = 256 * 1024
+        pyg = np.random.default_rng(0)
+        o = jnp.asarray(pyg.uniform(-40, 40, (ab_n, 3)).astype(np.float32))
+        tg = jnp.asarray(pyg.uniform(-20, 20, (ab_n, 3)).astype(np.float32))
+        d = tg - o
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        for name, up in (("pallas", True), ("xla", False)):
+            hitr = trace_geometry_sharded(scene, o, d, mesh1, shards=shards,
+                                          use_pallas=up)
+            float(hitr.t[0])
+            t0 = time.perf_counter()
+            for _ in range(2):
+                hitr = trace_geometry_sharded(scene, o, d, mesh1,
+                                              shards=shards, use_pallas=up)
+            float(hitr.t[0])
+            dt = (time.perf_counter() - t0 - rpc_lat) / 2
+            log(f"geometry-shard trace [{name}]: {dt*1e3:.1f}ms for "
+                f"{ab_n/1e3:.0f}k rays -> {ab_n/dt/1e6:.1f} Mrays/s")
+    except Exception as e:
+        log(f"GEOMETRY-SHARD A/B FAILED: {type(e).__name__}: {e}")
+
     log(f"total bench wall-clock: {time.time()-start_time:.1f}s "
         f"(+{start_time-_T0:.1f}s backend init)")
     print(json.dumps({

@@ -42,6 +42,12 @@ class RaytracerConfig:
     # same-pixel bounce rays into denser traversal packets
     # (engine/pathtracer.py::_sample_chunk).
     pathtrace_samples_per_step: int = 1
+    # Texture mip pyramid: max levels built at scene load (1 = off). With
+    # mips on, the atlas is clamped to the fused kernels' VMEM row budget by
+    # dropping the finest level of every texture until it fits, and samplers
+    # pick a per-lane nearest mip from the primary hit footprint — arbitrary
+    # source texture sets stay fused AND minification stops aliasing.
+    texture_mips: int = 8
     # Rendering precision for the compute path.
     dtype: str = "float32"
     # Use the Pallas kernels where available (falls back to pure XLA if not).

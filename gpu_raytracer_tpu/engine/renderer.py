@@ -66,10 +66,16 @@ def render_chunk(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
                  use_bvh: bool = True, leaf_size: int = 4,
                  sky: tuple = (0.0, 0.0, 0.0)) -> jnp.ndarray:
     """Trace + shade one ray chunk → RGB [n,3]."""
+    from ..ops.shading import hit_footprint
+
     orig, dirn = generate_rays(scene.camera, width, height, px, py)
     hit = trace(scene, orig, dirn, leaf_size=leaf_size, use_bvh=use_bvh)
     mask = _shadow_mask(scene, hit, leaf_size, use_bvh) if shadows else None
-    return shade(scene, hit, shadow_mask=mask, sky_color=sky)
+    # mip footprint (pyramid atlases only): same per-lane level pick as the
+    # fused kernels, so fused-vs-XLA parity survives mips
+    lam = (hit_footprint(scene, hit, height)
+           if scene.textures.n_levels > 1 else None)
+    return shade(scene, hit, shadow_mask=mask, sky_color=sky, lam=lam)
 
 
 class Renderer:

@@ -59,6 +59,15 @@ setInterval(async () => {
     `${s.fps.toFixed(1)} fps  ${s.frame_ms.toFixed(1)} ms  ` +
     `cam ${s.camera.map(v => v.toFixed(1)).join(",")}`;
 }, 1000);
+let rs = null;   // debounced WindowEvent::Resized -> /resize
+window.addEventListener("resize", () => {
+  clearTimeout(rs);
+  rs = setTimeout(() => {
+    const w = Math.max(64, Math.floor(window.innerWidth / 64) * 64);
+    const h = Math.max(64, Math.floor((window.innerHeight - 40) / 64) * 64);
+    send(`/resize?w=${w}&h=${h}`);
+  }, 400);
+});
 </script></body></html>"""
 
 _BOUNDARY = b"tpuframe"

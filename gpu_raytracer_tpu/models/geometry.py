@@ -152,7 +152,36 @@ def _wrap_coords(x: np.ndarray, size: int, mode: int) -> np.ndarray:
     return np.mod(x, size)
 
 
-@pytree_dataclass
+def _downsample2x(img: np.ndarray) -> np.ndarray:
+    """2x2 box-filter downsample of [H,W,4] u8 (edge-clamped, round-half-up)
+    — the standard mip reduction."""
+    h, w = img.shape[:2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    y0 = np.minimum(np.arange(h2) * 2, h - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x0 = np.minimum(np.arange(w2) * 2, w - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    acc = (img[y0][:, x0].astype(np.uint16) + img[y0][:, x1]
+           + img[y1][:, x0] + img[y1][:, x1])
+    return ((acc + 2) // 4).astype(np.uint8)
+
+
+def _atlas_block(img: np.ndarray, mode: int) -> np.ndarray:
+    """Guard-band atlas block of one RGBA8 image → [h+1, srows, 128] u32.
+    Lane l of chunk k of texture row y holds texel
+    (wrap_x(127k + l), wrap_y(y)) — guards, tail padding and the extra
+    vertical guard row all fall out of the same formula."""
+    h, w = img.shape[:2]
+    srows = -(-w // TEX_CHUNK)
+    xs = _wrap_coords(
+        (np.arange(srows)[:, None] * TEX_CHUNK + np.arange(128)),
+        w, mode)                                  # [srows,128]
+    ys = _wrap_coords(np.arange(h + 1), h, mode)  # [h+1]
+    texels = np.ascontiguousarray(img).reshape(h, w, 4).view("<u4")[:, :, 0]
+    return texels[ys[:, None, None], xs[None, :, :]]
+
+
+@pytree_dataclass(meta_fields=("n_levels",))
 class Textures:
     """Texture atlas — TextureInfo semantics
     (/root/reference/shared/src/lib.rs:85-95) holding the decoded RGBA8
@@ -171,15 +200,24 @@ class Textures:
     Texels stay pre-packed little-endian RGBA-in-u32, the byte order the
     reference packs on upload (/root/reference/src/buffers.rs:423-431)."""
 
-    width: jnp.ndarray    # [N] u32 logical texel width
-    height: jnp.ndarray   # [N] u32 logical texel height
+    width: jnp.ndarray    # [N] u32 logical texel width (of level 0)
+    height: jnp.ndarray   # [N] u32 logical texel height (of level 0)
     format: jnp.ndarray   # [N] u32 (3 = RGBA8; everything is decoded to RGBA8)
     offset: jnp.ndarray   # [N] u32 byte offset of the texture's first atlas row
-    size: jnp.ndarray     # [N] u32 atlas bytes ((h+1)*srows*512)
+    size: jnp.ndarray     # [N] u32 atlas bytes (all levels)
     wrap: jnp.ndarray     # [N] u32 sampler wrap: 0=REPEAT 1=CLAMP 2=MIRRORED
     data_u32: jnp.ndarray  # [R*128] u32 texels, R whole 128-lane rows
     srows: jnp.ndarray       # [N] u32 atlas rows per texture row (= ceil(w/127))
     offset_row: jnp.ndarray  # [N] u32 atlas row index of texel (0,0)
+    # MIP PYRAMID (n_levels > 1): level l+1 of a texture follows level l
+    # contiguously, each level guard-banded exactly like a texture of its
+    # own size, with w_{l+1} = max(w_l//2, 1), h_{l+1} = max(h_l//2, 1).
+    # The level-l address base is therefore DERIVABLE from level-0 metadata
+    # (off_{l+1} = off_l + (h_l+1)*ceil(w_l/127)) — samplers walk the chain
+    # with a static loop, no per-level tables. `levels` is the per-texture
+    # chain length; `n_levels` the static maximum (1 = no mips).
+    levels: jnp.ndarray = None   # [N] u32
+    n_levels: int = 1
 
     @property
     def count(self) -> int:
@@ -192,41 +230,66 @@ class Textures:
     @staticmethod
     def empty() -> "Textures":
         z = jnp.zeros((1,), jnp.uint32)
-        return Textures(z, z, z, z, z, z, jnp.zeros((1,), jnp.uint32), z, z)
+        return Textures(z, z, z, z, z, z, jnp.zeros((1,), jnp.uint32), z, z,
+                        levels=jnp.ones((1,), jnp.uint32))
 
     @staticmethod
     def from_images(images: list[np.ndarray],
-                    wrap: list[int] | None = None) -> "Textures":
+                    wrap: list[int] | None = None,
+                    mips: int = 1,
+                    budget_rows: int | None = None) -> "Textures":
         """images: list of [H,W,4] uint8 arrays; wrap: per-texture sampler
-        wrap modes (0=REPEAT, the glTF default)."""
+        wrap modes (0=REPEAT, the glTF default); mips: max mip levels to
+        build (1 = none); budget_rows: if set, the FINEST level of every
+        texture is dropped (repeatedly) until the whole atlas fits that many
+        128-lane rows — the VMEM-residency answer to arbitrarily large
+        source texture sets (a global texture-detail clamp, each drop
+        halving resolution)."""
         if not images:
             return Textures.empty()
         wrap = list(wrap) if wrap is not None else [0] * len(images)
-        widths, heights, offsets, sizes, srows_l, offrows, rows = \
-            [], [], [], [], [], [], []
-        row = 0
-        for img, mode in zip(images, wrap):
+        chains = []
+        for img in images:
             img = np.ascontiguousarray(np.asarray(img, np.uint8))
             assert img.ndim == 3 and img.shape[2] == 4, "textures must be RGBA8"
+            chain = [img]
+            while (len(chain) < mips
+                   and max(chain[-1].shape[0], chain[-1].shape[1]) > 1):
+                chain.append(_downsample2x(chain[-1]))
+            chains.append(chain)
+
+        def level_rows(img):
             h, w = img.shape[:2]
-            srows = -(-w // TEX_CHUNK)
-            # Atlas content: lane l of chunk k of texture row y holds texel
-            # (wrap_x(127k + l), wrap_y(y)) — guards, tail padding and the
-            # extra vertical guard row all fall out of the same formula.
-            xs = _wrap_coords(
-                (np.arange(srows)[:, None] * TEX_CHUNK + np.arange(128)),
-                w, mode)                              # [srows,128]
-            ys = _wrap_coords(np.arange(h + 1), h, mode)  # [h+1]
-            texels = img.reshape(h, w, 4).view("<u4")[:, :, 0]  # [h,w] u32
-            block = texels[ys[:, None, None], xs[None, :, :]]  # [h+1,srows,128]
+            return (h + 1) * (-(-w // TEX_CHUNK))
+
+        if budget_rows is not None:
+            while (sum(level_rows(l) for c in chains for l in c)
+                   > budget_rows):
+                droppable = [c for c in chains if len(c) > 1]
+                if not droppable:
+                    break
+                for i, c in enumerate(chains):
+                    if len(c) > 1:
+                        chains[i] = c[1:]
+
+        widths, heights, offsets, sizes, srows_l, offrows, levels_l, rows = \
+            [], [], [], [], [], [], [], []
+        row = 0
+        for chain, mode in zip(chains, wrap):
+            h, w = chain[0].shape[:2]
             widths.append(w)
             heights.append(h)
-            srows_l.append(srows)
+            srows_l.append(-(-w // TEX_CHUNK))
             offrows.append(row)
             offsets.append(row * 512)
-            sizes.append((h + 1) * srows * 512)
-            rows.append(block.reshape(-1, 128))
-            row += (h + 1) * srows
+            levels_l.append(len(chain))
+            tex_rows = 0
+            for lvl in chain:
+                block = _atlas_block(lvl, mode)   # [h+1, srows, 128]
+                rows.append(block.reshape(-1, 128))
+                tex_rows += level_rows(lvl)
+            sizes.append(tex_rows * 512)
+            row += tex_rows
         u32 = lambda x: jnp.asarray(np.asarray(x, np.uint32))
         flat = np.concatenate(rows, axis=0)
         return Textures(
@@ -236,4 +299,6 @@ class Textures:
             wrap=u32(wrap),
             data_u32=jnp.asarray(flat.reshape(-1).astype(np.uint32)),
             srows=u32(srows_l), offset_row=u32(offrows),
+            levels=u32(levels_l),
+            n_levels=max(len(c) for c in chains),
         )

@@ -680,7 +680,14 @@ def scene_from_gltf(path: str, scene_index: int | None = None,
             images.append(loaded.images[i])
             wraps.append(loaded.texture_wrap[ti]
                          if ti < len(loaded.texture_wrap) else 0)
-    textures = Textures.from_images(images, wrap=wraps) if images else None
+    if images:
+        from ..ops.pallas.texshade import MAX_ATLAS_ROWS
+        textures = Textures.from_images(
+            images, wrap=wraps, mips=config.texture_mips,
+            budget_rows=(MAX_ATLAS_ROWS if config.texture_mips > 1
+                         else None))
+    else:
+        textures = None
     print(f"Loaded glTF scene: {mesh.num_triangles} triangles, "
           f"{mesh.num_vertices} vertices, {len(loaded.materials)} materials, "
           f"{len(loaded.lights)} lights, {len(loaded.cameras)} cameras, "

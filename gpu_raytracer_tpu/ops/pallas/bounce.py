@@ -37,7 +37,7 @@ from ..f16 import unpack_f16_high, unpack_f16_low
 from .traverse import (
     LANES, STACK, VMEM_HEADROOM,
     _ordered_traverse, pack_node_rows, pack_node4_rows, pack_tri_rows,
-    pallas_scene_ok, scene_vmem_bytes, traverse_best,
+    pallas_scene_ok, quad_per_row, scene_vmem_bytes, traverse_best,
 )
 from .render import (
     MAX_LIGHTS, MAX_MATERIALS, MAX_SAMPLED_LIGHTS, MAX_SPHERES,
@@ -83,7 +83,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             nact_ref, rad_ref, stack_ref, *,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
             light_sample, wide=False, textured=False, mats_pad=0,
-            rows_pad=0, present=()):
+            rows_pad=0, present=(), per_row=4):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -103,7 +103,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=textured, slots=slots,
-                         wide=wide)
+                         wide=wide, per_row=per_row)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -180,7 +180,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
             p[10], nx, ny, nz, phx, phy, phz, hit_live,
             shadows=True, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots, wide=wide)
+            slots=slots, wide=wide, per_row=per_row)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
@@ -192,7 +192,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
                 node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                 nx, ny, nz, phx, phy, phz, hit_live,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-                slots=slots, wide=wide)
+                slots=slots, wide=wide, per_row=per_row)
             gate = (I > 0.0).astype(jnp.float32)
             w = brdf * I * gate
             tot_r = tot_r + alb_r * w * lcr
@@ -368,7 +368,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
 
 
 @partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
-                                   "interpret", "light_sample"))
+                                   "interpret", "light_sample", "quad_row"))
 def pallas_bounce(
     scene: Scene,
     origin: jnp.ndarray,      # [N,3]
@@ -385,6 +385,7 @@ def pallas_bounce(
     packet_size: int = 8192,
     interpret: bool = False,
     light_sample: bool = False,
+    quad_row: int | None = None,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
     medium', channel', ray_type', bounce_depth', active',
@@ -398,7 +399,10 @@ def pallas_bounce(
     Tp = scene.tri_v0.shape[0]
     slots = bvh.leaf_align
     wide = bvh.has_wide
-    node_rows = pack_node4_rows(bvh) if wide else pack_node_rows(bvh)
+    qpr = (quad_row if quad_row is not None
+           else (quad_per_row(bvh, Tp) if wide else 4))
+    node_rows = (pack_node4_rows(bvh, per_row=qpr) if wide
+                 else pack_node_rows(bvh))
     textured = scene.textures.data_u32.shape[0] > 1
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
                              scene.tri_mat,
@@ -451,7 +455,7 @@ def pallas_bounce(
                      shadows=shadows, do_rr=do_rr, light_sample=light_sample,
                      wide=wide, textured=textured,
                      mats_pad=mtable.shape[1], rows_pad=planes.shape[2],
-                     present=present)
+                     present=present, per_row=qpr)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -51,7 +51,7 @@ from ..f16 import unpack_f16_high, unpack_f16_low
 from .traverse import (
     LANES, STACK, VMEM_HEADROOM,
     _ordered_traverse, pack_node_rows, pack_node4_rows, pack_tri_rows,
-    pallas_scene_ok, scene_vmem_bytes, traverse_best,
+    pallas_scene_ok, quad_per_row, scene_vmem_bytes, traverse_best,
 )
 
 _MIN_T = 1e-5
@@ -194,7 +194,7 @@ def _sphere_occluders(sph_ref, n_spheres, sox, soy, soz, sdx, sdy, sdz, smax,
 
 def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
              nx, ny, nz, phx, phy, phz, hit_mask, *,
-             shadows, n_spheres, max_iters, slots, wide=False):
+             shadows, n_spheres, max_iters, slots, wide=False, per_row=4):
     """Post-shadow intensity I and colour of light `li` at the hit points
     (lighting.rs:20-139 + the shadow occlusion the reference never wired).
     Shared by the primary, deferred and bounce kernels."""
@@ -205,13 +205,15 @@ def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                        row[0, 8], row[0, 9], row[0, 10],
                        nx, ny, nz, phx, phy, phz, hit_mask,
                        shadows=shadows, n_spheres=n_spheres,
-                       max_iters=max_iters, slots=slots, wide=wide)
+                       max_iters=max_iters, slots=slots, wide=wide,
+                       per_row=per_row)
 
 
 def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
                 lpx, lpy, lpz, ltype, lcr, lcg, lcb, lint, ldx, ldy, ldz,
                 nx, ny, nz, phx, phy, phz, hit_mask, *,
-                shadows, n_spheres, max_iters, slots, wide=False):
+                shadows, n_spheres, max_iters, slots, wide=False,
+                per_row=4):
     """_light_I with explicit light parameters — scalars (one static light)
     or per-lane tiles (a SAMPLED light per lane, ops/pallas/bounce.py's
     single-light NEE). `ldx/ldy/ldz` must be pre-normalised."""
@@ -255,7 +257,7 @@ def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
         sb = traverse_best(
             node_ref, tri_ref, stack_ref, sox, soy, soz,
             sdx, sdy, sdz, smax, max_iters=max_iters, with_uv=False,
-            any_hit=True, slots=slots, wide=wide)
+            any_hit=True, slots=slots, wide=wide, per_row=per_row)
         blocked = (sb[1] >= 0).astype(jnp.float32)
         blocked = _sphere_occluders(sph_ref, n_spheres, sox, soy, soz,
                                     sdx, sdy, sdz, smax, blocked)
@@ -285,7 +287,8 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             px_ref, py_ref, *rest,
             max_iters, width, height, n_mats, n_lights, n_spheres,
             shadows, sky, slots, wide=False, textured=False, mats_pad=0,
-            rows_pad=0, present=(), light_sample=False):
+            rows_pad=0, present=(), light_sample=False, n_levels=1,
+            per_row=4):
     """Single-phase: shade in-kernel — material parameters via a static
     mask-select loop, or (textured) the matmul lookup + atlas sampling
     subroutine shared with the fused bounce. With light_sample (scenes over
@@ -308,7 +311,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=textured, slots=slots,
-                         wide=wide)
+                         wide=wide, per_row=per_row)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -334,10 +337,13 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
 
         uvx = jnp.where(use_tri, best[6], 0.0)
         uvy = jnp.where(use_tri, best[7], 0.0)
+        pix_scale = 2.0 * cam_ref[0:1, :][0, 9] * (1.0 / height)
+        lam = t * pix_scale * best[8]       # mip footprint (see deferred)
         (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, metal, _rough, iorv,
          trans, occ) = sample_materials_tiles(
             planes_ref, mtable_ref, uvx, uvy, mat_id, n_mats=n_mats,
-            mats_pad=mats_pad, rows_pad=rows_pad, present=present)
+            mats_pad=mats_pad, rows_pad=rows_pad, present=present,
+            lam=lam, n_levels=n_levels)
     else:
         occ = None
         alb_r = jnp.zeros(tile, jnp.float32)
@@ -376,7 +382,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
             p[10], nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots, wide=wide)
+            slots=slots, wide=wide, per_row=per_row)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
@@ -388,7 +394,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
                 node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                 nx, ny, nz, px_hit, py_hit, pz_hit, hit,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-                slots=slots, wide=wide)
+                slots=slots, wide=wide, per_row=per_row)
             gate = (I > 0.0).astype(jnp.float32)
             w = brdf * I * gate
             tot_r = tot_r + alb_r * w * lcr
@@ -423,7 +429,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
                      px_ref, py_ref, *rest,
                      max_iters, width, height, n_lights, n_spheres,
                      shadows, slots, with_uv, wide=False,
-                     light_sample=False):
+                     light_sample=False, per_row=4):
     """Two-phase: all traversal (primary + shadow), winner attributes and
     the material-independent light sum in-kernel; material/texture apply
     happens in XLA (ops/shading.py::shade_deferred). Output planes:
@@ -444,7 +450,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=with_uv, slots=slots,
-                         wide=wide)
+                         wide=wide, per_row=per_row)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -477,7 +483,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
             p[10], nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots, wide=wide)
+            slots=slots, wide=wide, per_row=per_row)
         Ig = I * (I > 0.0).astype(jnp.float32) * float(n_lights)
         S_r = Ig * lcr
         S_g = Ig * lcg
@@ -488,7 +494,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
                 node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                 nx, ny, nz, px_hit, py_hit, pz_hit, hit,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-                slots=slots, wide=wide)
+                slots=slots, wide=wide, per_row=per_row)
             Ig = I * (I > 0.0).astype(jnp.float32)
             S_r = S_r + Ig * lcr
             S_g = S_g + Ig * lcg
@@ -500,6 +506,11 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
     out_ref[0, 3] = mat_id          # -1.0 on miss (both passes seed -1)
     out_ref[0, 4] = uvx
     out_ref[0, 5] = uvy
+    # mip footprint: texels per pixel at unit texture size — hit distance x
+    # pixel angular size x the winner triangle's uv density. The shade
+    # phase multiplies by each map's width and picks the nearest mip.
+    pix_scale = 2.0 * cam_ref[0:1, :][0, 9] * (1.0 / height)
+    out_ref[0, 6] = t * pix_scale * best[8]
 
 
 def _camera_row(scene: Scene) -> jnp.ndarray:
@@ -582,8 +593,9 @@ def pallas_render_primary(
     Tp = scene.tri_v0.shape[0]
     slots = scene.bvh.leaf_align
     wide = scene.bvh.has_wide
+    qpr = quad_per_row(scene.bvh, Tp) if wide else 4
     textured = scene.textures.data_u32.shape[0] > 1
-    node_rows = (pack_node4_rows(scene.bvh) if wide
+    node_rows = (pack_node4_rows(scene.bvh, per_row=qpr) if wide
                  else pack_node_rows(scene.bvh))
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
                              scene.tri_mat,
@@ -619,7 +631,8 @@ def pallas_render_primary(
         shadows=shadows, sky=tuple(float(x) for x in sky), slots=slots,
         wide=wide, textured=textured, mats_pad=mtable.shape[1],
         rows_pad=planes.shape[2], present=present,
-        light_sample=light_sample)
+        light_sample=light_sample, n_levels=scene.textures.n_levels,
+        per_row=qpr)
     in_specs = [
         _resident(node_rows.shape),
         _resident(tri_rows.shape),
@@ -684,7 +697,8 @@ def pallas_render_deferred(
     slots = scene.bvh.leaf_align
     textured = scene.textures.data_u32.shape[0] > 1
     wide = scene.bvh.has_wide
-    node_rows = (pack_node4_rows(scene.bvh) if wide
+    qpr = quad_per_row(scene.bvh, Tp) if wide else 4
+    node_rows = (pack_node4_rows(scene.bvh, per_row=qpr) if wide
                  else pack_node_rows(scene.bvh))
     tri_rows = pack_tri_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
                              scene.tri_mat,
@@ -702,7 +716,7 @@ def pallas_render_deferred(
         _kernel_deferred, max_iters=nn + 4, width=float(width),
         height=float(height), n_lights=scene.lights.count,
         n_spheres=scene.spheres.count, shadows=shadows, slots=slots,
-        with_uv=textured, wide=wide, light_sample=light_sample)
+        with_uv=textured, wide=wide, light_sample=light_sample, per_row=qpr)
     in_specs = [
         _resident(node_rows.shape),
         _resident(tri_rows.shape),
@@ -724,8 +738,8 @@ def pallas_render_deferred(
         grid=(B,),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         in_specs=in_specs,
-        out_specs=_per_packet((1, 6, sub, LANES)),
-        out_shape=jax.ShapeDtypeStruct((B, 6, sub, LANES), jnp.float32),
+        out_specs=_per_packet((1, 7, sub, LANES)),
+        out_shape=jax.ShapeDtypeStruct((B, 7, sub, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(node_rows.shape[0] + tri_rows.shape[0]) * 512
             + VMEM_HEADROOM),
@@ -740,8 +754,9 @@ def pallas_render_deferred(
         # gathers alone (ops/pallas/texshade.py header).
         return pallas_texture_shade(scene, out, sky=sky, interpret=interpret)
 
-    flat = out.transpose(0, 2, 3, 1).reshape(N, 6)
+    flat = out.transpose(0, 2, 3, 1).reshape(N, 7)
     light_sum = flat[:, 0:3]
     mat_id = flat[:, 3].astype(jnp.int32)
     uv = flat[:, 4:6]
-    return shade_deferred(scene, light_sum, mat_id, uv, sky_color=sky)
+    return shade_deferred(scene, light_sum, mat_id, uv, sky_color=sky,
+                          lam=flat[:, 6])

@@ -82,27 +82,39 @@ def texshade_eligible(scene: Scene) -> bool:
             and scene.materials.count <= MAX_TABLE_MATERIALS)
 
 
-def _material_table(scene: Scene):
-    """[M, 40] f32: albedo(3) emission(3) metallic ior transmission, then
-    per samplable map (has, offset_row, srows, w, h, wrap). Integers are
-    exact small-int floats (< 2^24)."""
+META_PER_MAP = 7  # has, offset_row, srows, w, h, wrap, levels
+
+
+def _map_meta_cols(scene: Scene):
+    """Per-samplable-map metadata columns (META_PER_MAP each): texture
+    presence, level-0 atlas address/shape, wrap mode and mip-chain length.
+    Integers are exact small-int floats (< 2^24)."""
     m = scene.materials
     tex = scene.textures
-    cols = [
-        m.albedo,
-        m.emission,
-        unpack_f16_low(m.metallic_roughness_f16)[:, None],
-        unpack_f16_low(m.ior_transmission_f16)[:, None],
-        jnp.clip(unpack_f16_high(m.ior_transmission_f16), 0.0, 1.0)[:, None],
-    ]
+    cols = []
     for slot, _ in _MAPS:
         ti = m.texture_indices[:, slot]
         has = (ti != NO_TEXTURE) & (ti < tex.count)
         safe = jnp.where(has, ti, 0).astype(jnp.int32)
         f = lambda a: jnp.where(has, a[safe].astype(jnp.float32), 0.0)[:, None]
         cols += [has.astype(jnp.float32)[:, None], f(tex.offset_row),
-                 f(tex.srows), f(tex.width), f(tex.height), f(tex.wrap)]
-    table = jnp.concatenate(cols, axis=1)                        # [M, 33]
+                 f(tex.srows), f(tex.width), f(tex.height), f(tex.wrap),
+                 jnp.maximum(f(tex.levels), 1.0)]
+    return cols
+
+
+def _material_table(scene: Scene):
+    """[40, Mp] f32: albedo(3) emission(3) metallic ior transmission, then
+    per samplable map META_PER_MAP metadata columns."""
+    m = scene.materials
+    cols = [
+        m.albedo,
+        m.emission,
+        unpack_f16_low(m.metallic_roughness_f16)[:, None],
+        unpack_f16_low(m.ior_transmission_f16)[:, None],
+        jnp.clip(unpack_f16_high(m.ior_transmission_f16), 0.0, 1.0)[:, None],
+    ] + _map_meta_cols(scene)
+    table = jnp.concatenate(cols, axis=1)                        # [M, 37]
     table = jnp.pad(table, ((0, (-table.shape[0]) % 8),
                             (0, 40 - table.shape[1])))
     return table.T                                               # [40, Mp]
@@ -159,14 +171,50 @@ def _tap_setup(u, v, meta):
     return rowA, lane, srows, fx, fy
 
 
-def _sample_map(plane_ref, rows_pad, meta, u, v, channels):
+def _mip_meta(meta, lam, n_levels):
+    """Per-lane mip selection → level-l (has, off_row, srows, w, h, wrap).
+
+    Nearest-mip LOD from the linear footprint `lam` (texels per pixel at
+    unit texture size, from the trace kernel's t x pixel-angle x uv-density):
+    lod = round(log2(lam*w)), computed exactly as floor(log2(x*sqrt2)) via
+    f32 exponent extraction (Mosaic-safe, no transcendental), clamped to
+    the texture's resident chain. Level addresses are DERIVED by walking
+    the chain (models/geometry.py::Textures layout): off_{l+1} = off_l +
+    (h_l+1)*ceil(w_l/127), sizes halving — a static n_levels-step loop of
+    masked selects, no per-level tables."""
+    has, off, srows, w, h, mode, lv = meta
+    foot = jnp.maximum(lam * w, 1e-20)
+    bits = jax.lax.bitcast_convert_type(foot * 1.4142135, jnp.int32)
+    lod = jnp.clip(((bits >> 23) - 127).astype(jnp.float32), 0.0, lv - 1.0)
+    sw, sh, soff, ssr = w, h, off, srows
+    wl, hl, offl, srl = w, h, off, srows
+    for l in range(1, n_levels):
+        offl = offl + (hl + 1.0) * srl
+        wl = jnp.maximum(jnp.floor(wl * 0.5), 1.0)
+        hl = jnp.maximum(jnp.floor(hl * 0.5), 1.0)
+        srl = jnp.floor((wl + 126.0) * (1.0 / 127.0))
+        m = lod >= float(l)   # lod clamped to the chain: last pass wins
+        sw = jnp.where(m, wl, sw)
+        sh = jnp.where(m, hl, sh)
+        soff = jnp.where(m, offl, soff)
+        ssr = jnp.where(m, srl, ssr)
+    return has, soff, ssr, sw, sh, mode
+
+
+def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
+                n_levels=1):
     """Bilinear-sample one map for a 128-ray group → dict channel→(1,128).
 
     One bf16 matmul per channel fetches BOTH tap rows ([128lanes, R] @
     [R, 256] with the y0 one-hot in lanes 0-127 and y1 in 128-255), an f32
     lerp blends them vertically, and a weighted lane one-hot reduces the
     horizontal pair. Absent-map lanes read row 0 harmlessly; the caller
-    masks with `has`."""
+    masks with `has`. With a mip pyramid (n_levels > 1) and a footprint
+    operand, each lane samples its own nearest mip level."""
+    if lam is not None and n_levels > 1:
+        meta = _mip_meta(meta, lam, n_levels)
+    else:
+        meta = meta[:6]
     rowA, lane, srows, fx, fy = _tap_setup(u, v, meta)
     rit = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, 1),
                                0).astype(jnp.float32)
@@ -190,7 +238,7 @@ def _sample_map(plane_ref, rows_pad, meta, u, v, channels):
 
 
 def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
-            n_mats, mats_pad, rows_pad, present, sky):
+            n_mats, mats_pad, rows_pad, present, sky, n_levels=1):
     for g in range(GROUPS_PER_BLOCK):
         ls_r = in_ref[0, 0, g:g + 1, :]                      # (1,128) each
         ls_g = in_ref[0, 1, g:g + 1, :]
@@ -198,6 +246,7 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
         matf = in_ref[0, 3, g:g + 1, :]
         u = in_ref[0, 4, g:g + 1, :]
         v = in_ref[0, 5, g:g + 1, :]
+        lam = in_ref[0, 6, g:g + 1, :] if n_levels > 1 else None
 
         live = matf >= 0.0
         skyv = tuple(jnp.full((1, LANES), float(sky[c]), jnp.float32)
@@ -222,8 +271,10 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
             for mi, (slot, channels) in enumerate(_MAPS):
                 if slot not in present:
                     continue
-                meta = tuple(mrow[9 + 6 * mi + j:10 + 6 * mi + j, :]
-                             for j in range(6))
+                meta = tuple(
+                    mrow[9 + META_PER_MAP * mi + j:
+                         10 + META_PER_MAP * mi + j, :]
+                    for j in range(META_PER_MAP))
                 has = meta[0] > 0.0
                 # skip the matmuls when no lane of the group has this map
                 ones = tuple(jnp.ones((1, LANES), jnp.float32)
@@ -231,7 +282,8 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
                 s = jax.lax.cond(
                     jnp.any(has),
                     lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
-                                          channels),
+                                          channels, lam=lam,
+                                          n_levels=n_levels),
                     lambda _: ones, 0)
                 pick = {c: jnp.where(has, s[i], 1.0)
                         for i, c in enumerate(channels)}
@@ -273,14 +325,14 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
 
 
 @partial(jax.jit, static_argnames=("sky", "interpret"))
-def pallas_texture_shade(scene: Scene, out6: jnp.ndarray,
+def pallas_texture_shade(scene: Scene, out7: jnp.ndarray,
                          sky: tuple = (0.0, 0.0, 0.0),
                          interpret: bool = False) -> jnp.ndarray:
     """Fused texture shading of the deferred trace output
-    `out6 [B, 6, sub, 128]` (light_sum rgb, material_id, uv) → RGB [N, 3]
-    in ray order."""
-    B, six, sub, lanes = out6.shape
-    assert six == 6 and lanes == LANES and sub % GROUPS_PER_BLOCK == 0
+    `out7 [B, 7, sub, 128]` (light_sum rgb, material_id, uv, mip footprint)
+    → RGB [N, 3] in ray order."""
+    B, seven, sub, lanes = out7.shape
+    assert seven == 7 and lanes == LANES and sub % GROUPS_PER_BLOCK == 0
     planes = _atlas_planes(scene)                    # [4,128,Rp]
     mtable = _material_table(scene)                  # [40,Mp]
     rows_pad = planes.shape[2]
@@ -293,14 +345,15 @@ def pallas_texture_shade(scene: Scene, out6: jnp.ndarray,
     blocks_per_packet = sub // GROUPS_PER_BLOCK
     kernel = partial(_kernel, n_mats=scene.materials.count,
                      mats_pad=mats_pad, rows_pad=rows_pad,
-                     present=present, sky=tuple(float(x) for x in sky))
+                     present=present, sky=tuple(float(x) for x in sky),
+                     n_levels=scene.textures.n_levels)
     grid = (B * blocks_per_packet,)
     in_map = lambda i: (i // blocks_per_packet, 0, i % blocks_per_packet, 0)
     rgb = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 6, GROUPS_PER_BLOCK, LANES), in_map,
+            pl.BlockSpec((1, 7, GROUPS_PER_BLOCK, LANES), in_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(planes.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -314,18 +367,17 @@ def pallas_texture_shade(scene: Scene, out6: jnp.ndarray,
             vmem_limit_bytes=(planes.size * 2 + mtable.size * 4
                               + 32 * 1024 * 1024)),
         interpret=interpret,
-    )(out6, planes, mtable)
+    )(out7, planes, mtable)
     return rgb.transpose(0, 2, 3, 1).reshape(-1, 3)
 
 
 def material_table_full(scene: Scene):
     """[40, Mp] f32 transposed material+texture-metadata table for the
     textured bounce: albedo(3) emission(3) metallic roughness ior
-    transmission, then per samplable map (has, offset_row, srows, w, h,
-    wrap) — the bounce twin of _material_table (adds roughness,
-    which the deferred shade does not need but the BSDF fuzz does)."""
+    transmission, then per samplable map META_PER_MAP metadata columns —
+    the bounce twin of _material_table (adds roughness, which the deferred
+    shade does not need but the BSDF fuzz does)."""
     m = scene.materials
-    tex = scene.textures
     cols = [
         m.albedo,
         m.emission,
@@ -333,22 +385,16 @@ def material_table_full(scene: Scene):
         unpack_f16_high(m.metallic_roughness_f16)[:, None],
         unpack_f16_low(m.ior_transmission_f16)[:, None],
         unpack_f16_high(m.ior_transmission_f16)[:, None],
-    ]
-    for slot, _ in _MAPS:
-        ti = m.texture_indices[:, slot]
-        has = (ti != NO_TEXTURE) & (ti < tex.count)
-        safe = jnp.where(has, ti, 0).astype(jnp.int32)
-        f = lambda a: jnp.where(has, a[safe].astype(jnp.float32), 0.0)[:, None]
-        cols += [has.astype(jnp.float32)[:, None], f(tex.offset_row),
-                 f(tex.srows), f(tex.width), f(tex.height), f(tex.wrap)]
-    table = jnp.concatenate(cols, axis=1)                        # [M, 34]
+    ] + _map_meta_cols(scene)
+    table = jnp.concatenate(cols, axis=1)                        # [M, 38]
     table = jnp.pad(table, ((0, (-table.shape[0]) % 8),
                             (0, 40 - table.shape[1])))
     return table.T
 
 
 def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
-                        n_mats, mats_pad, rows_pad, present):
+                        n_mats, mats_pad, rows_pad, present, lam=None,
+                        n_levels=1):
     """Per-lane textured material parameters → 11 (sub,128) tiles
     (alb rgb, emi rgb, metal, rough, ior, trans, ambient-occ).
 
@@ -356,12 +402,14 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
     rays on the MXU's free axis (the texshade layout): material lookup is
     one [40,Mp]@[Mp,128] matmul, each present map is sampled through the
     guard-band atlas via _sample_map. Group results stack back
-    into full packet tiles."""
+    into full packet tiles. `lam` ((sub,128) footprint tile) + n_levels > 1
+    enables per-lane nearest-mip sampling."""
     sub = uvx.shape[0]
     rows = {k: [] for k in range(11)}
     for g in range(sub):
         u = uvx[g:g + 1, :]
         v = uvy[g:g + 1, :]
+        lamg = lam[g:g + 1, :] if (lam is not None and n_levels > 1) else None
         mid = jnp.clip(mat_id[g:g + 1, :], 0.0, float(n_mats - 1))
         mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
                                        0).astype(jnp.float32)
@@ -381,13 +429,16 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
                 # roughness*=mr[:,1]). The deferred-shade kernel keeps the
                 # metallic-only _MAPS entry — it never evaluates roughness.
                 channels = (1, 2)
-            meta = tuple(mrow[10 + 6 * mi + j:11 + 6 * mi + j, :]
-                         for j in range(6))
+            meta = tuple(
+                mrow[10 + META_PER_MAP * mi + j:
+                     11 + META_PER_MAP * mi + j, :]
+                for j in range(META_PER_MAP))
             has = meta[0] > 0.0
             smp = jax.lax.cond(
                 jnp.any(has),
                 lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
-                                      channels),
+                                      channels, lam=lamg,
+                                      n_levels=n_levels),
                 lambda _: tuple(jnp.ones((1, uvx.shape[1]), jnp.float32)
                                 for _ in channels), 0)
             pick = {c: jnp.where(has, smp[i], 1.0)

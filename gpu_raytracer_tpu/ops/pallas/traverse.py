@@ -160,10 +160,11 @@ def pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_mat=None, tri_uv=None,
 def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
                any_hit=False, slots=8):
     """One leaf row (8 dense Möller-Trumbore tests) against the packet,
-    tracking winner t/slot/normal/material (+uv when the scene is textured)
-    — shared by both kernels. any_hit mode records the first blocker and
-    skips attribute tracking."""
-    best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy = carry
+    tracking winner t/slot/normal/material (+uv and uv-density — texels per
+    world unit, the mip-LOD driver — when the scene is textured) — shared
+    by both kernels. any_hit mode records the first blocker and skips
+    attribute tracking."""
+    best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy, bden = carry
     tg = TRI_FORMATS[slots]
     leaf_row = tri_s // slots
     # Leaves share rows (models/bvh.py::align_leaves first-fit packing), so
@@ -222,7 +223,16 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
                    + tr[0, g + 15] * v)
             buvx = jnp.where(ok, uvx, buvx)
             buvy = jnp.where(ok, uvy, buvy)
-    return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy
+            # uv density = sqrt(uv area / world area): the triangle's
+            # texels-per-world-unit scale (shared scalar math per slot).
+            # rl = 1/|e1 x e2| = 1/(2 * world area) from the normal above.
+            cruv = ((tr[0, g + 12] - tr[0, g + 10])
+                    * (tr[0, g + 15] - tr[0, g + 11])
+                    - (tr[0, g + 14] - tr[0, g + 10])
+                    * (tr[0, g + 13] - tr[0, g + 11]))
+            den = jnp.sqrt(jnp.abs(cruv) * rl)
+            bden = jnp.where(ok, den, bden)
+    return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy, bden
 
 
 def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
@@ -324,20 +334,37 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
             (mt0, jnp.full(tile, -1, jnp.int32),
              zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
-             zero, zero))
+             zero, zero, zero))
     _, _, _, best = jax.lax.while_loop(cond, step, init)
     return best
 
 
-ROW4 = 4      # quad nodes per 128-lane row
+ROW4 = 4      # quad nodes per 128-lane row (packed layout)
 GROUP4 = 32   # lanes per quad node record
+# Full-row quad layout: ONE node per 128-lane row (lanes 32-127 unused).
+# 4x the VMEM bytes, but the per-step fetch becomes a single dynamic-row
+# slice with STATIC lanes — no 4-way lax.switch per traversal step. Used
+# whenever the 4x table still fits the VMEM budget (pallas_scene_ok gates).
+FULL_ROW_QUAD_BUDGET = 48 * 1024 * 1024
 
 
-def pack_node4_rows(bvh: Bvh) -> jnp.ndarray:
+def quad_per_row(bvh: Bvh, num_tris: int) -> int:
+    """Nodes per 128-lane row for the BVH4 table: 1 (switch-free fetch)
+    when the full-row table + leaf rows fit comfortably, else 4."""
+    if not bvh.has_wide:
+        return 4
+    Q = bvh.q_child.shape[0]
+    tri_rows = -(-num_tris // max(bvh.leaf_align, 1))
+    if (Q + tri_rows) * 512 <= FULL_ROW_QUAD_BUDGET:
+        return 1
+    return 4
+
+
+def pack_node4_rows(bvh: Bvh, per_row: int = 4) -> jnp.ndarray:
     """Pack the BVH4 overlay (models/bvh.py::collapse4) into lane-dense
-    [R,128] f32 rows, 4 nodes x 32 lanes: per child (min.xyz, max.xyz)
-    (lanes 0-23), child links (24-27), leaf counts (28-31, lane 28 also
-    carrying the child-sort axis as +16*axis)."""
+    [R,128] f32 rows, `per_row` nodes x 32 lanes each: per child
+    (min.xyz, max.xyz) (lanes 0-23), child links (24-27), leaf counts
+    (28-31, lane 28 also carrying the child-sort axis as +16*axis)."""
     Q = bvh.q_child.shape[0]
     lc = bvh.q_leafc.astype(jnp.float32)
     lc0 = lc[:, 0:1] + 16.0 * bvh.q_axis.astype(jnp.float32)[:, None]
@@ -347,22 +374,27 @@ def pack_node4_rows(bvh: Bvh) -> jnp.ndarray:
     node = jnp.concatenate(
         [bounds, bvh.q_child.astype(jnp.float32),
          lc0, lc[:, 1:]], axis=1)                           # [Q,32]
-    pad = (-Q) % ROW4
+    pad = (-Q) % per_row
     if pad:
         filler = jnp.zeros((pad, GROUP4), jnp.float32)
         filler = filler.at[:, 24:28].set(-1.0)
         node = jnp.concatenate([node, filler])
-    return node.reshape(-1, 128)
+    if per_row == 4:
+        return node.reshape(-1, 128)
+    grouped = node.reshape(-1, per_row * GROUP4)
+    return jnp.pad(grouped, ((0, 0), (0, 128 - per_row * GROUP4)))
 
 
 def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
-                       mt0, max_iters, with_uv, any_hit=False, slots=8):
+                       mt0, max_iters, with_uv, any_hit=False, slots=8,
+                       per_row=4):
     """BVH4 near-first DFS — the 4-wide sibling of _ordered_traverse with
     the SAME carry/result tuple. One step fetches a 32-lane quad record and
     slab-tests all four children, so the per-step scalar overhead (switch
     fetch, stack ops, loop bookkeeping) is paid once per four boxes; the
     visit order walks the pre-sorted children forward or backward by the
-    packet's majority sign along the stored sort axis."""
+    packet's majority sign along the stored sort axis. per_row=1 (the
+    full-row layout) trades 4x node-table VMEM for a switch-free fetch."""
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     s0 = jnp.sum(dx) >= 0.0
     s1 = jnp.sum(dy) >= 0.0
@@ -371,14 +403,20 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
     def step(state):
         cursor, sp, it, best = state
         best_t = best[0]
-        row = cursor // ROW4
 
-        def pick(g):
-            def f():
-                b = node_ref[pl.ds(row, 1), g * GROUP4:(g + 1) * GROUP4]
-                return tuple(b[0, j] for j in range(GROUP4))
-            return f
-        vals = jax.lax.switch(cursor % ROW4, [pick(g) for g in range(ROW4)])
+        if per_row == 1:
+            b = node_ref[pl.ds(cursor, 1), 0:GROUP4]
+            vals = tuple(b[0, j] for j in range(GROUP4))
+        else:
+            row = cursor // per_row
+
+            def pick(g):
+                def f():
+                    b = node_ref[pl.ds(row, 1), g * GROUP4:(g + 1) * GROUP4]
+                    return tuple(b[0, j] for j in range(GROUP4))
+                return f
+            vals = jax.lax.switch(cursor % per_row,
+                                  [pick(g) for g in range(per_row)])
 
         childf = [vals[24 + c] for c in range(4)]
         axis = jnp.floor(vals[28] * (1.0 / 16.0))
@@ -460,31 +498,36 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
             (mt0, jnp.full(tile, -1, jnp.int32),
              zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
-             zero, zero))
+             zero, zero, zero))
     _, _, _, best = jax.lax.while_loop(cond, step, init)
     return best
 
 
 def traverse_best(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                   mt0, *, max_iters, with_uv, any_hit=False, slots=8,
-                  wide=False):
+                  wide=False, per_row=4):
     """Closest/any-hit traversal over the packed node table — dispatches to
     the BVH4 kernel when the table was packed wide (pack_node4_rows)."""
-    fn = _ordered_traverse4 if wide else _ordered_traverse
-    return fn(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
-              mt0, max_iters, with_uv, any_hit, slots)
+    if wide:
+        return _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz,
+                                  dx, dy, dz, mt0, max_iters, with_uv,
+                                  any_hit, slots, per_row)
+    return _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz,
+                             dx, dy, dz, mt0, max_iters, with_uv, any_hit,
+                             slots)
 
 
 def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                     t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
                     *, max_iters, with_uv, any_hit=False, slots=8,
-                    wide=False):
+                    wide=False, per_row=4):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, mt_ref[0],
                          max_iters=max_iters, with_uv=with_uv,
-                         any_hit=any_hit, slots=slots, wide=wide)
+                         any_hit=any_hit, slots=slots, wide=wide,
+                         per_row=per_row)
     t_ref[0] = best[0]
     tri_out_ref[0] = best[1]
     n_ref[0, 0] = best[2]
@@ -571,7 +614,7 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
              jnp.full(tile, -1, jnp.int32),                     # best_tri
              zero, zero, zero,                                  # normal
              jnp.full(tile, -1.0, jnp.float32),                 # material
-             zero, zero))                                       # uv
+             zero, zero, zero))                                 # uv, density
     _, _, best = jax.lax.while_loop(cond, step, init)
 
     t_ref[0] = best[0]
@@ -623,7 +666,8 @@ def pallas_packet_traverse(
     Tp = tri_v0.shape[0]
     nn = bvh.left.shape[0]
     wide = ordered and bvh.has_wide
-    node_rows = (pack_node4_rows(bvh) if wide
+    qpr = quad_per_row(bvh, Tp) if wide else 4
+    node_rows = (pack_node4_rows(bvh, per_row=qpr) if wide
                  else pack_node_rows(bvh, ordered=ordered))
     tri_rows = pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_mat, tri_uv, slots)
 
@@ -647,7 +691,7 @@ def pallas_packet_traverse(
 
     kernel = (partial(_kernel_ordered, max_iters=nn + 4,
                       with_uv=tri_uv is not None, any_hit=any_hit,
-                      slots=slots, wide=wide)
+                      slots=slots, wide=wide, per_row=qpr)
               if ordered else
               partial(_kernel, max_iters=nn + 4,
                       with_uv=tri_uv is not None, any_hit=any_hit,

@@ -23,6 +23,7 @@ wired in (SURVEY.md §2.2: "no shadow rays are traced").
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..models.material import (
@@ -31,7 +32,7 @@ from ..models.scene import Scene
 from .f16 import f16_roundtrip, unpack_f16_high, unpack_f16_low
 from .linalg import dot, max0, normalize
 from .texture import sample_texture
-from .trace import Hit
+from .trace import Hit, TRIANGLE
 
 MAGENTA = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
 # Cauchy-motivated dispersion offsets for R/G/B (material.rs:48-53).
@@ -39,7 +40,8 @@ DISPERSION = jnp.asarray([-0.018, 0.0, 0.035], jnp.float32)
 TRANSMITTED_BASE = jnp.asarray([0.2, 0.2, 0.3], jnp.float32)
 
 
-def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray):
+def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray,
+                      lam: jnp.ndarray | None = None):
     """Gather material rows and apply texture factors (glTF: factors multiply
     texture samples) → (albedo [N,3], emission [N,3], metallic [N],
     ambient_occlusion [N] or None). Static-gated on texture data being
@@ -62,20 +64,47 @@ def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray):
                      TEX_OCCLUSION, TEX_EMISSIVE)
         if TEX_BASE_COLOR in slots:
             albedo = albedo * sample_texture(
-                tex, ti[:, TEX_BASE_COLOR], uv)[:, :3]
+                tex, ti[:, TEX_BASE_COLOR], uv, lam=lam)[:, :3]
         if TEX_EMISSIVE in slots:
             emission = emission * sample_texture(
-                tex, ti[:, TEX_EMISSIVE], uv)[:, :3]
+                tex, ti[:, TEX_EMISSIVE], uv, lam=lam)[:, :3]
         if TEX_METALLIC_ROUGHNESS in slots:
-            mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], uv)
+            mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], uv,
+                                lam=lam)
             metallic = metallic * mr[:, 2]                 # B channel
         if TEX_OCCLUSION in slots:
             ambient_occ = sample_texture(
-                tex, ti[:, TEX_OCCLUSION], uv)[:, 0]       # R channel
+                tex, ti[:, TEX_OCCLUSION], uv, lam=lam)[:, 0]  # R channel
     return albedo, emission, metallic, ambient_occ
 
 
-def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None):
+def hit_footprint(scene: Scene, hit: Hit, height: int) -> jnp.ndarray:
+    """Mip footprint [N] for primary hits: hit distance x pixel angular
+    size x the winner triangle's uv density — bit-identical twin of the
+    fused kernels' in-traversal computation (ops/pallas/traverse.py
+    _leaf_test + render.py), so both pipelines pick the same mip level.
+    Zero for misses and sphere hits (-> level 0)."""
+    fov_scale = jnp.tan(scene.camera.fov * jnp.float32(0.5)
+                        * jnp.pi / 180.0)
+    pix_scale = 2.0 * fov_scale * (1.0 / height)
+    i = jnp.clip(hit.prim_id, 0, scene.tri_v0.shape[0] - 1)
+    e1 = scene.tri_e1[i]
+    e2 = scene.tri_e2[i]
+    uv = scene.tri_uv[i]                                    # [N,3,2]
+    cnx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
+    cny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
+    cnz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    rl = jax.lax.rsqrt(jnp.maximum(cnx * cnx + cny * cny + cnz * cnz,
+                                   1e-30))
+    cruv = ((uv[:, 1, 0] - uv[:, 0, 0]) * (uv[:, 2, 1] - uv[:, 0, 1])
+            - (uv[:, 2, 0] - uv[:, 0, 0]) * (uv[:, 1, 1] - uv[:, 0, 1]))
+    den = jnp.sqrt(jnp.abs(cruv) * rl)
+    lam = hit.t * pix_scale * den
+    return jnp.where(hit.hit & (hit.prim_kind == TRIANGLE), lam, 0.0)
+
+
+def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None,
+                    lam: jnp.ndarray | None = None):
     """Per-ray RGB from ambient + punctual lights + emission
     (LightingCalculator::calculate_lighting, lighting.rs:20-47).
 
@@ -87,7 +116,7 @@ def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = No
     L = scene.lights
     mid = jnp.clip(hit.material_id, 0, m.count - 1)
     albedo, emission, metallic, ambient_occ = material_textures(
-        scene, mid, hit.uv)
+        scene, mid, hit.uv, lam=lam)
 
     n = hit.normal                                          # [N,3]
     p = hit.point
@@ -149,7 +178,8 @@ def apply_dispersion(scene: Scene, hit: Hit, lighting: jnp.ndarray) -> jnp.ndarr
 
 
 def shade_deferred(scene: Scene, light_sum: jnp.ndarray, mat_id: jnp.ndarray,
-                   uv: jnp.ndarray, sky_color=(0.0, 0.0, 0.0)) -> jnp.ndarray:
+                   uv: jnp.ndarray, sky_color=(0.0, 0.0, 0.0),
+                   lam: jnp.ndarray | None = None) -> jnp.ndarray:
     """Material/texture apply for the two-phase fused renderer
     (ops/pallas/render.py::pallas_render_deferred) → RGB [N,3].
 
@@ -163,7 +193,8 @@ def shade_deferred(scene: Scene, light_sum: jnp.ndarray, mat_id: jnp.ndarray,
     hit = mat_id >= 0
     m = scene.materials
     mid = jnp.clip(mat_id, 0, m.count - 1)
-    albedo, emission, metallic, ambient_occ = material_textures(scene, mid, uv)
+    albedo, emission, metallic, ambient_occ = material_textures(scene, mid,
+                                                                uv, lam=lam)
 
     is_metal = (metallic > 0.5).astype(jnp.float32)[:, None]
     brdf_scale = is_metal * 0.5 + (1.0 - is_metal) / jnp.pi   # [N,1]
@@ -180,13 +211,14 @@ def shade_deferred(scene: Scene, light_sum: jnp.ndarray, mat_id: jnp.ndarray,
 
 
 def shade(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None,
-          sky_color=(0.0, 0.0, 0.0)) -> jnp.ndarray:
+          sky_color=(0.0, 0.0, 0.0),
+          lam: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full legacy-path shading for a traced batch → RGB [N,3].
 
     Misses get `sky_color` (black in the legacy kernel, lib.rs:77). An
     out-of-range material id shades magenta (lib.rs:307-309).
     """
-    lighting = direct_lighting(scene, hit, shadow_mask)
+    lighting = direct_lighting(scene, hit, shadow_mask, lam=lam)
     color = apply_dispersion(scene, hit, lighting)
 
     invalid = hit.hit & ((hit.material_id < 0)

@@ -68,20 +68,59 @@ def _mirror_flip(coord: jnp.ndarray, size: jnp.ndarray,
     return (mode == 2) & (per >= size)
 
 
-def tap_base(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray):
+def mip_level_params(tex: Textures, safe: jnp.ndarray,
+                     lam: jnp.ndarray):
+    """Per-lane nearest-mip level parameters → (w, h, srows, off_row) i32.
+
+    Twin of the fused kernel's level walk (ops/pallas/texshade.py::
+    _mip_meta): lod = round(log2(lam * w0)) clamped to the texture's
+    resident chain, level addresses derived by walking the contiguous
+    pyramid (models/geometry.py::Textures layout)."""
+    w = tex.width[safe].astype(jnp.float32)
+    h = tex.height[safe].astype(jnp.float32)
+    sr = tex.srows[safe].astype(jnp.float32)
+    off = tex.offset_row[safe].astype(jnp.float32)
+    lv = tex.levels[safe].astype(jnp.float32)
+    foot = jnp.maximum(lam * w, 1e-20)
+    bits = jax.lax.bitcast_convert_type(foot * jnp.float32(1.4142135),
+                                        jnp.int32)
+    lod = jnp.clip(((bits >> 23) - 127).astype(jnp.float32), 0.0, lv - 1.0)
+    sw, sh, soff, ssr = w, h, off, sr
+    wl, hl, offl, srl = w, h, off, sr
+    for l in range(1, tex.n_levels):
+        offl = offl + (hl + 1.0) * srl
+        wl = jnp.maximum(jnp.floor(wl * 0.5), 1.0)
+        hl = jnp.maximum(jnp.floor(hl * 0.5), 1.0)
+        srl = jnp.floor((wl + 126.0) * (1.0 / 127.0))
+        m = lod >= float(l)
+        sw = jnp.where(m, wl, sw)
+        sh = jnp.where(m, hl, sh)
+        soff = jnp.where(m, offl, soff)
+        ssr = jnp.where(m, srl, ssr)
+    return (sw.astype(jnp.int32), sh.astype(jnp.int32),
+            ssr.astype(jnp.int32), soff.astype(jnp.int32))
+
+
+def tap_base(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
+             lam: jnp.ndarray | None = None):
     """Bilinear tap setup in the guard-band atlas → (row [..], lane [..],
     srows [..], fx, fy) with every tap of the quad at
     (row + {0,1}*srows)*128 + lane + {0,1}.
 
     `idx` must already be valid (callers clamp/mask). The MIRRORED_REPEAT
-    reflected-period tap direction flip is folded into (lane, fx)."""
+    reflected-period tap direction flip is folded into (lane, fx).
+    `lam` (mip footprint) + a pyramid atlas select a per-lane mip level."""
     safe = jnp.minimum(idx.astype(jnp.uint32),
                        jnp.uint32(max(tex.count - 1, 0)))
-    w = tex.width[safe].astype(jnp.int32)
-    h = tex.height[safe].astype(jnp.int32)
-    mode = tex.wrap[safe].astype(jnp.int32)
-    srows = tex.srows[safe].astype(jnp.int32)
-    off_row = tex.offset_row[safe].astype(jnp.int32)
+    if lam is not None and tex.n_levels > 1:
+        w, h, srows, off_row = mip_level_params(tex, safe, lam)
+        mode = tex.wrap[safe].astype(jnp.int32)
+    else:
+        w = tex.width[safe].astype(jnp.int32)
+        h = tex.height[safe].astype(jnp.int32)
+        mode = tex.wrap[safe].astype(jnp.int32)
+        srows = tex.srows[safe].astype(jnp.int32)
+        off_row = tex.offset_row[safe].astype(jnp.int32)
 
     uf = uv[..., 0] * w.astype(jnp.float32) - 0.5
     vf = uv[..., 1] * h.astype(jnp.float32) - 0.5
@@ -113,18 +152,20 @@ def tap_base(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray):
 
 @partial(jax.jit, static_argnames=("bilinear",))
 def sample_texture(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
-                   bilinear: bool = True) -> jnp.ndarray:
+                   bilinear: bool = True,
+                   lam: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample texture `idx` (u32, NO_TEXTURE = miss) at `uv` → RGBA f32.
 
     Lanes with idx == NO_TEXTURE (or out of range) return opaque white
     (1,1,1,1) so the caller can multiply unconditionally — the standard
-    "no texture = identity factor" convention.
+    "no texture = identity factor" convention. `lam` (per-lane mip
+    footprint) enables nearest-mip selection on pyramid atlases.
     """
     valid = idx != NO_TEXTURE
     safe = jnp.where(valid, idx, 0).astype(jnp.uint32)
 
     if bilinear:
-        row, lane, srows, fx, fy = tap_base(tex, safe, uv)
+        row, lane, srows, fx, fy = tap_base(tex, safe, uv, lam=lam)
         # Two whole-row gathers (XLA's fast row-gather path) + weighted
         # one-hot lane select: both x taps live in the fetched rows.
         rows2d = tex.data_u32.reshape(-1, 128)

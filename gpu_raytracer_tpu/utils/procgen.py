@@ -219,10 +219,13 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
                            direction=(0.0, -0.12, -1.0), fov=55.0)
     textures = None
     if textured:
+        from ..ops.pallas.texshade import MAX_ATLAS_ROWS
         textures = Textures.from_images([
             make_checker_texture(128),            # 0: floor
             make_brick_texture(128, seed=seed),   # 1: stone boxes
             make_noise_texture(128, seed=seed),   # 2: plaster boxes
-        ])
+        ], mips=config.texture_mips,
+            budget_rows=(MAX_ATLAS_ROWS if config.texture_mips > 1
+                         else None))
     return prepare_scene(camera, Spheres.from_rows([]), mesh, mats.build(),
                          lb.build(), textures=textures, config=config)

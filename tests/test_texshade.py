@@ -47,9 +47,10 @@ def _random_gbuffer(rng, B=2, sub=64, n_mats=6):
     light = rng.uniform(0, 3, (N, 3)).astype(np.float32)
     mat_id = rng.integers(-1, n_mats + 2, N).astype(np.int32)  # miss+invalid
     uv = rng.uniform(-1.5, 2.5, (N, 2)).astype(np.float32)
-    out6 = np.concatenate([light, mat_id[:, None].astype(np.float32), uv],
-                          axis=1)
-    return (out6.reshape(B, sub, 128, 6).transpose(0, 3, 1, 2),
+    lam = np.zeros((N, 1), np.float32)     # mip footprint plane (level 0)
+    out7 = np.concatenate([light, mat_id[:, None].astype(np.float32), uv,
+                           lam], axis=1)
+    return (out7.reshape(B, sub, 128, 7).transpose(0, 3, 1, 2),
             light, mat_id, uv)
 
 
