@@ -295,7 +295,7 @@ extern "C" int64_t bvh_collapse4(
     const int32_t* left, const int32_t* right, const int32_t* tri_start,
     const int32_t* tri_count, const float* node_min, const float* node_max,
     int64_t n, int32_t* q_child, int32_t* q_leafc, float* q_min, float* q_max,
-    int32_t* q_axis) {
+    int32_t* q_axis, int32_t* q_src) {
   if (n <= 0) return -1;
   const float kFar = 1e30f;
   auto leaf = [&](int32_t c) { return left[c] < 0; };
@@ -310,22 +310,23 @@ extern "C" int64_t bvh_collapse4(
   std::vector<int32_t> qid(n, -1);
   int64_t emitted = 0;
   auto emit_slot = [&](int64_t node, int i, int32_t ch, int32_t lc,
-                       const float* mn, const float* mx) {
+                       const float* mn, const float* mx, int32_t src) {
     q_child[node * 4 + i] = ch;
     q_leafc[node * 4 + i] = lc;
+    q_src[node * 4 + i] = src;  // binary node behind the slot (refit)
     for (int k = 0; k < 3; ++k) {
       q_min[(node * 4 + i) * 3 + k] = mn ? mn[k] : kFar;
       q_max[(node * 4 + i) * 3 + k] = mx ? mx[k] : kFar;
     }
   };
   auto emit_empty = [&](int64_t node, int i) {
-    emit_slot(node, i, -1, 0, nullptr, nullptr);
+    emit_slot(node, i, -1, 0, nullptr, nullptr, -1);
   };
 
   if (leaf(0)) {
     for (int i = 0; i < 4; ++i) emit_empty(0, i);
     if (tri_count[0] > 0)
-      emit_slot(0, 0, tri_start[0], tri_count[0], node_min, node_max);
+      emit_slot(0, 0, tri_start[0], tri_count[0], node_min, node_max, 0);
     q_axis[0] = 0;
     return 1;
   }
@@ -368,7 +369,7 @@ extern "C" int64_t bvh_collapse4(
       if (leaf(c)) {
         if (tri_count[c] > 0)
           emit_slot(qid[b], out++, tri_start[c], tri_count[c],
-                    node_min + 3 * c, node_max + 3 * c);
+                    node_min + 3 * c, node_max + 3 * c, c);
       } else {
         if (qid[c] < 0) {
           if (next_id >= n) return -1;  // cap (never hit: Q <= internal+1)
@@ -376,7 +377,7 @@ extern "C" int64_t bvh_collapse4(
           queue.push_back(c);
         }
         emit_slot(qid[b], out++, qid[c], 0, node_min + 3 * c,
-                  node_max + 3 * c);
+                  node_max + 3 * c, c);
       }
     }
     for (; out < 4; ++out) emit_empty(qid[b], out);

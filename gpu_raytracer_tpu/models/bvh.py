@@ -25,7 +25,7 @@ from .geometry import triangle_aabbs
 LEAF = -1  # child sentinel (reference: 0xFFFFFFFF, shared/src/lib.rs:157-158)
 
 
-@pytree_dataclass(meta_fields=("leaf_align", "max_leaf"))
+@pytree_dataclass(meta_fields=("leaf_align", "max_leaf", "depth"))
 class Bvh:
     node_min: jnp.ndarray   # [N,3] f32
     node_max: jnp.ndarray   # [N,3] f32
@@ -59,6 +59,11 @@ class Bvh:
     q_min: jnp.ndarray | None = None     # [Q,4,3] f32
     q_max: jnp.ndarray | None = None     # [Q,4,3] f32
     q_axis: jnp.ndarray | None = None    # [Q] i32 child sort axis
+    # BINARY node id behind each quad slot (-1 empty): lets a topology
+    # refit re-derive q_min/q_max by gathering refreshed binary bounds.
+    q_src: jnp.ndarray | None = None     # [Q,4] i32
+    # Static max tree depth (bounds the refit sweep count; 64 default).
+    depth: int = 64
 
     @property
     def has_wide(self) -> bool:
@@ -131,12 +136,12 @@ class BvhBuildResult:
             out = collapse4_native(self.left, self.right, self.tri_start,
                                    self.tri_count, self.node_min,
                                    self.node_max)
-            qc, ql, qmn, qmx, qax = out if out is not None else collapse4(
-                self.left, self.right, self.tri_start, self.tri_count,
-                self.node_min, self.node_max)
+            qc, ql, qmn, qmx, qax, qsrc = out if out is not None else \
+                collapse4(self.left, self.right, self.tri_start,
+                          self.tri_count, self.node_min, self.node_max)
             quad = dict(q_child=jnp.asarray(qc), q_leafc=jnp.asarray(ql),
                         q_min=jnp.asarray(qmn), q_max=jnp.asarray(qmx),
-                        q_axis=jnp.asarray(qax))
+                        q_axis=jnp.asarray(qax), q_src=jnp.asarray(qsrc))
         return Bvh(
             node_min=jnp.asarray(self.node_min),
             node_max=jnp.asarray(self.node_max),
@@ -148,6 +153,7 @@ class BvhBuildResult:
             miss_link=jnp.asarray(miss_link),
             leaf_align=self.leaf_align,
             max_leaf=max(max_leaf, 1),
+            depth=max(self.max_depth + 2, 8),
             **quad,
         )
 
@@ -169,24 +175,26 @@ def collapse4(left, right, tri_start, tri_count, node_min, node_max):
     d = np.maximum(ext, 0.0)
     sa = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
 
-    q_child, q_leafc, q_min, q_max, q_axis = [], [], [], [], []
+    q_child, q_leafc, q_min, q_max, q_axis, q_src = [], [], [], [], [], []
 
     def emit(slots, axis):
         ch = np.full(4, -1, np.int64)
         lc = np.zeros(4, np.int64)
         mn = np.full((4, 3), FAR, np.float32)
         mx = np.full((4, 3), FAR, np.float32)
-        for i, (c, l, lo, hi) in enumerate(slots):
-            ch[i], lc[i], mn[i], mx[i] = c, l, lo, hi
+        srcs = np.full(4, -1, np.int64)
+        for i, (c, l, lo, hi, s) in enumerate(slots):
+            ch[i], lc[i], mn[i], mx[i], srcs[i] = c, l, lo, hi, s
         q_child.append(ch)
         q_leafc.append(lc)
         q_min.append(mn)
         q_max.append(mx)
         q_axis.append(axis)
+        q_src.append(srcs)
 
     if is_leaf[0]:
         emit([(int(tri_start[0]), max(int(tri_count[0]), 0),
-               node_min[0], node_max[0])] if tri_count[0] > 0 else [], 0)
+               node_min[0], node_max[0], 0)] if tri_count[0] > 0 else [], 0)
     else:
         qid = {0: 0}
         queue = [0]
@@ -211,19 +219,20 @@ def collapse4(left, right, tri_start, tri_count, node_min, node_max):
                 if is_leaf[c]:
                     if tri_count[c] > 0:  # empty leaves are inert — drop
                         slots.append((int(tri_start[c]), int(tri_count[c]),
-                                      node_min[c], node_max[c]))
+                                      node_min[c], node_max[c], c))
                 else:
                     q = qid.get(c)
                     if q is None:
                         q = qid[c] = len(qid)
                         queue.append(c)
-                    slots.append((q, 0, node_min[c], node_max[c]))
+                    slots.append((q, 0, node_min[c], node_max[c], c))
             emit(slots, ax)
 
     return (np.stack(q_child).astype(np.int32),
             np.stack(q_leafc).astype(np.int32),
             np.stack(q_min), np.stack(q_max),
-            np.asarray(q_axis, np.int32))
+            np.asarray(q_axis, np.int32),
+            np.stack(q_src).astype(np.int32))
 
 
 def align_leaves(res: "BvhBuildResult", align: int = 8) -> "BvhBuildResult":

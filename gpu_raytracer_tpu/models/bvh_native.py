@@ -95,7 +95,7 @@ def collapse4_native(left, right, tri_start, tri_count, node_min, node_max):
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.bvh_collapse4.restype = ctypes.c_int64
         lib._collapse4_ready = True
@@ -112,13 +112,15 @@ def collapse4_native(left, right, tri_start, tri_count, node_min, node_max):
     q_min = np.empty((n, 4, 3), np.float32)
     q_max = np.empty((n, 4, 3), np.float32)
     q_axis = np.empty(n, np.int32)
+    q_src = np.empty((n, 4), np.int32)
 
     i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     f32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     q = lib.bvh_collapse4(i32p(left), i32p(right), i32p(tri_start),
                           i32p(tri_count), f32p(node_min), f32p(node_max),
                           n, i32p(q_child), i32p(q_leafc), f32p(q_min),
-                          f32p(q_max), i32p(q_axis))
+                          f32p(q_max), i32p(q_axis), i32p(q_src))
     if q <= 0:
         return None
-    return (q_child[:q], q_leafc[:q], q_min[:q], q_max[:q], q_axis[:q])
+    return (q_child[:q], q_leafc[:q], q_min[:q], q_max[:q], q_axis[:q],
+            q_src[:q])

@@ -41,6 +41,9 @@ class Scene:
     tri_e2: jnp.ndarray     # [Tp,3] f32  (v2 - v0)
     tri_mat: jnp.ndarray    # [Tp] i32
     tri_uv: jnp.ndarray     # [Tp,3,2] f32 per-corner texture coordinates
+    # Original triangle id behind each leaf slot (-1 = padding): the
+    # topology-preserving refit re-expands (v0,e1,e2) through this map.
+    tri_src: jnp.ndarray | None = None   # [Tp] i32
 
     @property
     def num_triangles(self) -> int:
@@ -83,8 +86,12 @@ def _expand_triangles(vertices: np.ndarray, indices: np.ndarray,
         e2 = np.concatenate([e2, z])
         mat = np.concatenate([mat, np.zeros(pad, np.int64)])
         tuv = np.concatenate([tuv, np.zeros((pad, 3, 2), np.float32)])
+    src = np.where(pad_slot, -1, order)
+    if Tp != T:
+        src = np.concatenate([src, np.full(Tp - T, -1, np.int64)])
     return (jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
-            jnp.asarray(mat.astype(np.int32)), jnp.asarray(tuv))
+            jnp.asarray(mat.astype(np.int32)), jnp.asarray(tuv),
+            jnp.asarray(src.astype(np.int32)))
 
 
 def prepare_scene(
@@ -120,7 +127,7 @@ def prepare_scene(
         # the packed-table invariant (align_leaves rejects them loudly).
         bvh_result = build_bvh(vertices, indices, leaf_size=align)
         bvh_result = align_leaves(bvh_result, align)
-    tri_v0, tri_e1, tri_e2, tri_mat, tri_uv = _expand_triangles(
+    tri_v0, tri_e1, tri_e2, tri_mat, tri_uv, tri_src = _expand_triangles(
         vertices, indices, material_id, np.asarray(mesh.uv),
         bvh_result.tri_order,
         pad_to=max(config.bvh_leaf_size, bvh_result.leaf_align, 8),
@@ -134,7 +141,7 @@ def prepare_scene(
         textures=textures if textures is not None else Textures.empty(),
         bvh=bvh_result.to_device(),
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=tri_mat,
-        tri_uv=tri_uv,
+        tri_uv=tri_uv, tri_src=tri_src,
     )
 
 
@@ -164,6 +171,7 @@ def _refit_core(vertices, indices, material_id, uv):
     e2 = c[order] - v0
     mat = material_id[order]
     tuv = uv[indices][order]                      # [T,3,2]
+    srcs = order.astype(jnp.int32)
     T = v0.shape[0]
     pad = (-T) % GROUP
     if pad:
@@ -173,42 +181,109 @@ def _refit_core(vertices, indices, material_id, uv):
         e2 = jnp.concatenate([e2, z])
         mat = jnp.concatenate([mat, jnp.zeros((pad,), jnp.int32)])
         tuv = jnp.concatenate([tuv, jnp.zeros((pad, 3, 2), jnp.float32)])
+        srcs = jnp.concatenate([srcs, jnp.full((pad,), -1, jnp.int32)])
     return (nmin, nmax, left, right, tri_start, tri_count, hit, miss,
-            v0, e1, e2, mat, tuv, quad)
+            v0, e1, e2, mat, tuv, srcs, quad)
 
 
-def refit_scene(scene: Scene, vertices: jnp.ndarray) -> Scene:
-    """Per-frame on-device BVH rebuild for animated geometry.
+@jax.jit
+def _refit_topology_core(vertices, indices, tri_src, bvh):
+    """Topology-preserving BVH refit: keep the tree (links, leaf ranges,
+    quad children) and resweep only the GEOMETRY — re-expanded triangles,
+    bottom-up node AABBs, and the quad overlay's bounds via q_src. The
+    classic refit: tree quality stays at build quality for moderate
+    deformation, and NOTHING about the scene's shapes changes, so every
+    per-frame refit after the first is a pure jit-cache hit."""
+    Tp = tri_src.shape[0]
+    big = jnp.float32(3.0e38)
+    valid = tri_src >= 0
+    safe = jnp.clip(tri_src, 0, indices.shape[0] - 1)
+    idx = indices[safe]                                  # [Tp,3]
+    a = vertices[idx[:, 0]]
+    b = vertices[idx[:, 1]]
+    c = vertices[idx[:, 2]]
+    vm = valid[:, None]
+    v0 = jnp.where(vm, a, 0.0)
+    e1 = jnp.where(vm, b - a, 0.0)   # zero edges -> det 0 -> no hit
+    e2 = jnp.where(vm, c - a, 0.0)
+    tmin = jnp.where(vm, jnp.minimum(a, jnp.minimum(b, c)), big)
+    tmax = jnp.where(vm, jnp.maximum(a, jnp.maximum(b, c)), -big)
+
+    is_leaf = bvh.left < 0
+    N = bvh.left.shape[0]
+    nm = jnp.full((N, 3), big)
+    nx = jnp.full((N, 3), -big)
+    for j in range(bvh.max_leaf):    # static unroll: leaf AABBs
+        ok = (j < bvh.tri_count) & is_leaf
+        sidx = jnp.clip(bvh.tri_start + j, 0, Tp - 1)
+        nm = jnp.where(ok[:, None], jnp.minimum(nm, tmin[sidx]), nm)
+        nx = jnp.where(ok[:, None], jnp.maximum(nx, tmax[sidx]), nx)
+    lc = jnp.clip(bvh.left, 0, N - 1)
+    rc = jnp.clip(bvh.right, 0, N - 1)
+    lf = is_leaf[:, None]
+
+    def body(t, cbox):               # bottom-up child-gather sweeps
+        bm, bx = cbox
+        im = jnp.minimum(bm[lc], bm[rc])
+        ix = jnp.maximum(bx[lc], bx[rc])
+        return jnp.where(lf, bm, im), jnp.where(lf, bx, ix)
+
+    nm, nx = jax.lax.fori_loop(0, bvh.depth, body, (nm, nx))
+    qkw = {}
+    if bvh.q_src is not None:
+        FAR = jnp.float32(1e30)
+        okq = (bvh.q_src >= 0)[..., None]
+        qs = jnp.clip(bvh.q_src, 0, N - 1)
+        qkw = dict(q_min=jnp.where(okq, nm[qs], FAR),
+                   q_max=jnp.where(okq, nx[qs], FAR))
+    return replace(bvh, node_min=nm, node_max=nx, **qkw), v0, e1, e2
+
+
+def refit_scene(scene: Scene, vertices: jnp.ndarray,
+                rebuild: bool = False) -> Scene:
+    """Per-frame on-device BVH update for animated geometry.
 
     The reference rebuilds its BVH on the HOST every scene change
     (/root/reference/src/scene.rs:107-109) — fine for load events, a
-    pipeline stall if geometry moves per frame. Here the whole pipeline
-    runs inside one jit on new vertex positions: Morton codes → sort →
-    Karras hierarchy over aligned 8-slot leaf groups (ops/lbvh.py) → AABB
-    reduce → triangle re-expansion (+UV reorder). The result passes
-    `pallas_scene_ok`, so refit scenes STAY on the fused Pallas fast path
-    (BASELINE config 5: interactive fly-through with per-frame refit).
-    The jit closes over only (vertices, topology), so successive refits —
-    and the FIRST refit from a host-built scene — reuse one executable
-    (~60 ms warm at 100k triangles).
-    """
+    pipeline stall if geometry moves per frame. Two on-device modes:
+
+    * **topology refit** (default, `scene.tri_src` present): keep the
+      tree and resweep AABBs + re-expand triangles
+      (`_refit_topology_core`) — SAH quality survives, all shapes are
+      unchanged (zero recompiles frame-to-frame), cost is a handful of
+      gathers. The standard answer for deforming geometry.
+    * **full rebuild** (`rebuild=True`, or no tri_src): Morton codes →
+      sort → Karras hierarchy over aligned 8-slot leaf groups
+      (ops/lbvh.py) + device BVH4 collapse — for large deformations or
+      changed topology, where a refit tree's quality would erode.
+
+    Either result passes `pallas_scene_ok`, so refit scenes STAY on the
+    fused Pallas fast path (BASELINE config 5)."""
     GROUP = 8
     vertices = jnp.asarray(vertices, jnp.float32)
+    if not rebuild and scene.tri_src is not None:
+        bvh, v0, e1, e2 = _refit_topology_core(
+            vertices, scene.mesh.indices.astype(jnp.int32),
+            scene.tri_src, scene.bvh)
+        mesh = replace(scene.mesh, vertices=vertices)
+        return replace(scene, mesh=mesh, bvh=bvh, tri_v0=v0, tri_e1=e1,
+                       tri_e2=e2)
     (nmin, nmax, left, right, tri_start, tri_count, hit, miss,
-     v0, e1, e2, mat, tuv, quad) = _refit_core(
+     v0, e1, e2, mat, tuv, srcs, quad) = _refit_core(
         vertices, scene.mesh.indices.astype(jnp.int32),
         scene.mesh.material_id.astype(jnp.int32), scene.mesh.uv)
     qkw = {}
     if quad is not None:
-        qc, ql, qmn, qmx, qax = quad
-        qkw = dict(q_child=qc, q_leafc=ql, q_min=qmn, q_max=qmx, q_axis=qax)
+        qc, ql, qmn, qmx, qax, qsrc = quad
+        qkw = dict(q_child=qc, q_leafc=ql, q_min=qmn, q_max=qmx, q_axis=qax,
+                   q_src=qsrc)
     bvh = Bvh(node_min=nmin, node_max=nmax, left=left, right=right,
               tri_start=tri_start, tri_count=tri_count,
               hit_link=hit, miss_link=miss,
-              leaf_align=GROUP, max_leaf=GROUP, **qkw)
+              leaf_align=GROUP, max_leaf=GROUP, depth=128, **qkw)
     mesh = replace(scene.mesh, vertices=vertices)
     return replace(scene, mesh=mesh, bvh=bvh, tri_v0=v0, tri_e1=e1,
-                   tri_e2=e2, tri_mat=mat, tri_uv=tuv)
+                   tri_e2=e2, tri_mat=mat, tri_uv=tuv, tri_src=srcs)
 
 
 def build_default_scene(config: RaytracerConfig = DEFAULT_CONFIG) -> Scene:

@@ -285,7 +285,8 @@ def collapse4_device(node_min, node_max, left, right, tri_start, tri_count):
     same ordered-visit contract the host collapse establishes for
     _ordered_traverse4. Empty slots get child -1 / count 0 / inert FAR
     point bounds. Requires >= 1 internal node and leaf counts < 16
-    (grouped-LBVH leaves are always 8)."""
+    (grouped-LBVH leaves are always 8). Also returns q_src: the binary
+    node id behind each slot (-1 empty), for topology refits."""
     FAR = jnp.float32(1e30)
     n_nodes = left.shape[0]
     I = (n_nodes + 1) // 2 - 1            # internal nodes 0..I-1 (root 0)
@@ -333,11 +334,12 @@ def collapse4_device(node_min, node_max, left, right, tri_start, tri_count):
 
         return sw(key), [sw(a) for a in arrs]
 
-    arrs = [q_child, q_leafc, q_min, q_max]
+    q_srcs = jnp.where(valid, slots, jnp.int32(-1))      # binary node ids
+    arrs = [q_child, q_leafc, q_min, q_max, q_srcs]
     for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):  # 4-sort network
         key, arrs = cswap(i, j, key, arrs)
-    q_child, q_leafc, q_min, q_max = arrs
-    return q_child, q_leafc, q_min, q_max, q_axis
+    q_child, q_leafc, q_min, q_max, q_srcs = arrs
+    return q_child, q_leafc, q_min, q_max, q_axis, q_srcs
 
 
 def lbvh_from_mesh_device(vertices: jnp.ndarray, indices: jnp.ndarray,

@@ -106,7 +106,7 @@ class GeometryShards:
                 chunk = np.asarray([0], np.int64)
             res = build_bvh(verts, idx[chunk], leaf_size=8)
             res = align_leaves(res, 8)
-            v0, e1, e2, m, tuv = _expand_triangles(
+            v0, e1, e2, m, tuv, _src = _expand_triangles(
                 verts, idx[chunk], mat_ids[chunk], uv, res.tri_order, 8)
             ordr = np.asarray(res.tri_order, np.int64)
             gid = np.where(ordr < 0, np.int64(2**31 - 1),

@@ -102,7 +102,7 @@ def test_lbvh_trace_parity_with_host_bvh(rng):
         jnp.zeros((n,), jnp.uint32))
 
     res = build_bvh(verts, idx, leaf_size=4)
-    hv0, he1, he2, hmat, _huv = _expand_triangles(
+    hv0, he1, he2, hmat, _huv, _hsrc = _expand_triangles(
         verts, idx, np.zeros(n, np.uint32), np.zeros((verts.shape[0], 2),
                                                      np.float32),
         res.tri_order, 8)
@@ -282,7 +282,8 @@ def test_refit_scene_has_device_bvh4_overlay():
     scene = prepare_scene(Camera.default(), Spheres.from_rows([]),
                           Mesh.from_arrays(verts, idx, np.zeros(n, np.uint32)),
                           mats.build(), lb.build())
-    s0 = refit_scene(scene, jnp.asarray(verts + np.float32([0.1, 0.2, 0.0])))
+    s0 = refit_scene(scene, jnp.asarray(verts + np.float32([0.1, 0.2, 0.0])),
+                     rebuild=True)
     assert s0.bvh.has_wide
 
     # --- structural walk: each aligned leaf row reachable exactly once ---
@@ -324,3 +325,64 @@ def test_refit_scene_has_device_bvh4_overlay():
     assert hm.sum() > 30
     np.testing.assert_allclose(np.asarray(t_w)[hm], np.asarray(t_b)[hm],
                                rtol=1e-6)
+
+
+def test_topology_refit_deformed_matches_fresh_build():
+    """Topology-preserving refit (models/scene.py::_refit_topology_core):
+    deform the mesh, keep the SAH tree, resweep AABBs + quad bounds — hits
+    and closest t must equal a fresh host build of the deformed mesh, the
+    scene must keep has_wide, and NO array shape may change (the per-frame
+    zero-recompile contract)."""
+    import jax
+    rng = np.random.default_rng(99)
+    from gpu_raytracer_tpu.models.scene import prepare_scene, refit_scene
+    from gpu_raytracer_tpu.models.geometry import Mesh, Spheres
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+    from gpu_raytracer_tpu.models.light import LightBuilder
+    from gpu_raytracer_tpu.models.camera import Camera
+    from gpu_raytracer_tpu.ops.trace import trace
+
+    n = 500
+    verts, idx = _soup(rng, n)
+    mats = MaterialBuilder(); mats.add_diffuse((0.8, 0.3, 0.3))
+    lb = LightBuilder(); lb.add_point((5, 7, 4), (1, 1, 1), 1.0, float("inf"))
+
+    def build(v):
+        return prepare_scene(Camera.default(), Spheres.from_rows([]),
+                             Mesh.from_arrays(v, idx,
+                                              np.zeros(n, np.uint32)),
+                             mats.build(), lb.build())
+
+    scene = build(verts)
+    assert scene.tri_src is not None and scene.bvh.q_src is not None
+    # non-rigid deformation: per-vertex jitter + twist
+    moved = (verts + rng.normal(0, 0.15, verts.shape)).astype(np.float32)
+    s1 = refit_scene(scene, jnp.asarray(moved))
+    assert s1.bvh.has_wide
+    # identical shapes and tree topology (zero-recompile contract)
+    assert s1.tri_v0.shape == scene.tri_v0.shape
+    np.testing.assert_array_equal(np.asarray(s1.bvh.left),
+                                  np.asarray(scene.bvh.left))
+
+    fresh = build(moved)
+    m = 512
+    o = rng.uniform(-12, 12, (m, 3)).astype(np.float32)
+    tgt = rng.uniform(-8, 8, (m, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    h_r = trace(s1, o, d)
+    h_f = trace(fresh, o, d)
+    np.testing.assert_array_equal(np.asarray(h_r.hit), np.asarray(h_f.hit))
+    hm = np.asarray(h_f.hit)
+    assert hm.sum() > 50
+    np.testing.assert_allclose(np.asarray(h_r.t)[hm],
+                               np.asarray(h_f.t)[hm], rtol=1e-5)
+
+    # parent boxes contain child boxes after the resweep
+    nm = np.asarray(s1.bvh.node_min); nx = np.asarray(s1.bvh.node_max)
+    left = np.asarray(s1.bvh.left); right = np.asarray(s1.bvh.right)
+    internal = left >= 0
+    for ch in (left[internal], right[internal]):
+        assert (nm[internal] <= nm[ch] + 1e-5).all()
+        assert (nx[internal] >= nx[ch] - 1e-5).all()
