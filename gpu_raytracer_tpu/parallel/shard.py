@@ -20,7 +20,7 @@ absent in reference"); this layer is the TPU-native extension.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -208,49 +208,18 @@ class GeometryShards:
         self.q_axis = pad_q(qaxs, 0)
 
 
-def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
-                           mesh: Mesh, shards: GeometryShards | None = None,
-                           packet_size: int | None = None,
-                           use_pallas: bool | None = None,
-                           interpret: bool | None = None) -> Hit:
-    """Closest hit with triangles sharded across chips via per-shard BVHs.
-
-    Each chip runs the PALLAS packet traversal (BVH4 ordered — the same
-    kernel as the single-chip fast path; XLA lockstep fallback for
-    non-packet ray counts) of the FULL (replicated) ray batch against its
-    own sub-BVH, then the global winner is combined over ICI by REDUCTION:
-    pmin(t) → pmin(original id among t-winners, the reference tie rule:
-    lower original index wins at equal t) → masked psum of the unique
-    winner's attributes. That is 8 reduced words/ray independent of D,
-    vs the 6·(D-1) gathered words/ray of the r2 all-gather combine.
-    Build `shards = GeometryShards(scene, D)` once per scene and pass it
-    in; it is rebuilt per call otherwise.
-    """
-    from ..ops.packet_trace import packet_traverse
+@lru_cache(maxsize=32)
+def _geom_shard_fn(mesh: Mesh, packet_size: int, leaf_size: int,
+                   use_pallas: bool, interpret: bool):
+    """Build + jit the geometry-sharded trace ONCE per (mesh, statics):
+    jax.jit caches on function identity, so constructing shard_fn inside
+    every trace call re-traced and re-compiled per call (measured 7+ s per
+    frame on the chip). The lru_cache makes repeat calls pure cache hits."""
     from ..ops.pallas.traverse import pallas_packet_traverse
-    from ..ops.trace import _pallas_available
-    from ..ops.texture import sphere_uv
+    from ..ops.packet_trace import packet_traverse
     from ..models.bvh import Bvh
 
-    n_dev = mesh.devices.size
-    if shards is None:
-        shards = GeometryShards(scene, n_dev)
-    assert shards.n_shards == n_dev
-
-    N = orig.shape[0]
-    if interpret is None:  # virtual CPU meshes run the kernel interpreted
-        interpret = not _pallas_available()
-    if use_pallas is None:
-        use_pallas = N % 1024 == 0
-    if packet_size is None:
-        if use_pallas:
-            packet_size = 8192 if N % 8192 == 0 else 1024
-        else:
-            packet_size = max(k for k in (8192, 4096, 1024, 512, 256, 128,
-                                          64, 32, 16, 8, 4, 2, 1)
-                              if N % k == 0)
-    leaf_size = shards.max_leaf
-    SHARD = RAY_AXIS  # one mesh axis: shards ride the same axis as rays
+    SHARD = RAY_AXIS
     INT_MAX = jnp.int32(2**31 - 1)
 
     def shard_fn(o_rep, d_rep, nmin, nmax, left, right, ts_, tc_, hl, ml,
@@ -295,7 +264,54 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
         in_specs=(P(), P()) + (P(RAY_AXIS),) * 19,
         out_specs=(P(),) * 6, check_vma=False,
     )
-    tri_t, tri_g, tri_n, tri_m, tri_uv, tri_hit = jax.jit(fn)(
+    return jax.jit(fn)
+
+
+def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
+                           mesh: Mesh, shards: GeometryShards | None = None,
+                           packet_size: int | None = None,
+                           use_pallas: bool | None = None,
+                           interpret: bool | None = None) -> Hit:
+    """Closest hit with triangles sharded across chips via per-shard BVHs.
+
+    Each chip runs the PALLAS packet traversal (BVH4 ordered — the same
+    kernel as the single-chip fast path; XLA lockstep fallback for
+    non-packet ray counts) of the FULL (replicated) ray batch against its
+    own sub-BVH, then the global winner is combined over ICI by REDUCTION:
+    pmin(t) → pmin(original id among t-winners, the reference tie rule:
+    lower original index wins at equal t) → masked psum of the unique
+    winner's attributes. That is 8 reduced words/ray independent of D,
+    vs the 6·(D-1) gathered words/ray of the r2 all-gather combine.
+    Build `shards = GeometryShards(scene, D)` once per scene and pass it
+    in; it is rebuilt per call otherwise.
+    """
+    from ..ops.packet_trace import packet_traverse
+    from ..ops.pallas.traverse import pallas_packet_traverse
+    from ..ops.trace import _pallas_available
+    from ..ops.texture import sphere_uv
+    from ..models.bvh import Bvh
+
+    n_dev = mesh.devices.size
+    if shards is None:
+        shards = GeometryShards(scene, n_dev)
+    assert shards.n_shards == n_dev
+
+    N = orig.shape[0]
+    if interpret is None:  # virtual CPU meshes run the kernel interpreted
+        interpret = not _pallas_available()
+    if use_pallas is None:
+        use_pallas = N % 1024 == 0
+    if packet_size is None:
+        if use_pallas:
+            packet_size = 8192 if N % 8192 == 0 else 1024
+        else:
+            packet_size = max(k for k in (8192, 4096, 1024, 512, 256, 128,
+                                          64, 32, 16, 8, 4, 2, 1)
+                              if N % k == 0)
+    leaf_size = shards.max_leaf
+    fn = _geom_shard_fn(mesh, packet_size, leaf_size, bool(use_pallas),
+                        bool(interpret))
+    tri_t, tri_g, tri_n, tri_m, tri_uv, tri_hit = fn(
         orig, dirn, shards.node_min, shards.node_max, shards.left,
         shards.right, shards.tri_start, shards.tri_count, shards.hit_link,
         shards.miss_link, shards.q_child, shards.q_leafc, shards.q_min,
