@@ -83,7 +83,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             nact_ref, rad_ref, stack_ref, *,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
             light_sample, wide=False, textured=False, mats_pad=0,
-            rows_pad=0, present=(), per_row=4):
+            rows_pad=0, present=(), per_row=4, unroll=1):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -103,7 +103,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=textured, slots=slots,
-                         wide=wide, per_row=per_row)
+                         wide=wide, per_row=per_row, unroll=unroll)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -368,7 +368,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
 
 
 @partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
-                                   "interpret", "light_sample", "quad_row"))
+                                   "interpret", "light_sample", "quad_row",
+                                   "trav_unroll"))
 def pallas_bounce(
     scene: Scene,
     origin: jnp.ndarray,      # [N,3]
@@ -386,6 +387,7 @@ def pallas_bounce(
     interpret: bool = False,
     light_sample: bool = False,
     quad_row: int | None = None,
+    trav_unroll: int = 1,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
     medium', channel', ray_type', bounce_depth', active',
@@ -455,7 +457,7 @@ def pallas_bounce(
                      shadows=shadows, do_rr=do_rr, light_sample=light_sample,
                      wide=wide, textured=textured,
                      mats_pad=mtable.shape[1], rows_pad=planes.shape[2],
-                     present=present, per_row=qpr)
+                     present=present, per_row=qpr, unroll=trav_unroll)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),

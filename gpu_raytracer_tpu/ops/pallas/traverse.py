@@ -387,7 +387,7 @@ def pack_node4_rows(bvh: Bvh, per_row: int = 4) -> jnp.ndarray:
 
 def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                        mt0, max_iters, with_uv, any_hit=False, slots=8,
-                       per_row=4):
+                       per_row=4, unroll=1):
     """BVH4 near-first DFS — the 4-wide sibling of _ordered_traverse with
     the SAME carry/result tuple. One step fetches a 32-lane quad record and
     slab-tests all four children, so the per-step scalar overhead (switch
@@ -403,6 +403,10 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
     def step(state):
         cursor, sp, it, best = state
         best_t = best[0]
+        # unrolled bodies may run past retirement: dead steps (cursor < 0)
+        # read node 0 harmlessly and are masked out of every update below
+        live = cursor >= 0
+        cursor = jnp.maximum(cursor, 0)
 
         if per_row == 1:
             b = node_ref[pl.ds(cursor, 1), 0:GROUP4]
@@ -441,7 +445,7 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                   & (jnp.maximum(tmin, 0.0) <= best_t))
             if any_hit:
                 rh = rh & (best[1] < 0)
-            hits.append(jnp.any(rh))
+            hits.append(jnp.any(rh) & live)
 
         # near-order view k=0..3 (forward or reversed children)
         sel = lambda arr, k: jnp.where(fwd, arr[k], arr[3 - k])
@@ -482,9 +486,16 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
         sp2 = jnp.minimum(spc, STACK)
         new_sp = jnp.where(descend, sp2, jnp.maximum(sp2 - 1, 0))
         popped = stack_ref[jnp.minimum(new_sp, STACK - 1)]
-        cursor = jnp.where(descend, cnext,
-                           jnp.where(sp2 > 0, popped, jnp.int32(-1)))
+        nxt = jnp.where(descend, cnext,
+                        jnp.where(sp2 > 0, popped, jnp.int32(-1)))
+        cursor = jnp.where(live, nxt, jnp.int32(-1))
+        new_sp = jnp.where(live, new_sp, sp)
         return cursor, new_sp, it + 1, best
+
+    def body(state):
+        for _ in range(unroll):
+            state = step(state)
+        return state
 
     def cond(state):
         cursor, _, it = state[0], state[1], state[2]
@@ -499,19 +510,19 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
             (mt0, jnp.full(tile, -1, jnp.int32),
              zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
              zero, zero, zero))
-    _, _, _, best = jax.lax.while_loop(cond, step, init)
+    _, _, _, best = jax.lax.while_loop(cond, body, init)
     return best
 
 
 def traverse_best(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                   mt0, *, max_iters, with_uv, any_hit=False, slots=8,
-                  wide=False, per_row=4):
+                  wide=False, per_row=4, unroll=1):
     """Closest/any-hit traversal over the packed node table — dispatches to
     the BVH4 kernel when the table was packed wide (pack_node4_rows)."""
     if wide:
         return _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz,
                                   dx, dy, dz, mt0, max_iters, with_uv,
-                                  any_hit, slots, per_row)
+                                  any_hit, slots, per_row, unroll)
     return _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz,
                              dx, dy, dz, mt0, max_iters, with_uv, any_hit,
                              slots)
