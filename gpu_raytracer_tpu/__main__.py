@@ -44,6 +44,8 @@ def _add_scene_args(p):
     p.add_argument("--demo", action="store_true", help="built-in demo scene (default)")
     p.add_argument("--courtyard", type=int, default=0, metavar="TRIS",
                    help="procedural courtyard with ~TRIS triangles")
+    p.add_argument("--textured", action="store_true",
+                   help="courtyard variant with procedural texture atlases")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("-o", "--output", type=str, default="out.png")
@@ -120,9 +122,13 @@ def cmd_serve(args, config):
 
 
 def cmd_info(args, config):
-    from .models.gltf import GltfLoader
+    from .models.gltf import GltfError, GltfLoader
 
-    loader = GltfLoader.load_from_path(args.gltf)
+    try:
+        loader = GltfLoader.load_from_path(args.gltf)
+    except GltfError as e:   # clean CLI error, not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(1)
     print("scenes: ", loader.list_scenes())
     print("cameras:", loader.list_cameras())
     print("lights: ", loader.list_lights())
