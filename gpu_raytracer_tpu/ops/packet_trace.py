@@ -117,7 +117,7 @@ def packet_traverse(
             tmin_max = jnp.max(jnp.minimum(t1, t2), axis=-1)
             tmax_min = jnp.min(jnp.maximum(t1, t2), axis=-1)
             ray_hit = ((tmax_min >= 0.0) & (tmin_max <= tmax_min)
-                       & (jnp.maximum(tmin_max, 0.0) <= best_t))
+                       & (jnp.maximum(tmin_max, 0.0) < best_t))
             hit_any = jnp.any(ray_hit)
             is_leaf = f2i(rec[9]) > 0
             push = hit_any & is_leaf

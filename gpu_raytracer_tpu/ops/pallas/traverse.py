@@ -287,7 +287,7 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
         # prunes strictly more (and lets max_t=0 dead lanes reject even
         # boxes that CONTAIN the ray origin, where tmin < 0)
         ray_hit = ((tmax >= 0.0) & (tmin <= tmax)
-                   & (jnp.maximum(tmin, 0.0) <= best_t))
+                   & (jnp.maximum(tmin, 0.0) < best_t))
         if any_hit:
             ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
@@ -442,7 +442,7 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                                            jnp.maximum(t1y, t2y)),
                                jnp.maximum(t1z, t2z))
             rh = ((tmax >= 0.0) & (tmin <= tmax)
-                  & (jnp.maximum(tmin, 0.0) <= best_t))
+                  & (jnp.maximum(tmin, 0.0) < best_t))
             if any_hit:
                 rh = rh & (best[1] < 0)
             hits.append(jnp.any(rh) & live)
@@ -596,7 +596,7 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
         # prunes strictly more (and lets max_t=0 dead lanes reject even
         # boxes that CONTAIN the ray origin, where tmin < 0)
         ray_hit = ((tmax >= 0.0) & (tmin <= tmax)
-                   & (jnp.maximum(tmin, 0.0) <= best_t))
+                   & (jnp.maximum(tmin, 0.0) < best_t))
         if any_hit:
             ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
