@@ -24,6 +24,9 @@ from ..ops.wavefront import camera_wavefront_rays, path_trace_pool
 from .perf import PerformanceState, ProgressiveTiming, Timer, block_on
 
 
+from functools import partial
+
+
 def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                   max_depth, rr_start, shadows, leaf_size, use_bvh, jitter,
                   live=None, spp=1):
@@ -53,6 +56,34 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
     if spp > 1:
         contrib = contrib.reshape(spp, -1, 3).sum(axis=0)
     return contrib, counts
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "channel", "max_depth",
+                          "rr_start", "shadows", "leaf_size", "use_bvh",
+                          "antialias", "spp"),
+         donate_argnums=(1,))
+def _step_whole_frame(scene: Scene, accum, key, step_idx, px, py, *,
+                      width: int, height: int, channel: int, max_depth: int,
+                      rr_start: int, shadows: bool, leaf_size: int,
+                      use_bvh: bool, antialias: bool, spp: int):
+    """The ENTIRE progressive step as ONE compiled program.
+
+    Driving fold_in → jitter → camera raygen → pool trace → accumulate as
+    separate eager dispatches measured ~85 ms/spp of host/dispatch overhead
+    on top of the ~213 ms compiled pool loop (chip, 1024², depth 4): each
+    eager op is its own XLA computation with its own tunnel round-trip and
+    pytree cache probe. One jit with the accumulator donated makes the step
+    a single dispatch and reuses the accum buffer in place. `step_idx` is a
+    traced scalar so successive samples share the compiled executable."""
+    skey = jax.random.fold_in(key, step_idx)
+    jit_key = jax.random.fold_in(skey, 0)  # chunk offset 0 (whole frame)
+    jitter = (jax.random.uniform(jit_key, (px.shape[0], 2))
+              if antialias else None)
+    contrib, counts = _sample_chunk(scene, px, py, width, height, jit_key,
+                                    channel, max_depth, rr_start, shadows,
+                                    leaf_size, use_bvh, jitter, None, spp=spp)
+    return accum + contrib, counts
 
 
 class PathTracer:
@@ -110,6 +141,18 @@ class PathTracer:
         self.accum = jnp.zeros_like(self.accum)
         self.samples = 0
 
+    def _whole_frame_ok(self) -> bool:
+        """True when the frame goes through in ONE pool on the Pallas path —
+        the condition under which _chunks yields a single whole-frame chunk
+        and step() can use the fused single-dispatch program."""
+        from ..ops.trace import _pallas_available, PACKET_SIZE
+        from ..ops.pallas.traverse import pallas_scene_ok
+
+        n = self.width * self.height
+        return (_pallas_available() and n % PACKET_SIZE == 0
+                and pallas_scene_ok(self.scene.bvh,
+                                    self.scene.tri_v0.shape[0]))
+
     def _chunks(self):
         n = self.width * self.height
         # Whole-frame pools on the Pallas traversal path (fewer launches =
@@ -140,10 +183,25 @@ class PathTracer:
         """Trace one sample per pixel and accumulate."""
         self._last_counts = None  # per-step device tallies (lazy fetch)
         self._last_seed = self.samples  # the fold used for THIS step
-        skey = jax.random.fold_in(self.key, self.samples)
         md = self.config.max_bounce_depth
         rr = self.config.russian_roulette_start
         ls = self.config.bvh_leaf_size
+        from ..ops.wavefront import RGB_CHANNEL
+
+        chan = RGB_CHANNEL if self.spectral else 1
+        if self._whole_frame_ok():
+            # single compiled dispatch per sample; accum donated in place
+            self.accum, self._last_counts = _step_whole_frame(
+                self.scene, self.accum, self.key,
+                jnp.int32(self.samples), self._px, self._py,
+                width=self.width, height=self.height, channel=chan,
+                max_depth=md, rr_start=rr, shadows=self.shadows,
+                leaf_size=ls, use_bvh=self.use_bvh,
+                antialias=self.antialias, spp=self.samples_per_step)
+            self.samples += self.samples_per_step
+            self.perf.update_frame_count()
+            return
+        skey = jax.random.fold_in(self.key, self.samples)
         updates = []
         for s, e, idx in self._chunks():
             px = self._px[idx]
