@@ -397,13 +397,18 @@ def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
 
 
 def _permute_pool(r: WavefrontRays, radiance, orig_lane, perm):
-    """Apply a pool permutation as ONE packed [N,21] row gather.
+    """Apply a pool permutation as ONE packed [N,19] row gather.
 
     TPU gathers vectorise across the trailing (lane) dimension: permuting
     the pool as 17 separate per-field gathers measured 167 ms at 1M lanes,
     the same bytes as one packed matrix gather ~20 ms. Integer fields ride
     as f32 (ray_type/depth/channel are tiny; pixel and orig_lane are exact
     below 2^24 — pools are ≤ a few M lanes).
+
+    inv_pdf / t_min / t_max are NOT permuted: they are pool-constant by
+    construction (camera_wavefront_rays sets them uniformly and no bounce
+    ever writes them — WavefrontRay parity fields only), so reordering
+    lanes cannot change their values; they pass through as-is.
     """
     # pixel / orig_lane ride as f32: a pool at or beyond 2^24 lanes would
     # silently round lane ids and scramble the final radiance unscramble.
@@ -411,8 +416,7 @@ def _permute_pool(r: WavefrontRays, radiance, orig_lane, perm):
         "wavefront pool too large for the packed f32 permute (>= 2^24 lanes)"
     cols = jnp.concatenate([
         r.origin, r.direction, r.throughput, radiance,
-        r.medium_ior[:, None], r.inv_pdf[:, None],
-        r.t_min[:, None], r.t_max[:, None],
+        r.medium_ior[:, None],
         r.ray_type.astype(jnp.float32)[:, None],
         r.bounce_depth.astype(jnp.float32)[:, None],
         r.wavelength_channel.astype(jnp.float32)[:, None],
@@ -422,15 +426,15 @@ def _permute_pool(r: WavefrontRays, radiance, orig_lane, perm):
     ], axis=1)[perm]
     r2 = WavefrontRays(
         origin=cols[:, 0:3], direction=cols[:, 3:6], throughput=cols[:, 6:9],
-        medium_ior=cols[:, 12], inv_pdf=cols[:, 13],
-        t_min=cols[:, 14], t_max=cols[:, 15],
-        ray_type=cols[:, 16].astype(jnp.int32),
-        bounce_depth=cols[:, 17].astype(jnp.int32),
-        wavelength_channel=cols[:, 18].astype(jnp.int32),
-        pixel=cols[:, 19].astype(jnp.int32),
-        active=cols[:, 21] > 0.0,
+        medium_ior=cols[:, 12], inv_pdf=r.inv_pdf,
+        t_min=r.t_min, t_max=r.t_max,
+        ray_type=cols[:, 13].astype(jnp.int32),
+        bounce_depth=cols[:, 14].astype(jnp.int32),
+        wavelength_channel=cols[:, 15].astype(jnp.int32),
+        pixel=cols[:, 16].astype(jnp.int32),
+        active=cols[:, 18] > 0.0,
     )
-    return r2, cols[:, 9:12], cols[:, 20].astype(jnp.int32)
+    return r2, cols[:, 9:12], cols[:, 17].astype(jnp.int32)
 
 
 def _unscramble(radiance, orig_lane):
@@ -455,7 +459,11 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
                            interpret: bool = False):
     """Static Python loop over depths driving the fused bounce kernel
     (ops/pallas/bounce.py); the coherence sort stays in XLA between bounces.
-    Same jax.random stream and formulas as the lax.while_loop body below."""
+    Same jax.random stream and formulas as the lax.while_loop body below.
+
+    (Measured dead end: SKIPPING the final depth's sort — only ~5% of
+    lanes live by then — was 6% slower end-to-end; the unsorted bounce
+    costs more than the sort+permute it saves.)"""
     from .pallas.bounce import pallas_bounce
     from ..utils.pytree import replace
 

@@ -64,6 +64,74 @@ def test_fused_bounce_full_pool_field_parity(default_scene):
     np.testing.assert_allclose(np.asarray(radF), np.asarray(rad), atol=2e-4)
 
 
+def test_all_dead_packet_identity(default_scene):
+    """A packet whose lanes are ALL dead (the coherence sort compacts dead
+    lanes into trailing packets; at depth 3-4 ~90% of packets arrive fully
+    dead) must produce exactly the identity transition: pool fields
+    unchanged, radiance 0, active stays off — bit-exact, since every write
+    falls back to the input on dead lanes. (An explicit pl.when skip branch
+    for all-dead packets was A/B'd on chip and measured neutral — the
+    strict-< root prune already retires them; not kept.)"""
+    from gpu_raytracer_tpu.utils.pytree import replace
+
+    rays = _pool(default_scene, RGB_CHANNEL)          # 1024 lanes = 1 packet
+    n = rays.count
+    # two packets: first live, second entirely dead (scrambled pool state
+    # must ride through the skip branch untouched)
+    two = replace(
+        rays,
+        origin=jnp.concatenate([rays.origin, rays.origin + 7.0]),
+        direction=jnp.concatenate([rays.direction, -rays.direction]),
+        throughput=jnp.concatenate([rays.throughput, rays.throughput * 0.3]),
+        medium_ior=jnp.concatenate([rays.medium_ior, rays.medium_ior + 0.4]),
+        inv_pdf=jnp.concatenate([rays.inv_pdf, rays.inv_pdf]),
+        t_min=jnp.concatenate([rays.t_min, rays.t_min]),
+        t_max=jnp.concatenate([rays.t_max, rays.t_max]),
+        ray_type=jnp.concatenate([rays.ray_type, rays.ray_type + 1]),
+        bounce_depth=jnp.concatenate([rays.bounce_depth,
+                                      rays.bounce_depth + 2]),
+        wavelength_channel=jnp.concatenate([rays.wavelength_channel,
+                                            rays.wavelength_channel]),
+        pixel=jnp.concatenate([rays.pixel, rays.pixel]),
+        active=jnp.concatenate([rays.active,
+                                jnp.zeros((n,), bool)]),
+    )
+    u = jax.random.uniform(jax.random.PRNGKey(5), (2 * n, 7), jnp.float32)
+    r2, rad = xla_bounce(default_scene, two, u, shadows=True,
+                         rr_enabled=True, rr_now=jnp.bool_(True),
+                         use_bvh=True)
+    o, d, thr, med, chan, rt, bd, act, radF = pallas_bounce(
+        default_scene, two.origin, two.direction, two.throughput,
+        two.medium_ior, two.wavelength_channel, two.ray_type,
+        two.bounce_depth, two.active, u, shadows=True, do_rr=True,
+        packet_size=1024, interpret=True)
+
+    # dead packet: exact identity (no float tolerance — nothing ran)
+    dead = slice(n, 2 * n)
+    np.testing.assert_array_equal(np.asarray(radF[dead]), 0.0)
+    np.testing.assert_array_equal(np.asarray(o[dead]),
+                                  np.asarray(two.origin[dead]))
+    np.testing.assert_array_equal(np.asarray(d[dead]),
+                                  np.asarray(two.direction[dead]))
+    np.testing.assert_array_equal(np.asarray(thr[dead]),
+                                  np.asarray(two.throughput[dead]))
+    np.testing.assert_array_equal(np.asarray(med[dead]),
+                                  np.asarray(two.medium_ior[dead]))
+    np.testing.assert_array_equal(np.asarray(chan[dead]),
+                                  np.asarray(two.wavelength_channel[dead]))
+    np.testing.assert_array_equal(np.asarray(rt[dead]),
+                                  np.asarray(two.ray_type[dead]))
+    np.testing.assert_array_equal(np.asarray(bd[dead]),
+                                  np.asarray(two.bounce_depth[dead]))
+    assert not np.asarray(act[dead]).any()
+
+    # full-pool parity vs the XLA body still holds (live packet unaffected)
+    np.testing.assert_array_equal(np.asarray(act), np.asarray(r2.active))
+    np.testing.assert_allclose(np.asarray(radF), np.asarray(rad), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(thr), np.asarray(r2.throughput),
+                               atol=2e-4)
+
+
 def test_spectral_split_on_glass(default_scene):
     """An RGB_CHANNEL ray that continues through dispersive glass collapses
     to one wavelength with a 3x one-hot throughput; all other continuations
