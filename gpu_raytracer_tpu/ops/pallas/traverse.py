@@ -193,29 +193,33 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
         qz = sx * e1y - sy * e1x
         v = f * (dx * qx + dy * qy + dz * qz)
         t = f * (e2x * qx + e2y * qy + e2z * qz)
+        # u <= 1 is implied by (v >= 0) & (u + v <= 1); dropping it saves
+        # two VPU ops per slot with an identical accept set
         ok = ((jnp.abs(a) >= _MIN_T)
-              & (u >= 0.0) & (u <= 1.0)
+              & (u >= 0.0)
               & (v >= 0.0) & (u + v <= 1.0)
               & (t > _MIN_T) & (t < best_t))
         if any_hit:
             best_tri = jnp.where(ok, row_base + j, best_tri)
             continue
         # winner attributes are the shared triangle's own scalars —
-        # geometric unit normal from e1 x e2 (scalar math), material id
+        # geometric normal from e1 x e2 (scalar math), material id
         # (exact small-int float, lane 9), interpolated TEXCOORD (corner
         # uvs in lanes 10-15) — closest-hit needs ZERO per-lane gathers.
+        # The carried normal is UNNORMALIZED: one rsqrt+3 muls per slot
+        # deferred to a single _normalize_best at the end of the traversal.
         cnx = e1y * e2z - e1z * e2y
         cny = e1z * e2x - e1x * e2z
         cnz = e1x * e2y - e1y * e2x
-        rl = jax.lax.rsqrt(
-            jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
         best_t = jnp.where(ok, t, best_t)
         best_tri = jnp.where(ok, row_base + j, best_tri)
-        bnx = jnp.where(ok, cnx * rl, bnx)
-        bny = jnp.where(ok, cny * rl, bny)
-        bnz = jnp.where(ok, cnz * rl, bnz)
+        bnx = jnp.where(ok, cnx, bnx)
+        bny = jnp.where(ok, cny, bny)
+        bnz = jnp.where(ok, cnz, bnz)
         bm = jnp.where(ok, tr[0, g + 9], bm)
         if with_uv:
+            rl = jax.lax.rsqrt(
+                jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
             w0 = 1.0 - u - v
             uvx = (tr[0, g + 10] * w0 + tr[0, g + 12] * u
                    + tr[0, g + 14] * v)
@@ -225,7 +229,7 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
             buvy = jnp.where(ok, uvy, buvy)
             # uv density = sqrt(uv area / world area): the triangle's
             # texels-per-world-unit scale (shared scalar math per slot).
-            # rl = 1/|e1 x e2| = 1/(2 * world area) from the normal above.
+            # rl = 1/|e1 x e2| = 1/(2 * world area) of the normal above.
             cruv = ((tr[0, g + 12] - tr[0, g + 10])
                     * (tr[0, g + 15] - tr[0, g + 11])
                     - (tr[0, g + 14] - tr[0, g + 10])
@@ -233,6 +237,18 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
             den = jnp.sqrt(jnp.abs(cruv) * rl)
             bden = jnp.where(ok, den, bden)
     return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy, bden
+
+
+def _normalize_best(best, any_hit=False):
+    """Normalize the winner's deferred (unnormalized) geometric normal —
+    the per-slot `cn * rsqrt(cn.cn)` moved out of the leaf loop. Bit-exact
+    vs the per-slot form (same cn, same formula). any_hit carries no
+    attributes; miss lanes hold cn = 0 -> stay exactly 0."""
+    if any_hit:
+        return best
+    t, tri, nx, ny, nz, m, uvx, uvy, den = best
+    rl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+    return t, tri, nx * rl, ny * rl, nz * rl, m, uvx, uvy, den
 
 
 def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
@@ -285,9 +301,11 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                            jnp.maximum(t1z, t2z))
         # entry distance clamped to 0: hits can't occur at t < 0, so this
         # prunes strictly more (and lets max_t=0 dead lanes reject even
-        # boxes that CONTAIN the ray origin, where tmin < 0)
-        ray_hit = ((tmax >= 0.0) & (tmin <= tmax)
-                   & (jnp.maximum(tmin, 0.0) < best_t))
+        # boxes that CONTAIN the ray origin, where tmin < 0). ce <= tmax
+        # subsumes both tmax >= 0 and tmin <= tmax (two fewer VPU ops,
+        # identical accept set incl. NaN rejects from d-component zeros).
+        ce = jnp.maximum(tmin, 0.0)
+        ray_hit = (ce <= tmax) & (ce < best_t)
         if any_hit:
             ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
@@ -336,7 +354,7 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
              zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
              zero, zero, zero))
     _, _, _, best = jax.lax.while_loop(cond, step, init)
-    return best
+    return _normalize_best(best, any_hit)
 
 
 ROW4 = 4      # quad nodes per 128-lane row (packed layout)
@@ -427,7 +445,7 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
         lcs = [vals[28] - 16.0 * axis, vals[29], vals[30], vals[31]]
         fwd = jnp.where(axis == 0.0, s0, jnp.where(axis == 1.0, s1, s2))
 
-        hits = []
+        rhs = []
         for c in range(4):
             t1x = (vals[6 * c + 0] - ox) * ix
             t1y = (vals[6 * c + 1] - oy) * iy
@@ -441,11 +459,23 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
             tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                            jnp.maximum(t1y, t2y)),
                                jnp.maximum(t1z, t2z))
-            rh = ((tmax >= 0.0) & (tmin <= tmax)
-                  & (jnp.maximum(tmin, 0.0) < best_t))
+            # ce <= tmax subsumes tmax >= 0 and tmin <= tmax (see
+            # _ordered_traverse) — two fewer VPU ops per child
+            ce = jnp.maximum(tmin, 0.0)
+            rh = (ce <= tmax) & (ce < best_t)
             if any_hit:
                 rh = rh & (best[1] < 0)
-            hits.append(jnp.any(rh) & live)
+            rhs.append(rh)
+        # four any-reductions packed into two: per-lane counts of children
+        # (0,1) and (2,3) share one int32 sum (tile <= 8192 lanes < 2^14,
+        # so a 14-bit shift keeps both counts exact); the scalar decode is
+        # scalar-core work, off the VPU's critical path
+        s01 = jnp.sum(rhs[0].astype(jnp.int32)
+                      + (rhs[1].astype(jnp.int32) << 14))
+        s23 = jnp.sum(rhs[2].astype(jnp.int32)
+                      + (rhs[3].astype(jnp.int32) << 14))
+        hits = [((s01 & 16383) > 0) & live, ((s01 >> 14) > 0) & live,
+                ((s23 & 16383) > 0) & live, ((s23 >> 14) > 0) & live]
 
         # near-order view k=0..3 (forward or reversed children)
         sel = lambda arr, k: jnp.where(fwd, arr[k], arr[3 - k])
@@ -511,7 +541,7 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
              zero, zero, zero, jnp.full(tile, -1.0, jnp.float32),
              zero, zero, zero))
     _, _, _, best = jax.lax.while_loop(cond, body, init)
-    return best
+    return _normalize_best(best, any_hit)
 
 
 def traverse_best(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
@@ -594,9 +624,10 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                            jnp.maximum(t1z, t2z))
         # entry distance clamped to 0: hits can't occur at t < 0, so this
         # prunes strictly more (and lets max_t=0 dead lanes reject even
-        # boxes that CONTAIN the ray origin, where tmin < 0)
-        ray_hit = ((tmax >= 0.0) & (tmin <= tmax)
-                   & (jnp.maximum(tmin, 0.0) < best_t))
+        # boxes that CONTAIN the ray origin, where tmin < 0); ce <= tmax
+        # subsumes tmax >= 0 and tmin <= tmax (see _ordered_traverse)
+        ce = jnp.maximum(tmin, 0.0)
+        ray_hit = (ce <= tmax) & (ce < best_t)
         if any_hit:
             ray_hit = ray_hit & (best[1] < 0)  # blocked lanes stop traversing
         hit_any = jnp.any(ray_hit)
@@ -627,6 +658,7 @@ def _kernel(node_ref, tri_ref, o_ref, d_ref, mt_ref,
              jnp.full(tile, -1.0, jnp.float32),                 # material
              zero, zero, zero))                                 # uv, density
     _, _, best = jax.lax.while_loop(cond, step, init)
+    best = _normalize_best(best, any_hit)
 
     t_ref[0] = best[0]
     tri_out_ref[0] = best[1]

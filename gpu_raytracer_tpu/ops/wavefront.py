@@ -397,44 +397,57 @@ def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
 
 
 def _permute_pool(r: WavefrontRays, radiance, orig_lane, perm):
-    """Apply a pool permutation as ONE packed [N,19] row gather.
+    """Apply a pool permutation as ONE packed [N,16] row gather.
 
     TPU gathers vectorise across the trailing (lane) dimension: permuting
     the pool as 17 separate per-field gathers measured 167 ms at 1M lanes,
-    the same bytes as one packed matrix gather ~20 ms. Integer fields ride
-    as f32 (ray_type/depth/channel are tiny; pixel and orig_lane are exact
-    below 2^24 — pools are ≤ a few M lanes).
+    the same bytes as one packed matrix gather ~20 ms (and the gather cost
+    scales with row bytes below 24 columns — chip-measured 4.5/6.8/8.1 ms
+    for 8/15/19 cols at 1M rows — so the four small-int fields share ONE
+    exact-f32 column). pixel and orig_lane ride as plain f32 (exact below
+    2^24 — pools are <= a few M lanes).
 
     inv_pdf / t_min / t_max are NOT permuted: they are pool-constant by
     construction (camera_wavefront_rays sets them uniformly and no bounce
     ever writes them — WavefrontRay parity fields only), so reordering
     lanes cannot change their values; they pass through as-is.
     """
-    # pixel / orig_lane ride as f32: a pool at or beyond 2^24 lanes would
-    # silently round lane ids and scramble the final radiance unscramble.
+    # a pool at or beyond 2^24 lanes would silently round lane ids and
+    # scramble the final radiance unscramble.
     assert r.origin.shape[0] < 2 ** 24, \
         "wavefront pool too large for the packed f32 permute (>= 2^24 lanes)"
+    # channel(2b) | ray_type(2b) | bounce_depth(6b) | active(1b) -> < 2^11,
+    # exact in f32. Depth is capped at 63 by path_trace_pool's signature
+    # (max_depth is a static int; reference depths are <= 8).
+    small = (r.wavelength_channel.astype(jnp.float32)
+             + 4.0 * r.ray_type.astype(jnp.float32)
+             + 16.0 * r.bounce_depth.astype(jnp.float32)
+             + 1024.0 * r.active.astype(jnp.float32))
     cols = jnp.concatenate([
         r.origin, r.direction, r.throughput, radiance,
         r.medium_ior[:, None],
-        r.ray_type.astype(jnp.float32)[:, None],
-        r.bounce_depth.astype(jnp.float32)[:, None],
-        r.wavelength_channel.astype(jnp.float32)[:, None],
+        small[:, None],
         r.pixel.astype(jnp.float32)[:, None],
         orig_lane.astype(jnp.float32)[:, None],
-        r.active.astype(jnp.float32)[:, None],
     ], axis=1)[perm]
+    sm = cols[:, 13]
+    act = sm >= 1024.0
+    sm = sm - jnp.where(act, 1024.0, 0.0)
+    bd = jnp.floor(sm * (1.0 / 16.0))
+    sm = sm - 16.0 * bd
+    rt = jnp.floor(sm * 0.25)
+    chan = sm - 4.0 * rt
     r2 = WavefrontRays(
         origin=cols[:, 0:3], direction=cols[:, 3:6], throughput=cols[:, 6:9],
         medium_ior=cols[:, 12], inv_pdf=r.inv_pdf,
         t_min=r.t_min, t_max=r.t_max,
-        ray_type=cols[:, 13].astype(jnp.int32),
-        bounce_depth=cols[:, 14].astype(jnp.int32),
-        wavelength_channel=cols[:, 15].astype(jnp.int32),
-        pixel=cols[:, 16].astype(jnp.int32),
-        active=cols[:, 18] > 0.0,
+        ray_type=rt.astype(jnp.int32),
+        bounce_depth=bd.astype(jnp.int32),
+        wavelength_channel=chan.astype(jnp.int32),
+        pixel=cols[:, 14].astype(jnp.int32),
+        active=act,
     )
-    return r2, cols[:, 9:12], cols[:, 17].astype(jnp.int32)
+    return r2, cols[:, 9:12], cols[:, 15].astype(jnp.int32)
 
 
 def _unscramble(radiance, orig_lane):
@@ -468,7 +481,11 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
     from ..utils.pytree import replace
 
     N = rays.count
-    P = 8192 if N % 8192 == 0 else 1024
+    # Packet size 4096: chip A/B across depth-1..4 pool states measured
+    # (32,128) tiles never worse and up to 20% better than (64,128) on the
+    # incoherent deep bounces (union path per program shrinks faster than
+    # program count grows); 2048/1024 are sharply worse (launch-bound).
+    P = 4096 if N % 4096 == 0 else 1024
     r = rays
     radiance = jnp.zeros((N, 3), jnp.float32)
     orig_lane = jnp.arange(N, dtype=jnp.int32)
@@ -512,6 +529,8 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
     numbers for WavefrontCounters (the reference simulated these host-side
     with a 0.7^depth decay, compute.rs:467-474).
     """
+    # bounce_depth rides a 6-bit field in _permute_pool's packed column
+    assert max_depth < 62, "max_depth >= 62 overflows the packed permute"
     N = rays.count
 
     if _fused_pool_ok(scene, N, use_bvh):
