@@ -83,7 +83,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             nact_ref, rad_ref, stack_ref, *,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
             light_sample, wide=False, textured=False, mats_pad=0,
-            rows_pad=0, present=(), per_row=4, unroll=1):
+            rows_pad=0, present=(), per_row=4, unroll=1,
+            last=False):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -223,6 +224,26 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     rad_ref[0, 0] = rad_r
     rad_ref[0, 1] = rad_g
     rad_ref[0, 2] = rad_b
+
+    if last:
+        # Final depth: the continuation pool is never consumed (the static
+        # depth loop ends after this bounce), so BSDF sampling + Russian
+        # roulette are dead work — write the identity pool and retire.
+        no_ref[0, 0] = ox
+        no_ref[0, 1] = oy
+        no_ref[0, 2] = oz
+        nd_ref[0, 0] = dx
+        nd_ref[0, 1] = dy
+        nd_ref[0, 2] = dz
+        nthr_ref[0, 0] = thr_r
+        nthr_ref[0, 1] = thr_g
+        nthr_ref[0, 2] = thr_b
+        nmed_ref[0] = med_ref[0]
+        nchan_ref[0] = chan_ref[0]
+        nrt_ref[0] = rt_ref[0]
+        nbd_ref[0] = bd_ref[0]
+        nact_ref[0] = jnp.zeros(tile, jnp.float32)
+        return
 
     # ---- continuation sampling (ops/sampling.py formulas) ----
     u0 = u_ref[0, 0]
@@ -369,7 +390,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
 
 @partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
                                    "interpret", "light_sample", "quad_row",
-                                   "trav_unroll"))
+                                   "trav_unroll", "last"))
 def pallas_bounce(
     scene: Scene,
     origin: jnp.ndarray,      # [N,3]
@@ -388,6 +409,7 @@ def pallas_bounce(
     light_sample: bool = False,
     quad_row: int | None = None,
     trav_unroll: int = 1,
+    last: bool = False,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
     medium', channel', ray_type', bounce_depth', active',
@@ -457,7 +479,8 @@ def pallas_bounce(
                      shadows=shadows, do_rr=do_rr, light_sample=light_sample,
                      wide=wide, textured=textured,
                      mats_pad=mtable.shape[1], rows_pad=planes.shape[2],
-                     present=present, per_row=qpr, unroll=trav_unroll)
+                     present=present, per_row=qpr, unroll=trav_unroll,
+                     last=last)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -481,11 +481,15 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
     from ..utils.pytree import replace
 
     N = rays.count
-    # Packet size 4096: chip A/B across depth-1..4 pool states measured
+    # Per-depth packet size: chip A/B across depth-0..4 pool states measured
     # (32,128) tiles never worse and up to 20% better than (64,128) on the
     # incoherent deep bounces (union path per program shrinks faster than
-    # program count grows); 2048/1024 are sharply worse (launch-bound).
-    P = 4096 if N % 4096 == 0 else 1024
+    # program count grows), while the COHERENT depth-0 camera packet prefers
+    # the fat (64,128) tile; 2048/1024 are sharply worse (launch-bound).
+    def P_at(depth):
+        if depth == 0 and N % 8192 == 0:
+            return 8192
+        return 4096 if N % 4096 == 0 else 1024
     r = rays
     radiance = jnp.zeros((N, 3), jnp.float32)
     orig_lane = jnp.arange(N, dtype=jnp.int32)
@@ -503,8 +507,9 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
             r.wavelength_channel, r.ray_type, r.bounce_depth, r.active, u,
             shadows=shadows,
             do_rr=(max_depth >= rr_start and depth >= rr_start),
-            packet_size=P, interpret=interpret,
-            light_sample=shadows and scene.lights.count > 1)
+            packet_size=P_at(depth), interpret=interpret,
+            light_sample=shadows and scene.lights.count > 1,
+            last=(depth == max_depth))
         r = replace(r, origin=o, direction=d, throughput=thr, medium_ior=med,
                     wavelength_channel=chan.astype(jnp.int32),
                     ray_type=rt.astype(jnp.int32),

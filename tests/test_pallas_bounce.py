@@ -132,6 +132,31 @@ def test_all_dead_packet_identity(default_scene):
                                atol=2e-4)
 
 
+def test_last_bounce_skips_continuation(default_scene):
+    """last=True (the static depth loop's final bounce) must produce the
+    SAME radiance as a full bounce while writing the identity pool with
+    active forced off — the continuation is dead work at max_depth."""
+    rays = _pool(default_scene, RGB_CHANNEL)
+    u = jax.random.uniform(jax.random.PRNGKey(9), (rays.count, 7),
+                           jnp.float32)
+    full = pallas_bounce(
+        default_scene, rays.origin, rays.direction, rays.throughput,
+        rays.medium_ior, rays.wavelength_channel, rays.ray_type,
+        rays.bounce_depth, rays.active, u, shadows=True, do_rr=True,
+        packet_size=1024, interpret=True)
+    lite = pallas_bounce(
+        default_scene, rays.origin, rays.direction, rays.throughput,
+        rays.medium_ior, rays.wavelength_channel, rays.ray_type,
+        rays.bounce_depth, rays.active, u, shadows=True, do_rr=True,
+        packet_size=1024, interpret=True, last=True)
+    np.testing.assert_array_equal(np.asarray(lite[8]), np.asarray(full[8]))
+    np.testing.assert_array_equal(np.asarray(lite[0]),
+                                  np.asarray(rays.origin))
+    np.testing.assert_array_equal(np.asarray(lite[1]),
+                                  np.asarray(rays.direction))
+    assert not np.asarray(lite[7]).any()
+
+
 def test_spectral_split_on_glass(default_scene):
     """An RGB_CHANNEL ray that continues through dispersive glass collapses
     to one wavelength with a 3x one-hot throughput; all other continuations
