@@ -84,7 +84,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
             light_sample, wide=False, textured=False, mats_pad=0,
             rows_pad=0, present=(), per_row=4, unroll=1,
-            last=False):
+            last=False, order_mode=0):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -104,7 +104,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=textured, slots=slots,
-                         wide=wide, per_row=per_row, unroll=unroll)
+                         wide=wide, per_row=per_row, unroll=unroll,
+                         order_mode=order_mode)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -390,7 +391,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
 
 @partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
                                    "interpret", "light_sample", "quad_row",
-                                   "trav_unroll", "last"))
+                                   "trav_unroll", "last",
+                                   "order_mode"))
 def pallas_bounce(
     scene: Scene,
     origin: jnp.ndarray,      # [N,3]
@@ -410,6 +412,7 @@ def pallas_bounce(
     quad_row: int | None = None,
     trav_unroll: int = 1,
     last: bool = False,
+    order_mode: int = 0,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
     medium', channel', ray_type', bounce_depth', active',
@@ -480,7 +483,7 @@ def pallas_bounce(
                      wide=wide, textured=textured,
                      mats_pad=mtable.shape[1], rows_pad=planes.shape[2],
                      present=present, per_row=qpr, unroll=trav_unroll,
-                     last=last)
+                     last=last, order_mode=order_mode)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),

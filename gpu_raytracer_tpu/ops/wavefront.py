@@ -509,7 +509,13 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
             do_rr=(max_depth >= rr_start and depth >= rr_start),
             packet_size=P_at(depth), interpret=interpret,
             light_sample=shadows and scene.lights.count > 1,
-            last=(depth == max_depth))
+            last=(depth == max_depth),
+            # chip A/B: exact entry-distance child ordering (order_mode 2)
+            # beats the majority-sign heuristic only on the SEMI-coherent
+            # first bounce (44.1 -> 39.5 ms); on fully incoherent deeper
+            # pools the packet-min entry is noise and its 4 min-reductions
+            # per step cost more than they prune (+8..17%).
+            order_mode=2 if depth == 1 else 0)
         r = replace(r, origin=o, direction=d, throughput=thr, medium_ior=med,
                     wavelength_channel=chan.astype(jnp.int32),
                     ray_type=rt.astype(jnp.int32),
