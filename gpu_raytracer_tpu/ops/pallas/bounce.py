@@ -84,7 +84,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
             light_sample, wide=False, textured=False, mats_pad=0,
             rows_pad=0, present=(), per_row=4, unroll=1,
-            last=False, order_mode=0):
+            last=False, order_mode=0, shadow_order=0):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -182,7 +182,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
             p[10], nx, ny, nz, phx, phy, phz, hit_live,
             shadows=True, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots, wide=wide, per_row=per_row)
+            slots=slots, wide=wide, per_row=per_row,
+            order_mode=shadow_order)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
@@ -194,7 +195,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
                 node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                 nx, ny, nz, phx, phy, phz, hit_live,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-                slots=slots, wide=wide, per_row=per_row)
+                slots=slots, wide=wide, per_row=per_row,
+                order_mode=shadow_order)
             gate = (I > 0.0).astype(jnp.float32)
             w = brdf * I * gate
             tot_r = tot_r + alb_r * w * lcr
@@ -392,7 +394,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
 @partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
                                    "interpret", "light_sample", "quad_row",
                                    "trav_unroll", "last",
-                                   "order_mode"))
+                                   "order_mode", "shadow_order"))
 def pallas_bounce(
     scene: Scene,
     origin: jnp.ndarray,      # [N,3]
@@ -413,6 +415,7 @@ def pallas_bounce(
     trav_unroll: int = 1,
     last: bool = False,
     order_mode: int = 0,
+    shadow_order: int = 0,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
     medium', channel', ray_type', bounce_depth', active',
@@ -483,7 +486,8 @@ def pallas_bounce(
                      wide=wide, textured=textured,
                      mats_pad=mtable.shape[1], rows_pad=planes.shape[2],
                      present=present, per_row=qpr, unroll=trav_unroll,
-                     last=last, order_mode=order_mode)
+                     last=last, order_mode=order_mode,
+                     shadow_order=shadow_order)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -194,7 +194,8 @@ def _sphere_occluders(sph_ref, n_spheres, sox, soy, soz, sdx, sdy, sdz, smax,
 
 def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
              nx, ny, nz, phx, phy, phz, hit_mask, *,
-             shadows, n_spheres, max_iters, slots, wide=False, per_row=4):
+             shadows, n_spheres, max_iters, slots, wide=False, per_row=4,
+             order_mode=0):
     """Post-shadow intensity I and colour of light `li` at the hit points
     (lighting.rs:20-139 + the shadow occlusion the reference never wired).
     Shared by the primary, deferred and bounce kernels."""
@@ -206,14 +207,14 @@ def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                        nx, ny, nz, phx, phy, phz, hit_mask,
                        shadows=shadows, n_spheres=n_spheres,
                        max_iters=max_iters, slots=slots, wide=wide,
-                       per_row=per_row)
+                       per_row=per_row, order_mode=order_mode)
 
 
 def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
                 lpx, lpy, lpz, ltype, lcr, lcg, lcb, lint, ldx, ldy, ldz,
                 nx, ny, nz, phx, phy, phz, hit_mask, *,
                 shadows, n_spheres, max_iters, slots, wide=False,
-                per_row=4):
+                per_row=4, order_mode=0):
     """_light_I with explicit light parameters — scalars (one static light)
     or per-lane tiles (a SAMPLED light per lane, ops/pallas/bounce.py's
     single-light NEE). `ldx/ldy/ldz` must be pre-normalised."""
@@ -257,7 +258,8 @@ def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
         sb = traverse_best(
             node_ref, tri_ref, stack_ref, sox, soy, soz,
             sdx, sdy, sdz, smax, max_iters=max_iters, with_uv=False,
-            any_hit=True, slots=slots, wide=wide, per_row=per_row)
+            any_hit=True, slots=slots, wide=wide, per_row=per_row,
+            order_mode=order_mode)
         blocked = (sb[1] >= 0).astype(jnp.float32)
         blocked = _sphere_occluders(sph_ref, n_spheres, sox, soy, soz,
                                     sdx, sdy, sdz, smax, blocked)
@@ -288,7 +290,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             max_iters, width, height, n_mats, n_lights, n_spheres,
             shadows, sky, slots, wide=False, textured=False, mats_pad=0,
             rows_pad=0, present=(), light_sample=False, n_levels=1,
-            per_row=4):
+            per_row=4, order_mode=0, shadow_order=0):
     """Single-phase: shade in-kernel — material parameters via a static
     mask-select loop, or (textured) the matmul lookup + atlas sampling
     subroutine shared with the fused bounce. With light_sample (scenes over
@@ -311,7 +313,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=textured, slots=slots,
-                         wide=wide, per_row=per_row)
+                         wide=wide, per_row=per_row, order_mode=order_mode)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -382,7 +384,8 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
             p[10], nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots, wide=wide, per_row=per_row)
+            slots=slots, wide=wide, per_row=per_row,
+            order_mode=shadow_order)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
@@ -394,7 +397,8 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
                 node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                 nx, ny, nz, px_hit, py_hit, pz_hit, hit,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-                slots=slots, wide=wide, per_row=per_row)
+                slots=slots, wide=wide, per_row=per_row,
+                order_mode=shadow_order)
             gate = (I > 0.0).astype(jnp.float32)
             w = brdf * I * gate
             tot_r = tot_r + alb_r * w * lcr
@@ -429,7 +433,8 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
                      px_ref, py_ref, *rest,
                      max_iters, width, height, n_lights, n_spheres,
                      shadows, slots, with_uv, wide=False,
-                     light_sample=False, per_row=4):
+                     light_sample=False, per_row=4, order_mode=0,
+                     shadow_order=0):
     """Two-phase: all traversal (primary + shadow), winner attributes and
     the material-independent light sum in-kernel; material/texture apply
     happens in XLA (ops/shading.py::shade_deferred). Output planes:
@@ -450,7 +455,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=with_uv, slots=slots,
-                         wide=wide, per_row=per_row)
+                         wide=wide, per_row=per_row, order_mode=order_mode)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -483,7 +488,8 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
             p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7], p[8], p[9],
             p[10], nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-            slots=slots, wide=wide, per_row=per_row)
+            slots=slots, wide=wide, per_row=per_row,
+            order_mode=shadow_order)
         Ig = I * (I > 0.0).astype(jnp.float32) * float(n_lights)
         S_r = Ig * lcr
         S_g = Ig * lcg
@@ -494,7 +500,8 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
                 node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                 nx, ny, nz, px_hit, py_hit, pz_hit, hit,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
-                slots=slots, wide=wide, per_row=per_row)
+                slots=slots, wide=wide, per_row=per_row,
+                order_mode=shadow_order)
             Ig = I * (I > 0.0).astype(jnp.float32)
             S_r = S_r + Ig * lcr
             S_g = S_g + Ig * lcg
@@ -566,7 +573,8 @@ def _per_packet(shape):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "shadows", "sky",
-                                   "packet_size", "interpret"))
+                                   "packet_size", "interpret", "order_mode",
+                                   "shadow_order"))
 def pallas_render_primary(
     scene: Scene,
     px: jnp.ndarray,
@@ -578,6 +586,8 @@ def pallas_render_primary(
     packet_size: int = 8192,
     interpret: bool = False,
     light_u: jnp.ndarray | None = None,
+    order_mode: int = 0,
+    shadow_order: int = 0,
 ) -> jnp.ndarray:
     """Whole-frame fused render → RGB [N,3] in the given ray order.
 
@@ -632,7 +642,7 @@ def pallas_render_primary(
         wide=wide, textured=textured, mats_pad=mtable.shape[1],
         rows_pad=planes.shape[2], present=present,
         light_sample=light_sample, n_levels=scene.textures.n_levels,
-        per_row=qpr)
+        per_row=qpr, order_mode=order_mode, shadow_order=shadow_order)
     in_specs = [
         _resident(node_rows.shape),
         _resident(tri_rows.shape),
