@@ -249,3 +249,23 @@ def test_many_lights_sampled_nee_deferred():
     mean = acc / K
     assert abs(mean.sum() - ref.sum()) / max(ref.sum(), 1e-6) < 0.10
     assert np.isfinite(mean).all()
+
+
+def test_primary_order_modes_agree(default_scene):
+    """Child-visit policy (majority-sign / static / entry-distance) must not
+    change the rendered image — only traversal order (ties aside, absent in
+    the demo scene)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpu_raytracer_tpu.ops.pallas.render import pallas_render_primary
+
+    W = H = 32
+    py, px = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(px.reshape(-1).astype(np.int32))
+    py = jnp.asarray(py.reshape(-1).astype(np.int32))
+    outs = [np.asarray(pallas_render_primary(
+        default_scene, px, py, W, H, shadows=True, sky=(0.1, 0.2, 0.3),
+        packet_size=1024, interpret=True, order_mode=om, shadow_order=so))
+        for om, so in ((0, 0), (1, 0), (2, 0), (0, 2), (2, 2))]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=1e-6)

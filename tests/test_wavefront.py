@@ -162,3 +162,59 @@ def test_multi_spp_pooled_step(default_scene):
     img_b = b.image()
     # independent RNG streams -> compare aggregate brightness, not pixels
     assert abs(img_a.mean() - img_b.mean()) / max(img_b.mean(), 1e-6) < 0.25
+
+
+def test_permute_pool_packed_field_roundtrip(default_scene):
+    """The 16-column packed permute (channel|ray_type|depth|active in ONE
+    exact-f32 field) must round-trip every field for an arbitrary
+    permutation, including the extremes of each bit range (depth 61,
+    channel 3, ray_type 3, active on/off)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from gpu_raytracer_tpu.ops.wavefront import (
+        camera_wavefront_rays, _permute_pool, RGB_CHANNEL)
+    from gpu_raytracer_tpu.utils.pytree import replace
+
+    N = 512
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(rng.integers(0, 64, N).astype(np.int32))
+    py = jnp.asarray(rng.integers(0, 64, N).astype(np.int32))
+    r = camera_wavefront_rays(default_scene.camera, 64, 64, px, py,
+                              RGB_CHANNEL)
+    r = replace(
+        r,
+        ray_type=jnp.asarray(rng.integers(0, 4, N).astype(np.int32)),
+        bounce_depth=jnp.asarray(
+            rng.choice([0, 1, 7, 33, 61], N).astype(np.int32)),
+        wavelength_channel=jnp.asarray(
+            rng.integers(0, 4, N).astype(np.int32)),
+        active=jnp.asarray(rng.integers(0, 2, N).astype(bool)),
+        medium_ior=jnp.asarray(rng.uniform(1.0, 2.5, N).astype(np.float32)),
+    )
+    radiance = jnp.asarray(rng.random((N, 3), np.float32))
+    orig = jnp.asarray(rng.permutation(N).astype(np.int32))
+    perm = jnp.asarray(rng.permutation(N).astype(np.int32))
+    r2, rad2, orig2 = _permute_pool(r, radiance, orig, perm)
+
+    p = np.asarray(perm)
+    np.testing.assert_array_equal(np.asarray(r2.ray_type),
+                                  np.asarray(r.ray_type)[p])
+    np.testing.assert_array_equal(np.asarray(r2.bounce_depth),
+                                  np.asarray(r.bounce_depth)[p])
+    np.testing.assert_array_equal(np.asarray(r2.wavelength_channel),
+                                  np.asarray(r.wavelength_channel)[p])
+    np.testing.assert_array_equal(np.asarray(r2.active),
+                                  np.asarray(r.active)[p])
+    np.testing.assert_array_equal(np.asarray(r2.pixel),
+                                  np.asarray(r.pixel)[p])
+    np.testing.assert_array_equal(np.asarray(orig2), np.asarray(orig)[p])
+    np.testing.assert_array_equal(np.asarray(r2.origin),
+                                  np.asarray(r.origin)[p])
+    np.testing.assert_array_equal(np.asarray(r2.medium_ior),
+                                  np.asarray(r.medium_ior)[p])
+    np.testing.assert_array_equal(np.asarray(rad2), np.asarray(radiance)[p])
+    # pool-constant fields pass through untouched
+    np.testing.assert_array_equal(np.asarray(r2.t_min), np.asarray(r.t_min))
+    np.testing.assert_array_equal(np.asarray(r2.inv_pdf),
+                                  np.asarray(r.inv_pdf))
