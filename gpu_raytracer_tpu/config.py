@@ -36,7 +36,9 @@ class RaytracerConfig:
     bvh_leaf_size: int = 8
     # Wavefront path tracing.
     max_bounce_depth: int = 4            # PushConstants::new default (shared/src/lib.rs:1088)
-    russian_roulette_start: int = 2      # bounce depth at which RR kicks in
+    russian_roulette_start: int = 2      # rays ENTERING this bounce depth
+                                         # are rouletted (PBRT start-of-
+                                         # bounce semantics)
     # Samples traced per PathTracer.step() in ONE pooled wavefront: >1 makes
     # the pool spp-times larger, amortising launch/sort overhead and packing
     # same-pixel bounce rays into denser traversal packets

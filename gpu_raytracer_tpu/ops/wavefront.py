@@ -506,7 +506,12 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
             scene, r.origin, r.direction, r.throughput, r.medium_ior,
             r.wavelength_channel, r.ray_type, r.bounce_depth, r.active, u,
             shadows=shadows,
-            do_rr=(max_depth >= rr_start and depth >= rr_start),
+            # RR applies to continuations ENTERING depth >= rr_start
+            # (PBRT start-of-bounce semantics; applied here at the end of
+            # the spawning bounce). The earlier-by-one schedule measured
+            # MSE-neutral at 64 spp (ratio 0.99 vs a 768-spp reference)
+            # while the un-rouletted depth-2 pool was the costliest bounce.
+            do_rr=(max_depth >= rr_start and depth + 1 >= rr_start),
             packet_size=P_at(depth), interpret=interpret,
             light_sample=shadows and scene.lights.count > 1,
             last=(depth == max_depth),
@@ -572,7 +577,7 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
         u = jax.random.uniform(k, (N, 7), jnp.float32)
         r, rad = xla_bounce(scene, r, u, shadows=shadows,
                             rr_enabled=max_depth >= rr_start,
-                            rr_now=depth >= rr_start,
+                            rr_now=depth + 1 >= rr_start,
                             leaf_size=leaf_size, use_bvh=use_bvh,
                             light_sample=shadows and scene.lights.count > 1)
         return depth + 1, r, radiance + rad, counts, orig_lane
