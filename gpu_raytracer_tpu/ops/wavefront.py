@@ -508,9 +508,11 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
             shadows=shadows,
             # RR applies to continuations ENTERING depth >= rr_start
             # (PBRT start-of-bounce semantics; applied here at the end of
-            # the spawning bounce). The earlier-by-one schedule measured
-            # MSE-neutral at 64 spp (ratio 0.99 vs a 768-spp reference)
-            # while the un-rouletted depth-2 pool was the costliest bounce.
+            # the spawning bounce). 64-spp MSE vs a high-spp reference:
+            # ratio 0.99 (default scene) / 1.15 (courtyard) for the
+            # earlier-by-one schedule — the un-rouletted depth-2 pool was
+            # the costliest bounce, so time-to-equal-quality still drops
+            # (~0.75 time x 1.15 MSE ~= 0.86). Unbiased either way.
             do_rr=(max_depth >= rr_start and depth + 1 >= rr_start),
             packet_size=P_at(depth), interpret=interpret,
             light_sample=shadows and scene.lights.count > 1,
