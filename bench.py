@@ -21,6 +21,18 @@ combined perf + correctness record:
                                 real-Mosaic output (the on-TPU correctness
                                 check; CPU tests only exercise interpret mode)
   * parity_deferred_vs_xla    — same for the two-phase textured kernel
+  * gltf_load_s / gltf_parity_vs_procedural — BASELINE config 4 through the
+                                ACTUAL loader: the courtyard exported as a
+                                .glb, ingested by scene_from_gltf at scale,
+                                rendered, compared to the procedurally built
+                                scene (VERDICT r3 #3)
+  * error                     — "" on success; exception text otherwise
+
+The record ALWAYS reaches stdout (VERDICT r3 #1: round 3's record was lost
+to a transient pool outage at backend init): init + first fetch retry with
+exponential backoff for BENCH_INIT_MAX_WAIT_S (default 600 s), every metric
+key is pre-seeded at 0.0/-1.0, the JSON line is printed from a finally
+block, and SIGTERM flushes it early.
 
 Ray accounting uses the reference's throughput definition (BASELINE.md:
 1 tile = 128x128 px x 3 channel passes => rays = pixels x 3): the reference
@@ -78,9 +90,137 @@ def measure_frame(render_fn, fetch_probe, rpc_lat, K=8, reps=3):
     return max(min(times), 1e-5), sorted(times)[len(times) // 2]
 
 
-def main():
+def _clear_failed_backends():
+    """Drop JAX's cached backend-init FAILURE so the next jax.devices()
+    genuinely retries the tunnel instead of replaying the cached error."""
+    try:
+        from jax._src import xla_bridge
+        xla_bridge._clear_backends()
+        return
+    except Exception:
+        pass
+    try:
+        import jax
+        jax.clear_backends()
+    except Exception:
+        pass
+
+
+def init_device_with_retry(max_wait_s: float):
+    """Backend init + first value fetch under bounded exponential backoff.
+
+    Round 3's driver bench died at `jax.devices()` with a transient
+    "Unable to initialize backend 'axon': UNAVAILABLE" pool outage and the
+    process exited rc=1 with NO JSON line (VERDICT r3 #1). Both the init and
+    the pool-admission fetch now retry for up to `max_wait_s`; on final
+    failure the caller still emits the JSON record with an error field.
+    Returns (jax, jnp, rpc_lat_s)."""
     import jax
     import jax.numpy as jnp
+
+    t0, delay, attempt = time.time(), 5.0, 0
+    while True:
+        attempt += 1
+        try:
+            log(f"devices: {jax.devices()}")   # ← backend init happens HERE
+            break
+        except Exception as e:
+            if time.time() - t0 + delay > max_wait_s:
+                raise RuntimeError(
+                    f"backend init failed after {attempt} attempts / "
+                    f"{time.time()-t0:.0f}s: {e}") from e
+            log(f"backend init attempt {attempt} failed ({e}); "
+                f"retry in {delay:.0f}s")
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+            _clear_failed_backends()
+
+    # RPC latency baseline for the tunneled TPU. The FIRST value fetch is
+    # also the pool-admission fence: under contention it can block for many
+    # minutes (measured 634 s once) — so the soft-budget clock starts only
+    # AFTER it (r2 lost ~20 min this way and skipped the flagship sections).
+    @jax.jit
+    def _trivial(x):
+        return x + 1
+
+    while True:
+        try:
+            t0f = time.time()
+            float(_trivial(jnp.float32(0)))
+            log(f"first device round-trip (pool admission): "
+                f"{time.time()-t0f:.1f}s")
+            break
+        except Exception as e:
+            if time.time() - t0 + delay > max_wait_s:
+                raise RuntimeError(f"first device fetch failed: {e}") from e
+            log(f"first fetch failed ({e}); retry in {delay:.0f}s")
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+            _clear_failed_backends()
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(_trivial(jnp.float32(0)))
+    rpc_lat = (time.perf_counter() - t0) / 5
+    log(f"RPC fetch latency: {rpc_lat*1e3:.1f}ms")
+    return jax, jnp, rpc_lat
+
+
+def main():
+    # The record ALWAYS reaches stdout — pre-seeded metrics, one json.dumps
+    # in the finally block, and a SIGTERM flush (a driver-bounded run that
+    # gets terminated mid-section still reports what it measured).
+    result = {
+        "metric": "primary_mrays_per_s_courtyard100k_1080p",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "pathtrace_spp_per_s": 0.0,
+        "pathtrace_64spp_s": 0.0,
+        "viewer_fps_1080p": 0.0,
+        "refit_fps_1080p": 0.0,
+        "textured_mrays_per_s": 0.0,
+        "pathtrace_textured_spp_per_s": 0.0,
+        "gltf_load_s": 0.0,
+        "gltf_parity_vs_procedural": -1.0,
+        "parity_fused_vs_xla": -1.0,
+        "parity_deferred_vs_xla": -1.0,
+        "error": "",
+    }
+    emitted = []
+
+    def emit():
+        if not emitted:
+            emitted.append(True)
+            print(json.dumps(result), flush=True)
+
+    import signal
+
+    def on_term(signum, frame):
+        result["error"] = result["error"] or f"terminated by signal {signum}"
+        log(f"signal {signum}: flushing bench record")
+        emit()
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGTERM, on_term)
+    except Exception:
+        pass
+
+    try:
+        _run(result)
+    except BaseException as e:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        result["error"] = (result["error"] + "; " if result["error"] else
+                           "") + f"{type(e).__name__}: {e}"
+    finally:
+        emit()
+
+
+def _run(result):
+    jax, jnp, rpc_lat = init_device_with_retry(
+        float(os.environ.get("BENCH_INIT_MAX_WAIT_S", 600)))
 
     try:  # amortise compiles across rounds (harmless if unsupported)
         # the env var alone is too late: the axon sitecustomize imports jax
@@ -97,24 +237,6 @@ def main():
     W, H = 1920, 1080
     n = W * H
     config = RaytracerConfig()
-    log(f"devices: {jax.devices()}")     # ← backend init happens HERE
-
-    # RPC latency baseline for the tunneled TPU. The FIRST value fetch is
-    # also the pool-admission fence: under contention it can block for many
-    # minutes (measured 634 s once) — so the soft-budget clock starts only
-    # AFTER it (r2 lost ~20 min this way and skipped the flagship sections).
-    @jax.jit
-    def _trivial(x):
-        return x + 1
-
-    t0 = time.time()
-    float(_trivial(jnp.float32(0)))
-    log(f"first device round-trip (pool admission): {time.time()-t0:.1f}s")
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(_trivial(jnp.float32(0)))
-    rpc_lat = (time.perf_counter() - t0) / 5
-    log(f"RPC fetch latency: {rpc_lat*1e3:.1f}ms")
 
     # Soft deadline for the OPTIONAL sections: the headline metric must
     # reach stdout even if the driver bounds the bench run.
@@ -127,8 +249,6 @@ def main():
             log(f"SKIP {section}: {dt:.0f}s over {BUDGET_S:.0f}s soft budget")
             return True
         return False
-
-    extra = {}
 
     # ---- 1. primary headline: untextured courtyard, single-phase fused ----
     t0 = time.time()
@@ -146,6 +266,8 @@ def main():
     mrays = n * 3 / best / 1e6
     log(f"primary: best={best*1e3:.1f}ms median={med*1e3:.1f}ms "
         f"-> {mrays:.1f} Mrays/s (ref-equiv)")
+    result["value"] = round(mrays, 2)
+    result["vs_baseline"] = round(mrays / 200.0, 4)
 
     # ---- 2. path tracing (BASELINE config 3): 1024², depth 4, shadows ----
     try:
@@ -176,11 +298,11 @@ def main():
         spp_per_s = 1.0 / spp_t
         log(f"pathtrace: {spp_t*1e3:.0f}ms/spp -> {spp_per_s:.2f} spp/s, "
             f"64 spp in {64*spp_t:.1f}s")
-        extra["pathtrace_spp_per_s"] = round(spp_per_s, 3)
-        extra["pathtrace_64spp_s"] = round(64 * spp_t, 1)
+        result["pathtrace_spp_per_s"] = round(spp_per_s, 3)
+        result["pathtrace_64spp_s"] = round(64 * spp_t, 1)
     except Exception as e:
         log(f"PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
-        extra["pathtrace_spp_per_s"] = 0.0
+        result["pathtrace_spp_per_s"] = 0.0
 
     # ---- 3. interactive loop (BASELINE config 5): Viewer frame rate at
     # 1080p, camera moving every frame, plus per-frame on-device BVH refit
@@ -210,9 +332,9 @@ def main():
 
         vloop(2)
         vt = min(vloop() for _ in range(3))
-        extra["viewer_fps_1080p"] = round(1.0 / vt, 1)
+        result["viewer_fps_1080p"] = round(1.0 / vt, 1)
         log(f"viewer loop: {vt*1e3:.1f}ms/frame -> "
-            f"{extra['viewer_fps_1080p']} FPS (camera moving, shadows)")
+            f"{result['viewer_fps_1080p']} FPS (camera moving, shadows)")
 
         base_v = np.asarray(scene.mesh.vertices)
         t0 = time.time()
@@ -230,12 +352,12 @@ def main():
         if v._fb_dev is not None:
             float(v._fb_dev[-1, 0])
         rt = (time.perf_counter() - t_ref - rpc_lat) / 4
-        extra["refit_fps_1080p"] = round(1.0 / rt, 1)
+        result["refit_fps_1080p"] = round(1.0 / rt, 1)
         log(f"refit loop (device LBVH rebuild + frame): {rt*1e3:.1f}ms -> "
-            f"{extra['refit_fps_1080p']} FPS")
+            f"{result['refit_fps_1080p']} FPS")
     except Exception as e:
         log(f"VIEWER BENCH FAILED: {type(e).__name__}: {e}")
-        extra["viewer_fps_1080p"] = 0.0
+        result["viewer_fps_1080p"] = 0.0
 
     # ---- 4. textured courtyard (BASELINE config 4 class), two-phase ----
     tex_scene = None
@@ -257,10 +379,10 @@ def main():
         tmrays = n * 3 / tbest / 1e6
         log(f"textured: best={tbest*1e3:.1f}ms median={tmed*1e3:.1f}ms "
             f"-> {tmrays:.1f} Mrays/s (ref-equiv)")
-        extra["textured_mrays_per_s"] = round(tmrays, 2)
+        result["textured_mrays_per_s"] = round(tmrays, 2)
     except Exception as e:  # keep the primary metric alive no matter what
         log(f"TEXTURED BENCH FAILED: {type(e).__name__}: {e}")
-        extra["textured_mrays_per_s"] = 0.0
+        result["textured_mrays_per_s"] = 0.0
 
     # ---- 4b. TEXTURED path tracing: the fused bounce's in-kernel matmul
     # material lookup + atlas sampling (config 4 content meets config 3) ----
@@ -288,10 +410,52 @@ def main():
         tspp = min(spp_burst_t() for _ in range(2))
         log(f"textured pathtrace: {tspp*1e3:.0f}ms/spp, "
             f"64 spp in {64*tspp:.1f}s")
-        extra["pathtrace_textured_spp_per_s"] = round(1.0 / tspp, 3)
+        result["pathtrace_textured_spp_per_s"] = round(1.0 / tspp, 3)
     except Exception as e:
         log(f"TEXTURED PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
-        extra["pathtrace_textured_spp_per_s"] = 0.0
+        result["pathtrace_textured_spp_per_s"] = 0.0
+
+    # ---- 4c. BASELINE config 4 through the ACTUAL glTF loader (VERDICT r3
+    # #3): export the SAME 100k-tri textured courtyard as a real .glb, ingest
+    # it with scene_from_gltf (GLB chunks → accessors → PNG decode → dedup →
+    # BVH → atlas), render it fused, and compare against the procedurally
+    # built scene. Matches /root/reference/src/gltf_loader.rs:55-125 at the
+    # asset scale the reference targets. ----
+    try:
+        if tex_scene is None or over_budget("gltf loader at scale"):
+            raise TimeoutError("budget")
+        import tempfile
+
+        from gpu_raytracer_tpu.models.gltf import scene_from_gltf
+        from gpu_raytracer_tpu.models.gltf_export import export_glb
+        from gpu_raytracer_tpu.utils.procgen import courtyard_source_images
+
+        glb_path = os.path.join(tempfile.gettempdir(), "courtyard_bench.glb")
+        t0 = time.time()
+        export_glb(tex_scene, glb_path, images=courtyard_source_images(0))
+        log(f"GLB export: {time.time()-t0:.1f}s, "
+            f"{os.path.getsize(glb_path)/1e6:.1f} MB")
+        t0 = time.time()
+        gscene = scene_from_gltf(glb_path, config=config)
+        load_s = time.time() - t0
+        result["gltf_load_s"] = round(load_s, 2)
+        log(f"glTF load → Scene (GLB+PNG decode, dedup, BVH, atlas): "
+            f"{load_s:.1f}s, {gscene.num_triangles} tris")
+        gren = Renderer(gscene, W, H, config=config)
+        assert gren._use_deferred(), "gltf-loaded scene must stay fused"
+        fbg = gren.render_device()
+        float(fbg[-1, 0])
+        gbest, _ = measure_frame(gren.render_device,
+                                 lambda fb: float(fb[-1, 0]), rpc_lat,
+                                 K=4, reps=2)
+        log(f"gltf-loaded textured frame: {gbest*1e3:.1f}ms -> "
+            f"{n*3/gbest/1e6:.1f} Mrays/s")
+        fbp = tex_renderer.render_device()   # same pixel order by layout
+        diff = float(jnp.abs(gren.render_device() - fbp).max())
+        result["gltf_parity_vs_procedural"] = diff
+        log(f"gltf-loaded vs procedural parity: {diff:.2e}")
+    except Exception as e:
+        log(f"GLTF-AT-SCALE BENCH FAILED: {type(e).__name__}: {e}")
 
     # ---- 5. display path + on-TPU parity (nice-to-haves, run last) ----
     try:
@@ -313,20 +477,20 @@ def main():
                                       use_bvh=True, leaf_size=8))
         got = np.asarray(pallas_render_primary(scene, px, py, W, H,
                                                shadows=True))
-        extra["parity_fused_vs_xla"] = float(np.abs(got - ref).max())
-        log(f"on-TPU parity: fused {extra['parity_fused_vs_xla']:.2e}")
+        result["parity_fused_vs_xla"] = float(np.abs(got - ref).max())
+        log(f"on-TPU parity: fused {result['parity_fused_vs_xla']:.2e}")
         if tex_scene is not None:
             refT = np.asarray(render_chunk(tex_scene, px, py, W, H,
                                            shadows=True, use_bvh=True,
                                            leaf_size=8))
             gotT = np.asarray(pallas_render_deferred(tex_scene, px, py, W, H,
                                                      shadows=True))
-            extra["parity_deferred_vs_xla"] = float(np.abs(gotT - refT).max())
+            result["parity_deferred_vs_xla"] = float(np.abs(gotT - refT).max())
             log(f"on-TPU parity: deferred "
-                f"{extra['parity_deferred_vs_xla']:.2e}")
+                f"{result['parity_deferred_vs_xla']:.2e}")
     except Exception as e:
         log(f"PARITY CHECK FAILED: {type(e).__name__}: {e}")
-        extra.setdefault("parity_fused_vs_xla", -1.0)
+        pass  # parity keys pre-seeded at -1.0
 
     # ---- 6. geometry sharding A/B (single chip, 1-device mesh): the
     # Pallas per-shard path vs the XLA lockstep path it replaced ----
@@ -363,13 +527,6 @@ def main():
 
     log(f"total bench wall-clock: {time.time()-start_time:.1f}s "
         f"(+{start_time-_T0:.1f}s backend init)")
-    print(json.dumps({
-        "metric": "primary_mrays_per_s_courtyard100k_1080p",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 200.0, 4),
-        **extra,
-    }))
 
 
 if __name__ == "__main__":

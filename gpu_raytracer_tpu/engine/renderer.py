@@ -88,7 +88,8 @@ class Renderer:
 
     def __init__(self, scene: Scene, width: int, height: int,
                  config: RaytracerConfig = DEFAULT_CONFIG,
-                 shadows: bool = False, sky=(0.0, 0.0, 0.0)):
+                 shadows: bool = False, sky=(0.0, 0.0, 0.0),
+                 interpret: bool = False):
         self.scene = scene
         self.width = width
         self.height = height
@@ -96,6 +97,16 @@ class Renderer:
         self.shadows = shadows
         self.sky = tuple(float(x) for x in sky)
         self.use_bvh = scene.bvh.num_nodes > 1
+        # interpret=True runs the fused Pallas kernels in the interpreter —
+        # CPU-backend validation of the exact fused path (tests, virtual
+        # meshes); never set on a real chip.
+        self.interpret = interpret
+        # Frame counter folded into the single-sample-NEE light choice for
+        # >MAX_LIGHTS scenes: callers (the Viewer) advance it per frame so
+        # the per-pixel estimation noise is fresh each frame and temporal
+        # averaging converges to the exact per-light sum. Frozen at 0 it
+        # reproduces the deterministic single-frame behaviour.
+        self.light_frame = 0
         self._chunks = None  # cached device px/py chunks
         self._sphere_uv_ok = None  # lazy host check (see _use_deferred)
 
@@ -111,7 +122,7 @@ class Renderer:
         from ..ops.trace import PALLAS_PACKET, _pallas_available
         from ..ops.pallas.traverse import pallas_scene_ok
 
-        pallas = (_pallas_available()
+        pallas = ((_pallas_available() or self.interpret)
                   and pallas_scene_ok(self.scene.bvh,
                                       self.scene.tri_v0.shape[0]))
         if pallas:
@@ -151,7 +162,7 @@ class Renderer:
         from ..ops.trace import _pallas_available
         from ..ops.pallas.render import fused_render_eligible
 
-        return (_pallas_available() and self.use_bvh
+        return ((_pallas_available() or self.interpret) and self.use_bvh
                 and fused_render_eligible(self.scene))
 
     def _use_deferred(self) -> bool:
@@ -161,7 +172,7 @@ class Renderer:
         from ..ops.trace import _pallas_available
         from ..ops.pallas.render import fused_deferred_eligible
 
-        if not (_pallas_available() and self.use_bvh):
+        if not ((_pallas_available() or self.interpret) and self.use_bvh):
             return False
         if self._sphere_uv_ok is None:
             # One host fetch per Renderer: radius-0 guard spheres
@@ -172,7 +183,21 @@ class Renderer:
         return fused_deferred_eligible(self.scene,
                                        sphere_uv_ok=self._sphere_uv_ok)
 
-    def render_rays(self, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    def _light_u(self, n: int, salt: int):
+        """Per-lane uniforms for the fused kernels' single-sample NEE
+        (>MAX_LIGHTS scenes): keyed on (light_frame, salt) so every frame —
+        and every chunk/tile within a frame — draws fresh light choices.
+        None for exact-loop scenes (≤MAX_LIGHTS), where the kernels take no
+        light_u operand at all."""
+        from ..ops.pallas.render import MAX_LIGHTS
+
+        if self.scene.lights.count <= MAX_LIGHTS:
+            return None
+        key = jax.random.fold_in(jax.random.PRNGKey(self.light_frame), salt)
+        return jax.random.uniform(key, (n,), jnp.float32)
+
+    def render_rays(self, px: jnp.ndarray, py: jnp.ndarray,
+                    light_salt: int = 0) -> jnp.ndarray:
         """Trace + shade one pixel batch through the best available path
         (fused Pallas → deferred Pallas → chunked XLA) → device RGB [n,3].
 
@@ -197,13 +222,19 @@ class Renderer:
 
                 return pallas_render_primary(self.scene, px, py, W, H,
                                              shadows=self.shadows,
-                                             sky=self.sky)
+                                             sky=self.sky,
+                                             interpret=self.interpret,
+                                             light_u=self._light_u(
+                                                 n, light_salt))
             if self._use_deferred():
                 from ..ops.pallas.render import pallas_render_deferred
 
                 return pallas_render_deferred(self.scene, px, py, W, H,
                                               shadows=self.shadows,
-                                              sky=self.sky)
+                                              sky=self.sky,
+                                              interpret=self.interpret,
+                                              light_u=self._light_u(
+                                                  n, light_salt))
         return render_chunk(self.scene, px, py, W, H, shadows=self.shadows,
                             use_bvh=self.use_bvh,
                             leaf_size=self.config.bvh_leaf_size, sky=self.sky)
@@ -226,14 +257,18 @@ class Renderer:
 
             out = [pallas_render_primary(
                 self.scene, pxs, pys, W, H, shadows=self.shadows,
-                sky=self.sky) for pxs, pys in self._device_chunks()]
+                sky=self.sky, interpret=self.interpret,
+                light_u=self._light_u(pxs.shape[0], i))
+                for i, (pxs, pys) in enumerate(self._device_chunks())]
             return jnp.concatenate(out) if len(out) > 1 else out[0]
         if self._use_deferred():
             from ..ops.pallas.render import pallas_render_deferred
 
             out = [pallas_render_deferred(
                 self.scene, pxs, pys, W, H, shadows=self.shadows,
-                sky=self.sky) for pxs, pys in self._device_chunks()]
+                sky=self.sky, interpret=self.interpret,
+                light_u=self._light_u(pxs.shape[0], i))
+                for i, (pxs, pys) in enumerate(self._device_chunks())]
             return jnp.concatenate(out) if len(out) > 1 else out[0]
         out = []
         for pxs, pys in self._device_chunks():

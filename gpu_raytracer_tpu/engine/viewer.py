@@ -30,12 +30,13 @@ class Viewer:
     def __init__(self, scene: Scene, width: int = 1280, height: int = 720,
                  config: RaytracerConfig = DEFAULT_CONFIG,
                  shadows: bool = False, verbose: bool = True,
-                 sync_timing: bool = False):
+                 sync_timing: bool = False, interpret: bool = False):
         self.config = config
         self.width = width
         self.height = height
         self.shadows = shadows
         self.verbose = verbose
+        self.interpret = interpret
         # sync_timing=True fences the device after every whole-frame compute
         # so per-tile timings measure true execution. Off by default: on a
         # tunneled device a fence is a ~25-30 ms RPC value fetch PER FRAME —
@@ -46,7 +47,7 @@ class Viewer:
         self.sync_timing = sync_timing
         self.scene = scene
         self.renderer = Renderer(scene, width, height, config=config,
-                                 shadows=shadows)
+                                 shadows=shadows, interpret=interpret)
         self.controller = CameraController(scene.camera, config)
         self.progressive = ProgressiveState(width, height, config)
         self.perf = PerformanceState(config.performance_stats_interval, verbose)
@@ -57,7 +58,17 @@ class Viewer:
         # copy materialises lazily through the `framebuffer` property.
         self._fb_host = np.zeros((height, width, 3), np.float32)
         self._fb_dev = None
+        self._fb_host_dirty = False
         self.should_quit = False
+        # Temporal NEE refinement for >MAX_LIGHTS scenes: the fused kernels
+        # estimate the light sum with ONE sampled light per pixel, so a
+        # single frame carries per-pixel estimation noise. While the camera
+        # is still (idle frames), keep drawing fresh light choices and
+        # average them into the device framebuffer — the running mean
+        # converges to the exact per-light loop. Camera moves reset it.
+        self._light_frame_no = 0
+        self._nee_samples = 0
+        self.nee_accum_limit = 64
         # Interactive progressive path tracing ('p' key): one spp per frame
         # accumulated by engine/pathtracer.py; camera moves restart it.
         self.pathtrace = False
@@ -159,7 +170,8 @@ class Viewer:
             return
         self.scene = new_scene
         self.renderer = Renderer(new_scene, self.width, self.height,
-                                 config=self.config, shadows=self.shadows)
+                                 config=self.config, shadows=self.shadows,
+                                 interpret=self.interpret)
         self.controller = CameraController(new_scene.camera, self.config)
         # Drop the path tracer with the OLD scene — 'L' while path tracing
         # must render the new one (it is re-created lazily on the next
@@ -206,7 +218,8 @@ class Viewer:
         self.width = width
         self.height = height
         self.renderer = Renderer(self.scene, width, height,
-                                 config=self.config, shadows=self.shadows)
+                                 config=self.config, shadows=self.shadows,
+                                 interpret=self.interpret)
         self._fb_host = np.zeros((height, width, 3), np.float32)
         self._fb_dev = None
         self._tile_coords = {}
@@ -259,13 +272,29 @@ class Viewer:
         tiles = self.progressive.next_tiles()
         if self._whole_frame:
             if tiles:
+                self.renderer.light_frame = self._light_frame_no
+                self._light_frame_no += 1
                 with Timer() as timer:
                     self._fb_dev = self.renderer.render_device()
                     if self.sync_timing:
                         block_on(self._fb_dev)   # completion fence (opt-in)
+                self._fb_host_dirty = True
+                self._nee_samples = 1
                 self.timing.record_tile(timer.ms)
                 if self.progressive.complete and self.verbose:
                     self.timing.print_summary()
+            elif self._nee_accum_pending():
+                # Idle frame on a many-light scene: fold one more
+                # single-sample-NEE frame into the running device mean.
+                # Still returns 0 (the progressive schedule is complete —
+                # this refines, it doesn't redraw).
+                self.renderer.light_frame = self._light_frame_no
+                self._light_frame_no += 1
+                fb = self.renderer.render_device()
+                n = self._nee_samples + 1
+                self._fb_dev = self._fb_dev + (fb - self._fb_dev) / n
+                self._nee_samples = n
+                self._fb_host_dirty = True
             return len(tiles)
         results = []
         with Timer() as timer:
@@ -285,14 +314,22 @@ class Viewer:
             self.timing.print_summary()
         return len(tiles)
 
+    def _nee_accum_pending(self) -> bool:
+        from ..ops.pallas.render import MAX_LIGHTS
+
+        return (self._fb_dev is not None
+                and self.scene.lights.count > MAX_LIGHTS
+                and 0 < self._nee_samples < self.nee_accum_limit)
+
     @property
     def framebuffer(self) -> np.ndarray:
         """Host [H,W,3] f32 frame — the display readback (one device→host
         copy, like the reference's swapchain present being a separate pass
-        from compute). Cached until the next whole-frame compute."""
-        if self._fb_dev is not None:
+        from compute). Cached until the next whole-frame compute; the device
+        frame is kept so idle-frame NEE refinement can keep accumulating."""
+        if self._fb_dev is not None and self._fb_host_dirty:
             self._fb_host = self.renderer._to_image(np.asarray(self._fb_dev))
-            self._fb_dev = None
+            self._fb_host_dirty = False
         return self._fb_host
 
     def frame(self) -> np.ndarray:

@@ -240,11 +240,11 @@ class Textures:
                     budget_rows: int | None = None) -> "Textures":
         """images: list of [H,W,4] uint8 arrays; wrap: per-texture sampler
         wrap modes (0=REPEAT, the glTF default); mips: max mip levels to
-        build (1 = none); budget_rows: if set, the FINEST level of every
-        texture is dropped (repeatedly) until the whole atlas fits that many
-        128-lane rows — the VMEM-residency answer to arbitrarily large
-        source texture sets (a global texture-detail clamp, each drop
-        halving resolution)."""
+        build (1 = none); budget_rows: if set, finest levels are dropped —
+        always from the single most row-expensive chain first — until the
+        whole atlas fits that many 128-lane rows: the VMEM-residency answer
+        to arbitrarily large source texture sets, paid by the textures that
+        cost the most (small maps keep full detail)."""
         if not images:
             return Textures.empty()
         wrap = list(wrap) if wrap is not None else [0] * len(images)
@@ -263,14 +263,19 @@ class Textures:
             return (h + 1) * (-(-w // TEX_CHUNK))
 
         if budget_rows is not None:
+            # PER-TEXTURE detail allocation (VERDICT r3 #5): repeatedly drop
+            # the finest level of the SINGLE most expensive chain — big
+            # atlases give up close-up detail first while small UI/detail
+            # maps keep level 0 — instead of degrading every texture
+            # globally in lockstep.
             while (sum(level_rows(l) for c in chains for l in c)
                    > budget_rows):
-                droppable = [c for c in chains if len(c) > 1]
+                droppable = [i for i, c in enumerate(chains) if len(c) > 1]
                 if not droppable:
                     break
-                for i, c in enumerate(chains):
-                    if len(c) > 1:
-                        chains[i] = c[1:]
+                worst = max(droppable,
+                            key=lambda i: level_rows(chains[i][0]))
+                chains[worst] = chains[worst][1:]
 
         widths, heights, offsets, sizes, srows_l, offrows, levels_l, rows = \
             [], [], [], [], [], [], [], []

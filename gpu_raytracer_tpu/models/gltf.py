@@ -189,7 +189,8 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 def decode_png(data: bytes) -> np.ndarray:
     """Minimal PNG decoder: gray / gray-alpha / RGB / RGBA / PALETTED
-    (color type 3 incl. tRNS transparency), bit depths 1/2/4/8/16,
+    (tRNS transparency for palettes AND gray/RGB color keys), bit depths
+    1/2/4/8/16,
     non-interlaced AND Adam7-interlaced (the reference's `image` crate
     accepts all of these, /root/reference/src/gltf_loader.rs:128-163;
     16-bit samples truncate to their high byte, the standard to_rgba8
@@ -263,6 +264,21 @@ def decode_png(data: bytes) -> np.ndarray:
         return rgba
     if bit_depth in (1, 2, 4):                   # grayscale scale-to-8-bit
         px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+    if trns is not None and color_type in (0, 2):
+        # Color-key transparency (PNG §11.3.2): pixels matching the tRNS key
+        # decode fully transparent, as the reference's `image` crate does
+        # (/root/reference/src/gltf_loader.rs:128-163). Keys are big-endian
+        # u16 at source depth; map into the decoded samples' 8-bit space
+        # (high byte for 16-bit, identity for 8-bit, scale for 1/2/4-bit).
+        key = np.frombuffer(trns[:2 * channels], ">u2").astype(np.uint32)
+        if bit_depth == 16:
+            key8 = (key >> 8).astype(np.uint8)
+        elif bit_depth == 8:
+            key8 = key.astype(np.uint8)
+        else:
+            key8 = (key * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+        transparent = np.all(px == key8, axis=-1)
+        rgba[..., 3] = np.where(transparent, 0, 255).astype(np.uint8)
     if channels == 1:
         rgba[..., :3] = px
     elif channels == 2:
@@ -441,7 +457,8 @@ class GltfLoader:
     def _decode_image(self, raw: bytes) -> np.ndarray:
         """Format dispatch by magic — the reference accepts whatever the
         `image` crate handles (gltf_loader.rs:128-184); here: PNG
-        (8/16-bit, utils-local decoder) and baseline JPEG (utils/jpeg.py),
+        (8/16-bit, utils-local decoder) and baseline+progressive JPEG
+        (utils/jpeg.py),
         which together cover real glTF asset corpora."""
         if raw[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(raw)
@@ -452,7 +469,7 @@ class GltfLoader:
                 return decode_jpeg(raw)
             except JpegError as e:
                 raise GltfError(str(e)) from e
-        raise GltfError("unknown image format (not PNG / baseline JPEG)")
+        raise GltfError("unknown image format (not PNG / JPEG)")
 
     def _process_images(self, out: LoadedScene) -> None:
         for i, img in enumerate(self.doc.get("images", [])):

@@ -125,6 +125,12 @@ def prepare_scene(
         # Leaf size is clamped to the row alignment: the Pallas leaf test
         # covers exactly one `align`-slot row, so larger leaves would break
         # the packed-table invariant (align_leaves rejects them loudly).
+        if config.bvh_leaf_size > align:
+            import warnings
+            warnings.warn(
+                f"bvh_leaf_size={config.bvh_leaf_size} clamped to the Pallas "
+                f"row alignment ({align}); larger leaves would break the "
+                f"packed leaf-row invariant", stacklevel=2)
         bvh_result = build_bvh(vertices, indices, leaf_size=align)
         bvh_result = align_leaves(bvh_result, align)
     tri_v0, tri_e1, tri_e2, tri_mat, tri_uv, tri_src = _expand_triangles(

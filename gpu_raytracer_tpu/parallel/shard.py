@@ -102,7 +102,14 @@ class GeometryShards:
         self.max_leaf = 1
         for chunk in chunks:
             chunk = np.asarray(chunk, np.int64)
-            if chunk.size == 0:  # more shards than triangles: degenerate
+            # More shards than triangles: build over a stand-in triangle but
+            # make the shard INERT (zero edges never pass Möller–Trumbore,
+            # gid=INT_MAX never wins the pmin tie-break). Reusing triangle 0
+            # live would duplicate it across shards with bit-identical t/gid,
+            # and the masked-psum combine below would then sum its attributes
+            # once per duplicate (doubled normals, garbage material ids).
+            inert = chunk.size == 0
+            if inert:
                 chunk = np.asarray([0], np.int64)
             res = build_bvh(verts, idx[chunk], leaf_size=8)
             res = align_leaves(res, 8)
@@ -113,6 +120,10 @@ class GeometryShards:
                            chunk[np.where(ordr < 0, 0, ordr)])
             gid = np.concatenate([gid, np.full(v0.shape[0] - gid.shape[0],
                                                2**31 - 1, np.int64)])
+            if inert:
+                e1 = np.zeros_like(e1)
+                e2 = np.zeros_like(e2)
+                gid = np.full_like(gid, 2**31 - 1)
             dev = res.to_device()
             self.max_leaf = max(self.max_leaf, dev.max_leaf)
             if dev.has_wide:

@@ -20,17 +20,19 @@ def to_u8(img: np.ndarray) -> np.ndarray:
 
 
 def encode_png(img: np.ndarray, level: int = 6) -> bytes:
-    """Encode [H,W,3] float (linear, clamped) or uint8 as RGB PNG bytes."""
+    """Encode [H,W,3] RGB or [H,W,4] RGBA (float linear-clamped or uint8)
+    as PNG bytes."""
     if img.dtype != np.uint8:
         img = to_u8(img)
     h, w = img.shape[:2]
+    color_type = 6 if img.shape[-1] == 4 else 2
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, level)) + chunk(b"IEND", b""))
 

@@ -1,18 +1,21 @@
-"""Minimal baseline JPEG decoder (pure NumPy + stdlib).
+"""Minimal JPEG decoder, baseline + progressive (pure NumPy + stdlib).
 
 The reference ingests JPEG textures through the Rust `image` crate
 (/root/reference/src/gltf_loader.rs:128-184); this environment has no image
 codecs (zero egress, no Pillow), so real Sponza-class glTF assets — whose
 textures overwhelmingly ship as baseline JPEG — need a from-scratch decoder.
 
-Scope: baseline sequential DCT (SOF0; SOF1 accepted), 8-bit precision,
-grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 sampling, restart
-markers, byte stuffing. Progressive (SOF2), arithmetic coding and 12-bit
-are rejected with a clear error. Huffman + run-length decoding is a Python
-loop producing one [n_blocks, 64] coefficient array per component;
-dequantisation, zig-zag, IDCT (one einsum over all blocks) and YCbCr→RGB
-are vectorised — a 1024² texture decodes in a few seconds, which is load
--time cost only (textures then live in the device atlas).
+Scope: baseline sequential DCT (SOF0; SOF1 accepted) AND progressive DCT
+(SOF2: spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs — ITU T.81 §G), 8-bit precision, grayscale or
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 sampling, restart markers, byte
+stuffing. Arithmetic coding and 12-bit are rejected with a clear error.
+Huffman + run-length decoding is a Python loop filling one
+[blocks_y, blocks_x, 64] coefficient grid per component (progressive scans
+refine the same grid in place); dequantisation, zig-zag, IDCT (one einsum
+over all blocks) and YCbCr→RGB are vectorised — a 1024² texture decodes in
+a few seconds, which is load-time cost only (textures then live in the
+device atlas).
 """
 
 from __future__ import annotations
@@ -104,8 +107,182 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _huff_decode(br: _BitReader, table: _HuffTable) -> int:
+    p16 = br.peek16()
+    ln = int(table.lut_len[p16])
+    if ln == 0:
+        raise JpegError("bad Huffman code")
+    br.skip(ln)
+    return int(table.lut_sym[p16])
+
+
+def _extract_entropy(data: bytes, pos: int):
+    """Entropy-coded bytes from `pos` to the next real marker: strips 0xFF00
+    stuffing, drops RSTn markers but records the compacted byte offset just
+    AFTER each (for byte-aligned restart resync). Returns
+    (ent_bytes, rst_offsets, next_marker_pos)."""
+    n = len(data)
+    raw = np.frombuffer(data, np.uint8, n - pos, pos)
+    ff = np.nonzero(raw[:-1] == 0xFF)[0]
+    nxt = raw[ff + 1]
+    end_candidates = ff[(nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))]
+    end = int(end_candidates[0]) if end_candidates.size else len(raw)
+    raw = raw[:end]
+    drop = np.zeros(len(raw), bool)
+    stuff = ff[(ff < end - 1) & (raw[np.minimum(ff + 1, end - 1)] == 0x00)]
+    rst = ff[(ff < end - 1) & (raw[np.minimum(ff + 1, end - 1)] >= 0xD0)
+             & (raw[np.minimum(ff + 1, end - 1)] <= 0xD7)]
+    drop[stuff + 1] = True                               # the 0x00 after FF
+    drop[rst] = True                                     # FF of RSTn
+    drop[rst + 1] = True                                 # the RSTn byte
+    keep = ~drop
+    comp_idx = np.cumsum(keep) - 1
+    ent = raw[keep]
+    rst_after = rst + 2
+    rst_list = [int(comp_idx[p]) if p < end else len(ent)
+                for p in np.sort(rst_after).tolist()]
+    return ent, rst_list, pos + end
+
+
+def _block_first(br, row, dc, ac, pred, ss, se, al, state):
+    """First-pass decode of one block's (ss..se) band at shift `al` —
+    covers baseline (ss=0, se=63, al=0: T.81 §F.2.2) and progressive first
+    scans (§G.1.2.1/G.1.2.2, incl. EOB runs). Returns the new DC pred."""
+    if state["eobrun"] > 0:                  # inside an AC EOB run
+        state["eobrun"] -= 1
+        return pred
+    k = ss
+    if ss == 0:                              # DC (never EOB-run coded)
+        s = _huff_decode(br, dc)
+        diff = _extend(br.read(s), s) if s else 0
+        pred += diff
+        row[0] = pred << al
+        k = 1
+    while k <= se:
+        rs = _huff_decode(br, ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                      # ZRL: 16 zeros
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1   # EOBn: this block + 2^r-1 more
+            if r:
+                state["eobrun"] += br.read(r)
+            break
+        k += r
+        if k > 63:
+            break                            # corrupt stream; tolerate
+        row[k] = _extend(br.read(s), s) << al
+        k += 1
+    return pred
+
+
+def _block_refine_ac(br, row, ac, ss, se, al, state):
+    """AC successive-approximation refinement (T.81 §G.1.2.3, the
+    decode_mcu_AC_refine logic): nonzero-history coefficients take one
+    correction bit each; zero-history runs carry newly significant ±1<<al
+    coefficients."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:                   # EOBn
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    break
+                # r == 15: ZRL — pass 16 zero-history coefficients
+            else:                            # s == 1 per spec
+                newval = p1 if br.read(1) else m1
+            while k <= se:                   # advance, correcting nonzeros
+                if row[k] != 0:
+                    if br.read(1) and (int(row[k]) & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                row[k] = newval
+            k += 1
+    if state["eobrun"] > 0:                  # EOB run: corrections only
+        while k <= se:
+            if row[k] != 0:
+                if br.read(1) and (int(row[k]) & p1) == 0:
+                    row[k] += p1 if row[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(sc, comp_state, frame_dims) -> None:
+    """Run one scan (baseline or progressive) over the component coefficient
+    grids. Interleaved MCU order for multi-component scans, raster block
+    order for single-component scans (T.81 §A.2.2/§A.2.3)."""
+    W, H, hmax, vmax, mcus_x, mcus_y = frame_dims
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    ri = sc["restart_interval"]
+    rst_list = sc["rst"]
+    br = _BitReader(sc["ent"])
+    state = {"eobrun": 0}
+    refine = ah != 0
+    preds = {cid: 0 for cid, _, _ in sc["comps"]}
+
+    def resync(j):
+        br.acc = 0
+        br.nbits = 0
+        if j < len(rst_list):
+            br.pos = rst_list[j]
+        for c in preds:
+            preds[c] = 0
+        state["eobrun"] = 0
+
+    if len(sc["comps"]) == 1:                # non-interleaved: one block/MCU
+        cid, dc, ac = sc["comps"][0]
+        ci = comp_state[cid]
+        bw = -(-(-(-W * ci["h"] // hmax)) // 8)
+        bh = -(-(-(-H * ci["v"] // vmax)) // 8)
+        for u in range(bw * bh):
+            if ri and u and u % ri == 0:
+                resync(u // ri - 1)
+            row = ci["coef"][u // bw, u % bw]
+            if refine:
+                if ss == 0:                  # DC refinement: one bit
+                    if br.read(1):
+                        row[0] |= 1 << al
+                else:
+                    _block_refine_ac(br, row, ac, ss, se, al, state)
+            else:
+                preds[cid] = _block_first(br, row, dc, ac, preds[cid],
+                                          ss, se, al, state)
+        return
+
+    for mcu in range(mcus_x * mcus_y):       # interleaved (DC / baseline)
+        if ri and mcu and mcu % ri == 0:
+            resync(mcu // ri - 1)
+        my, mx = divmod(mcu, mcus_x)
+        for cid, dc, ac in sc["comps"]:
+            ci = comp_state[cid]
+            for v in range(ci["v"]):
+                for h in range(ci["h"]):
+                    row = ci["coef"][my * ci["v"] + v, mx * ci["h"] + h]
+                    if refine:               # interleaved refine = DC only
+                        if br.read(1):
+                            row[0] |= 1 << al
+                    else:
+                        preds[cid] = _block_first(br, row, dc, ac,
+                                                  preds[cid], ss, se, al,
+                                                  state)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes → [H,W,4] uint8 RGBA (alpha=255)."""
+    """Decode baseline OR progressive JPEG bytes → [H,W,4] uint8 RGBA
+    (alpha=255)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
 
@@ -113,7 +290,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     frame = None          # (H, W, comps) where comps = [(cid, h, v, tq)]
-    scan = None
+    scans: list[dict] = []
 
     pos = 2
     n = len(data)
@@ -122,12 +299,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:                               # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
-        if marker in (0xC0, 0xC1):                       # SOF0/SOF1 baseline
+        if marker in (0xC0, 0xC1, 0xC2):                 # SOF0/1 + SOF2
             prec, H, W, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
@@ -136,8 +315,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (H, W, comps)
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) unsupported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
@@ -165,121 +342,54 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                             # SOS
             ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
-                     body[2 + 2 * i] & 15) for i in range(ns)]
-            pos = pos + 2 + seglen
-            break
+            comps_s = []
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                td, ta = body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15
+                # tables are snapshot at scan time (progressive streams
+                # redefine DHT between scans)
+                comps_s.append((cid, huff.get((0, td)), huff.get((1, ta))))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ent, rst_list, nxt = _extract_entropy(data, pos + 2 + seglen)
+            scans.append({"comps": comps_s, "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 15, "ent": ent,
+                          "rst": rst_list,
+                          "restart_interval": restart_interval})
+            pos = nxt
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise JpegError("missing SOF/SOS")
-
-    # ---- extract entropy-coded bytes, stripping 0xFF00 stuffing and
-    # recording restart-marker byte offsets ----
-    raw = np.frombuffer(data, np.uint8, n - pos, pos)
-    ff = np.nonzero(raw[:-1] == 0xFF)[0]
-    nxt = raw[ff + 1]
-    end_candidates = ff[(nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))]
-    end = int(end_candidates[0]) if end_candidates.size else len(raw)
-    raw = raw[:end]
-    drop = np.zeros(len(raw), bool)
-    stuff = ff[(ff < end - 1) & (raw[np.minimum(ff + 1, end - 1)] == 0x00)]
-    rst = ff[(ff < end - 1) & (raw[np.minimum(ff + 1, end - 1)] >= 0xD0)
-             & (raw[np.minimum(ff + 1, end - 1)] <= 0xD7)]
-    drop[stuff + 1] = True                               # the 0x00 after FF
-    drop[rst] = True                                     # FF of RSTn
-    drop[rst + 1] = True                                 # the RSTn byte
-    keep = ~drop
-    # map original offset -> compacted offset for restart positions
-    comp_idx = np.cumsum(keep) - 1
-    ent = raw[keep]
-    # k-th entry = compacted byte offset just AFTER the k-th RSTn marker
-    rst_after = rst + 2
-    rst_list = [int(comp_idx[p]) if p < end else len(ent)
-                for p in np.sort(rst_after).tolist()]
 
     H, W, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-W // mcu_w)
-    mcus_y = -(-H // mcu_h)
-    n_mcus = mcus_x * mcus_y
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
 
-    scan_by_cid = {s[0]: s for s in scan}
-    comp_info = [
-        {
-            "h": ch, "v": cv, "q": qt[tq],
-            "dc": huff[(0, scan_by_cid[cid][1])],
-            "ac": huff[(1, scan_by_cid[cid][2])],
-            "coef": np.zeros((n_mcus * ch * cv, 64), np.int32),
-            "pred": 0,
-        }
+    comp_state = {
+        cid: {"h": ch, "v": cv, "q": qt[tq],
+              "coef": np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int32)}
         for cid, ch, cv, tq in comps
-    ]
-
-    br = _BitReader(ent)
-    mcu = 0
-    while mcu < n_mcus:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            # byte-align to just after the j-th restart marker, reset DC
-            # predictors (ITU T.81 E.1.4)
-            j = mcu // restart_interval - 1
-            br.acc = 0
-            br.nbits = 0
-            if j < len(rst_list):
-                br.pos = rst_list[j]
-            for ci in comp_info:
-                ci["pred"] = 0
-        for ci in comp_info:
-            dc_lut_sym, dc_lut_len = ci["dc"].lut_sym, ci["dc"].lut_len
-            ac_lut_sym, ac_lut_len = ci["ac"].lut_sym, ci["ac"].lut_len
-            nb = ci["h"] * ci["v"]
-            base = mcu * nb
-            for b in range(nb):
-                row = ci["coef"][base + b]
-                p16 = br.peek16()
-                s = int(dc_lut_sym[p16])
-                ln = int(dc_lut_len[p16])
-                if ln == 0:
-                    raise JpegError("bad DC Huffman code")
-                br.skip(ln)
-                diff = _extend(br.read(s), s) if s else 0
-                ci["pred"] += diff
-                row[0] = ci["pred"]
-                k = 1
-                while k < 64:
-                    p16 = br.peek16()
-                    rs = int(ac_lut_sym[p16])
-                    ln = int(ac_lut_len[p16])
-                    if ln == 0:
-                        raise JpegError("bad AC Huffman code")
-                    br.skip(ln)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:      # ZRL: skip 16 zeros
-                            k += 16
-                            continue
-                        break            # EOB
-                    k += r
-                    if k > 63:
-                        break
-                    row[k] = _extend(br.read(s), s)
-                    k += 1
-        mcu += 1
+    }
+    frame_dims = (W, H, hmax, vmax, mcus_x, mcus_y)
+    for sc in scans:
+        _decode_scan(sc, comp_state, frame_dims)
 
     # ---- vectorised: dequantise, de-zigzag, IDCT, plane assembly ----
     planes = []
-    for ci in comp_info:
-        coef = ci["coef"] * ci["q"][None, :]
+    for cid, ch, cv, tq in comps:
+        ci = comp_state[cid]
+        grid = ci["coef"]
+        bhg, bwg = grid.shape[:2]
+        coef = grid.reshape(-1, 64) * ci["q"][None, :]
         blocks = np.zeros((coef.shape[0], 64), np.float32)
         blocks[:, _ZIGZAG] = coef
         blocks = blocks.reshape(-1, 8, 8)
         spatial = np.einsum("ki,nkl,lj->nij", _C, blocks, _C,
                             optimize=True) + 128.0
-        ch, cv = ci["h"], ci["v"]
-        pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
-        plane = (spatial.reshape(mcus_y, mcus_x, cv, ch, 8, 8)
-                 .transpose(0, 2, 4, 1, 3, 5).reshape(ph, pw))
+        plane = (spatial.reshape(bhg, bwg, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bhg * 8, bwg * 8))
         # upsample to full MCU resolution (nearest — matches common fast paths)
         if ch < hmax:
             plane = np.repeat(plane, hmax // ch, axis=1)

@@ -107,6 +107,16 @@ def make_noise_texture(size: int = 128, base=(200, 60, 45),
         [img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
 
 
+def courtyard_source_images(seed: int = 0) -> list[np.ndarray]:
+    """The textured courtyard's source texture table (level-0 RGBA8 images,
+    texture-index order) — the arrays `make_courtyard_scene(textured=True)`
+    feeds `Textures.from_images`, exposed for the GLB exporter (the derived
+    guard-band atlas is not an interchange format)."""
+    return [make_checker_texture(128),            # 0: floor
+            make_brick_texture(128, seed=seed),   # 1: stone boxes
+            make_noise_texture(128, seed=seed)]   # 2: plaster boxes
+
+
 def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
                          config: RaytracerConfig = DEFAULT_CONFIG,
                          lights: int = 2, textured: bool = False) -> Scene:
@@ -220,11 +230,8 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
     textures = None
     if textured:
         from ..ops.pallas.texshade import MAX_ATLAS_ROWS
-        textures = Textures.from_images([
-            make_checker_texture(128),            # 0: floor
-            make_brick_texture(128, seed=seed),   # 1: stone boxes
-            make_noise_texture(128, seed=seed),   # 2: plaster boxes
-        ], mips=config.texture_mips,
+        textures = Textures.from_images(
+            courtyard_source_images(seed), mips=config.texture_mips,
             budget_rows=(MAX_ATLAS_ROWS if config.texture_mips > 1
                          else None))
     return prepare_scene(camera, Spheres.from_rows([]), mesh, mats.build(),

@@ -346,3 +346,36 @@ def test_gray_subbyte_png(tmp_path):
     PIL.fromarray(arr, "L").convert("1").save(buf, format="PNG")
     got = decode_png(buf.getvalue())
     np.testing.assert_array_equal(got[..., 0], arr)
+
+
+def test_color_key_trns_png():
+    """ADVICE r3: a tRNS color key on grayscale/RGB PNGs (color types 0/2)
+    must decode transparent where the pixel matches the key — the
+    reference's `image` crate honors it (gltf_loader.rs:128-163). Keys are
+    big-endian u16 per channel at the source bit depth."""
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    # RGB8 with color key (10, 20, 30)
+    img = np.zeros((6, 4, 3), np.uint8)
+    img[2:4, 1:3] = (10, 20, 30)
+    img[0, 0] = (200, 100, 50)
+    buf = io.BytesIO()
+    PIL.fromarray(img, "RGB").save(buf, format="PNG",
+                                   transparency=(10, 20, 30))
+    got = decode_png(buf.getvalue())
+    np.testing.assert_array_equal(got[..., :3], img)
+    key = np.all(img == (10, 20, 30), axis=-1)
+    np.testing.assert_array_equal(got[..., 3], np.where(key, 0, 255))
+
+    # grayscale-8 with color key 77
+    g = np.zeros((5, 5), np.uint8)
+    g[1, 1] = 77
+    g[3, 2] = 200
+    buf = io.BytesIO()
+    PIL.fromarray(g, "L").save(buf, format="PNG", transparency=77)
+    got = decode_png(buf.getvalue())
+    np.testing.assert_array_equal(got[..., 0], g)
+    np.testing.assert_array_equal(got[..., 3], np.where(g == 77, 0, 255))

@@ -167,3 +167,18 @@ def test_minification_uses_coarser_level():
         lam=jnp.zeros((2,))))
     np.testing.assert_allclose(got0[0, :3], 1.0, atol=1e-6)
     np.testing.assert_allclose(got0[1, :3], 0.0, atol=1e-6)
+
+
+def test_budget_drops_largest_chains_first():
+    """VERDICT r3 #5: the budget clamp is a PER-TEXTURE detail allocation —
+    the most row-expensive chain pays first, small maps keep level 0."""
+    rng = np.random.default_rng(7)
+    imgs = [_img(rng, 512, 512)] + [_img(rng, 32, 32) for _ in range(3)]
+    full = Textures.from_images(imgs, mips=10)
+    need = full.num_rows
+    t = Textures.from_images(imgs, mips=10, budget_rows=need - 500)
+    assert t.num_rows <= need - 500
+    assert int(t.width[0]) < 512           # the big one paid
+    for i in (1, 2, 3):
+        assert int(t.width[i]) == 32       # small maps stay sharp
+        assert int(t.levels[i]) >= 1

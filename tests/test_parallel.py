@@ -155,3 +155,39 @@ def test_geometry_sharded_pallas_path(default_scene, rng):
                                np.asarray(single.t)[h], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(sharded.material_id)[h],
                                   np.asarray(single.material_id)[h])
+
+
+@needs_8
+def test_geometry_shards_empty_chunks_inert(default_scene):
+    """ADVICE r3 (medium): with more shards than triangles, the empty Morton
+    chunks used to duplicate triangle 0 into every padded shard — the
+    masked-psum combine then summed the winner's normal / material id / uv
+    once PER DUPLICATE. Padded shards must be inert: aim rays straight at
+    the real triangles and require exact attribute parity with the
+    single-device trace."""
+    from gpu_raytracer_tpu.ops.trace import TRIANGLE
+
+    mesh = make_mesh(8)          # 8 shards over the default scene's 2 tris
+    cent = np.asarray([[0.0, 1.0 / 3.0, -2.0], [1.5, -1.0 / 6.0, -3.0]],
+                      np.float32)
+    n = 128
+    o = np.tile(np.asarray([[0.0, 2.0, 2.0]], np.float32), (n, 1))
+    jit = np.random.default_rng(5).uniform(-0.25, 0.25, (n, 3)) \
+        .astype(np.float32)
+    tgt = np.repeat(cent, n // 2, axis=0) + jit
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    sharded = trace_geometry_sharded(default_scene, o, d, mesh)
+    single = trace(default_scene, o, d)
+    np.testing.assert_array_equal(np.asarray(sharded.hit),
+                                  np.asarray(single.hit))
+    tri = np.asarray(single.hit) & (np.asarray(single.prim_kind) == TRIANGLE)
+    assert tri.sum() > 32        # both triangles actually get hit
+    np.testing.assert_allclose(np.asarray(sharded.normal)[tri],
+                               np.asarray(single.normal)[tri], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sharded.material_id)[tri],
+                                  np.asarray(single.material_id)[tri])
+    np.testing.assert_allclose(np.asarray(sharded.uv)[tri],
+                               np.asarray(single.uv)[tri], atol=1e-5)
