@@ -499,7 +499,8 @@ def _run(result):
             raise TimeoutError("budget")
         from gpu_raytracer_tpu.parallel.mesh import make_mesh
         from gpu_raytracer_tpu.parallel.shard import (
-            GeometryShards, trace_geometry_sharded)
+            GeometryShards, trace_geometry_sharded,
+            trace_geometry_sharded_ring)
         from gpu_raytracer_tpu.ops.camera_rays import generate_rays
 
         mesh1 = make_mesh(1)
@@ -510,14 +511,14 @@ def _run(result):
         tg = jnp.asarray(pyg.uniform(-20, 20, (ab_n, 3)).astype(np.float32))
         d = tg - o
         d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
-        for name, up in (("pallas", True), ("xla", False)):
-            hitr = trace_geometry_sharded(scene, o, d, mesh1, shards=shards,
-                                          use_pallas=up)
+        for name, fn_, up in (("pallas", trace_geometry_sharded, True),
+                              ("xla", trace_geometry_sharded, False),
+                              ("ring", trace_geometry_sharded_ring, True)):
+            hitr = fn_(scene, o, d, mesh1, shards=shards, use_pallas=up)
             float(hitr.t[0])
             t0 = time.perf_counter()
             for _ in range(2):
-                hitr = trace_geometry_sharded(scene, o, d, mesh1,
-                                              shards=shards, use_pallas=up)
+                hitr = fn_(scene, o, d, mesh1, shards=shards, use_pallas=up)
             float(hitr.t[0])
             dt = (time.perf_counter() - t0 - rpc_lat) / 2
             log(f"geometry-shard trace [{name}]: {dt*1e3:.1f}ms for "

@@ -50,6 +50,11 @@ class RaytracerConfig:
     # pick a per-lane nearest mip from the primary hit footprint — arbitrary
     # source texture sets stay fused AND minification stops aliasing.
     texture_mips: int = 8
+    # Trilinear mip filtering (two-level lerp) in the deferred texture
+    # shade + XLA sampler: kills nearest-mip level-boundary banding at the
+    # cost of a second fetch per map (doubles the sampling matmuls in the
+    # texshade kernel). Off by default.
+    texture_trilinear: bool = False
     # Rendering precision for the compute path.
     dtype: str = "float32"
     # Use the Pallas kernels where available (falls back to pure XLA if not).

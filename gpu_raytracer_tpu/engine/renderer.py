@@ -60,11 +60,12 @@ def _shadow_mask(scene: Scene, hit, leaf_size: int, use_bvh: bool):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "shadows", "use_bvh",
-                                   "leaf_size", "sky"))
+                                   "leaf_size", "sky", "trilinear"))
 def render_chunk(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
                  width: int, height: int, shadows: bool = False,
                  use_bvh: bool = True, leaf_size: int = 4,
-                 sky: tuple = (0.0, 0.0, 0.0)) -> jnp.ndarray:
+                 sky: tuple = (0.0, 0.0, 0.0),
+                 trilinear: bool = False) -> jnp.ndarray:
     """Trace + shade one ray chunk → RGB [n,3]."""
     from ..ops.shading import hit_footprint
 
@@ -75,7 +76,8 @@ def render_chunk(scene: Scene, px: jnp.ndarray, py: jnp.ndarray,
     # fused kernels, so fused-vs-XLA parity survives mips
     lam = (hit_footprint(scene, hit, height)
            if scene.textures.n_levels > 1 else None)
-    return shade(scene, hit, shadow_mask=mask, sky_color=sky, lam=lam)
+    return shade(scene, hit, shadow_mask=mask, sky_color=sky, lam=lam,
+                 trilinear=trilinear)
 
 
 class Renderer:
@@ -233,11 +235,14 @@ class Renderer:
                                               shadows=self.shadows,
                                               sky=self.sky,
                                               interpret=self.interpret,
+                                              trilinear=self.config
+                                              .texture_trilinear,
                                               light_u=self._light_u(
                                                   n, light_salt))
         return render_chunk(self.scene, px, py, W, H, shadows=self.shadows,
                             use_bvh=self.use_bvh,
-                            leaf_size=self.config.bvh_leaf_size, sky=self.sky)
+                            leaf_size=self.config.bvh_leaf_size, sky=self.sky,
+                            trilinear=self.config.texture_trilinear)
 
     def render_device(self) -> jnp.ndarray:
         """Render the full frame, leaving it in HBM → device f32 [Npad,3] in
@@ -267,6 +272,7 @@ class Renderer:
             out = [pallas_render_deferred(
                 self.scene, pxs, pys, W, H, shadows=self.shadows,
                 sky=self.sky, interpret=self.interpret,
+                trilinear=self.config.texture_trilinear,
                 light_u=self._light_u(pxs.shape[0], i))
                 for i, (pxs, pys) in enumerate(self._device_chunks())]
             return jnp.concatenate(out) if len(out) > 1 else out[0]
@@ -275,7 +281,8 @@ class Renderer:
             rgb = render_chunk(
                 self.scene, pxs, pys,
                 W, H, shadows=self.shadows, use_bvh=self.use_bvh,
-                leaf_size=self.config.bvh_leaf_size, sky=self.sky)
+                leaf_size=self.config.bvh_leaf_size, sky=self.sky,
+                trilinear=self.config.texture_trilinear)
             out.append(rgb)
         return jnp.concatenate(out) if len(out) > 1 else out[0]
 

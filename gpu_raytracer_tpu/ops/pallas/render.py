@@ -680,7 +680,7 @@ def pallas_render_primary(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "shadows", "sky",
-                                   "packet_size", "interpret"))
+                                   "packet_size", "interpret", "trilinear"))
 def pallas_render_deferred(
     scene: Scene,
     px: jnp.ndarray,
@@ -692,6 +692,7 @@ def pallas_render_deferred(
     packet_size: int = 8192,
     interpret: bool = False,
     light_u: jnp.ndarray | None = None,
+    trilinear: bool = False,
 ) -> jnp.ndarray:
     """Two-phase fused render (textured / unbounded-material scenes) →
     RGB [N,3] in the given ray order. Over MAX_LIGHTS the light sum is
@@ -762,11 +763,12 @@ def pallas_render_deferred(
         # Fused MXU shade: consumes the kernel-layout output directly; the
         # XLA formulation below costs 270+ ms/frame at 1080p in per-lane
         # gathers alone (ops/pallas/texshade.py header).
-        return pallas_texture_shade(scene, out, sky=sky, interpret=interpret)
+        return pallas_texture_shade(scene, out, sky=sky, interpret=interpret,
+                                    trilinear=trilinear)
 
     flat = out.transpose(0, 2, 3, 1).reshape(N, 7)
     light_sum = flat[:, 0:3]
     mat_id = flat[:, 3].astype(jnp.int32)
     uv = flat[:, 4:6]
     return shade_deferred(scene, light_sum, mat_id, uv, sky_color=sky,
-                          lam=flat[:, 6])
+                          lam=flat[:, 6], trilinear=trilinear)

@@ -171,21 +171,13 @@ def _tap_setup(u, v, meta):
     return rowA, lane, srows, fx, fy
 
 
-def _mip_meta(meta, lam, n_levels):
-    """Per-lane mip selection → level-l (has, off_row, srows, w, h, wrap).
-
-    Nearest-mip LOD from the linear footprint `lam` (texels per pixel at
-    unit texture size, from the trace kernel's t x pixel-angle x uv-density):
-    lod = round(log2(lam*w)), computed exactly as floor(log2(x*sqrt2)) via
-    f32 exponent extraction (Mosaic-safe, no transcendental), clamped to
-    the texture's resident chain. Level addresses are DERIVED by walking
-    the chain (models/geometry.py::Textures layout): off_{l+1} = off_l +
+def _walk_meta(meta, lod, n_levels):
+    """Walk the contiguous mip chain to per-lane level `lod` →
+    (has, off_row, srows, w, h, wrap). Level addresses are DERIVED
+    (models/geometry.py::Textures layout): off_{l+1} = off_l +
     (h_l+1)*ceil(w_l/127), sizes halving — a static n_levels-step loop of
     masked selects, no per-level tables."""
-    has, off, srows, w, h, mode, lv = meta
-    foot = jnp.maximum(lam * w, 1e-20)
-    bits = jax.lax.bitcast_convert_type(foot * 1.4142135, jnp.int32)
-    lod = jnp.clip(((bits >> 23) - 127).astype(jnp.float32), 0.0, lv - 1.0)
+    has, off, srows, w, h, mode, _lv = meta
     sw, sh, soff, ssr = w, h, off, srows
     wl, hl, offl, srl = w, h, off, srows
     for l in range(1, n_levels):
@@ -201,8 +193,38 @@ def _mip_meta(meta, lam, n_levels):
     return has, soff, ssr, sw, sh, mode
 
 
+def _mip_meta(meta, lam, n_levels):
+    """Per-lane NEAREST mip selection → level-l metadata.
+
+    LOD from the linear footprint `lam` (texels per pixel at unit texture
+    size, from the trace kernel's t x pixel-angle x uv-density):
+    lod = round(log2(lam*w)), computed exactly as floor(log2(x*sqrt2)) via
+    f32 exponent extraction (Mosaic-safe, no transcendental), clamped to
+    the texture's resident chain."""
+    has, off, srows, w, h, mode, lv = meta
+    foot = jnp.maximum(lam * w, 1e-20)
+    bits = jax.lax.bitcast_convert_type(foot * 1.4142135, jnp.int32)
+    lod = jnp.clip(((bits >> 23) - 127).astype(jnp.float32), 0.0, lv - 1.0)
+    return _walk_meta(meta, lod, n_levels)
+
+
+def _mip_lod_frac(meta, lam):
+    """Continuous LOD split for trilinear: (floor level l0, blend frac) —
+    exponent+mantissa piecewise-linear log2 (max error 0.086, exactly 0 at
+    level boundaries so the blend is continuous across them). frac is 0
+    when magnifying or when l0+1 runs past the resident chain."""
+    _has, _off, _srows, w, _h, _mode, lv = meta
+    foot = jnp.maximum(lam * w, 1e-20)
+    bits = jax.lax.bitcast_convert_type(foot, jnp.int32)
+    e = ((bits >> 23) - 127).astype(jnp.float32)
+    mant = (bits & 0x7FFFFF).astype(jnp.float32) * (2.0 ** -23)
+    l0 = jnp.clip(e, 0.0, lv - 1.0)
+    frac = jnp.where((e >= 0.0) & (e < lv - 1.0), mant, 0.0)
+    return l0, frac
+
+
 def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
-                n_levels=1):
+                n_levels=1, trilinear=False):
     """Bilinear-sample one map for a 128-ray group → dict channel→(1,128).
 
     One bf16 matmul per channel fetches BOTH tap rows ([128lanes, R] @
@@ -210,35 +232,49 @@ def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
     lerp blends them vertically, and a weighted lane one-hot reduces the
     horizontal pair. Absent-map lanes read row 0 harmlessly; the caller
     masks with `has`. With a mip pyramid (n_levels > 1) and a footprint
-    operand, each lane samples its own nearest mip level."""
+    operand, each lane samples its own nearest mip level — or, with
+    `trilinear`, lerps the two straddling levels (a second fetch: opt-in,
+    it doubles the sampling matmuls)."""
+    def fetch(meta6):
+        rowA, lane, srows, fx, fy = _tap_setup(u, v, meta6)
+        rit = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, 1),
+                                       0).astype(jnp.float32)
+        w0 = (rit == rowA).astype(jnp.bfloat16)              # [R,128]
+        w1 = (rit == rowA + srows).astype(jnp.bfloat16)
+        wstack = jnp.concatenate([w0, w1], axis=1)           # [R,256]
+
+        lit = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1),
+                                       0).astype(jnp.float32)
+        hl = ((lit == lane).astype(jnp.float32) * (1.0 - fx)
+              + (lit == lane + 1.0).astype(jnp.float32) * fx)  # [128,128]
+
+        out = {}
+        for c in channels:
+            res = jax.lax.dot_general(
+                plane_ref[c], wstack, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [128,256]
+            col = (res[:, :LANES] * (1.0 - fy) + res[:, LANES:] * fy)
+            out[c] = jnp.sum(col * hl, axis=0,
+                             keepdims=True) * (1.0 / 255.0)
+        return out
+
+    if lam is not None and n_levels > 1 and trilinear:
+        lv = meta[6]
+        l0, frac = _mip_lod_frac(meta, lam)
+        s0 = fetch(_walk_meta(meta, l0, n_levels))
+        s1 = fetch(_walk_meta(meta, jnp.minimum(l0 + 1.0, lv - 1.0),
+                              n_levels))
+        return tuple(s0[c] * (1.0 - frac) + s1[c] * frac for c in channels)
     if lam is not None and n_levels > 1:
-        meta = _mip_meta(meta, lam, n_levels)
+        out = fetch(_mip_meta(meta, lam, n_levels))
     else:
-        meta = meta[:6]
-    rowA, lane, srows, fx, fy = _tap_setup(u, v, meta)
-    rit = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, 1),
-                               0).astype(jnp.float32)
-    w0 = (rit == rowA).astype(jnp.bfloat16)                  # [R,128]
-    w1 = (rit == rowA + srows).astype(jnp.bfloat16)
-    wstack = jnp.concatenate([w0, w1], axis=1)               # [R,256]
-
-    lit = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1),
-                               0).astype(jnp.float32)
-    hl = ((lit == lane).astype(jnp.float32) * (1.0 - fx)
-          + (lit == lane + 1.0).astype(jnp.float32) * fx)    # [128,128]
-
-    out = {}
-    for c in channels:
-        res = jax.lax.dot_general(
-            plane_ref[c], wstack, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [128,256]
-        col = (res[:, :LANES] * (1.0 - fy) + res[:, LANES:] * fy)
-        out[c] = jnp.sum(col * hl, axis=0, keepdims=True) * (1.0 / 255.0)
+        out = fetch(meta[:6])
     return tuple(out[c] for c in channels)
 
 
 def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
-            n_mats, mats_pad, rows_pad, present, sky, n_levels=1):
+            n_mats, mats_pad, rows_pad, present, sky, n_levels=1,
+            trilinear=False):
     for g in range(GROUPS_PER_BLOCK):
         ls_r = in_ref[0, 0, g:g + 1, :]                      # (1,128) each
         ls_g = in_ref[0, 1, g:g + 1, :]
@@ -283,7 +319,8 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
                     jnp.any(has),
                     lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
                                           channels, lam=lam,
-                                          n_levels=n_levels),
+                                          n_levels=n_levels,
+                                          trilinear=trilinear),
                     lambda _: ones, 0)
                 pick = {c: jnp.where(has, s[i], 1.0)
                         for i, c in enumerate(channels)}
@@ -324,10 +361,11 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
             out_ref[0, c, g:g + 1, :] = rgb[c]
 
 
-@partial(jax.jit, static_argnames=("sky", "interpret"))
+@partial(jax.jit, static_argnames=("sky", "interpret", "trilinear"))
 def pallas_texture_shade(scene: Scene, out7: jnp.ndarray,
                          sky: tuple = (0.0, 0.0, 0.0),
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         trilinear: bool = False) -> jnp.ndarray:
     """Fused texture shading of the deferred trace output
     `out7 [B, 7, sub, 128]` (light_sum rgb, material_id, uv, mip footprint)
     → RGB [N, 3] in ray order."""
@@ -346,7 +384,8 @@ def pallas_texture_shade(scene: Scene, out7: jnp.ndarray,
     kernel = partial(_kernel, n_mats=scene.materials.count,
                      mats_pad=mats_pad, rows_pad=rows_pad,
                      present=present, sky=tuple(float(x) for x in sky),
-                     n_levels=scene.textures.n_levels)
+                     n_levels=scene.textures.n_levels,
+                     trilinear=trilinear)
     grid = (B * blocks_per_packet,)
     in_map = lambda i: (i // blocks_per_packet, 0, i % blocks_per_packet, 0)
     rgb = pl.pallas_call(

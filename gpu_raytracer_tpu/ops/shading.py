@@ -41,7 +41,8 @@ TRANSMITTED_BASE = jnp.asarray([0.2, 0.2, 0.3], jnp.float32)
 
 
 def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray,
-                      lam: jnp.ndarray | None = None):
+                      lam: jnp.ndarray | None = None,
+                      trilinear: bool = False):
     """Gather material rows and apply texture factors (glTF: factors multiply
     texture samples) → (albedo [N,3], emission [N,3], metallic [N],
     ambient_occlusion [N] or None). Static-gated on texture data being
@@ -64,17 +65,20 @@ def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray,
                      TEX_OCCLUSION, TEX_EMISSIVE)
         if TEX_BASE_COLOR in slots:
             albedo = albedo * sample_texture(
-                tex, ti[:, TEX_BASE_COLOR], uv, lam=lam)[:, :3]
+                tex, ti[:, TEX_BASE_COLOR], uv, lam=lam,
+                trilinear=trilinear)[:, :3]
         if TEX_EMISSIVE in slots:
             emission = emission * sample_texture(
-                tex, ti[:, TEX_EMISSIVE], uv, lam=lam)[:, :3]
+                tex, ti[:, TEX_EMISSIVE], uv, lam=lam,
+                trilinear=trilinear)[:, :3]
         if TEX_METALLIC_ROUGHNESS in slots:
             mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], uv,
-                                lam=lam)
+                                lam=lam, trilinear=trilinear)
             metallic = metallic * mr[:, 2]                 # B channel
         if TEX_OCCLUSION in slots:
             ambient_occ = sample_texture(
-                tex, ti[:, TEX_OCCLUSION], uv, lam=lam)[:, 0]  # R channel
+                tex, ti[:, TEX_OCCLUSION], uv, lam=lam,
+                trilinear=trilinear)[:, 0]  # R channel
     return albedo, emission, metallic, ambient_occ
 
 
@@ -104,7 +108,8 @@ def hit_footprint(scene: Scene, hit: Hit, height: int) -> jnp.ndarray:
 
 
 def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None,
-                    lam: jnp.ndarray | None = None):
+                    lam: jnp.ndarray | None = None,
+                    trilinear: bool = False):
     """Per-ray RGB from ambient + punctual lights + emission
     (LightingCalculator::calculate_lighting, lighting.rs:20-47).
 
@@ -116,7 +121,7 @@ def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = No
     L = scene.lights
     mid = jnp.clip(hit.material_id, 0, m.count - 1)
     albedo, emission, metallic, ambient_occ = material_textures(
-        scene, mid, hit.uv, lam=lam)
+        scene, mid, hit.uv, lam=lam, trilinear=trilinear)
 
     n = hit.normal                                          # [N,3]
     p = hit.point
@@ -179,7 +184,8 @@ def apply_dispersion(scene: Scene, hit: Hit, lighting: jnp.ndarray) -> jnp.ndarr
 
 def shade_deferred(scene: Scene, light_sum: jnp.ndarray, mat_id: jnp.ndarray,
                    uv: jnp.ndarray, sky_color=(0.0, 0.0, 0.0),
-                   lam: jnp.ndarray | None = None) -> jnp.ndarray:
+                   lam: jnp.ndarray | None = None,
+                   trilinear: bool = False) -> jnp.ndarray:
     """Material/texture apply for the two-phase fused renderer
     (ops/pallas/render.py::pallas_render_deferred) → RGB [N,3].
 
@@ -193,8 +199,8 @@ def shade_deferred(scene: Scene, light_sum: jnp.ndarray, mat_id: jnp.ndarray,
     hit = mat_id >= 0
     m = scene.materials
     mid = jnp.clip(mat_id, 0, m.count - 1)
-    albedo, emission, metallic, ambient_occ = material_textures(scene, mid,
-                                                                uv, lam=lam)
+    albedo, emission, metallic, ambient_occ = material_textures(
+        scene, mid, uv, lam=lam, trilinear=trilinear)
 
     is_metal = (metallic > 0.5).astype(jnp.float32)[:, None]
     brdf_scale = is_metal * 0.5 + (1.0 - is_metal) / jnp.pi   # [N,1]
@@ -212,13 +218,15 @@ def shade_deferred(scene: Scene, light_sum: jnp.ndarray, mat_id: jnp.ndarray,
 
 def shade(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None,
           sky_color=(0.0, 0.0, 0.0),
-          lam: jnp.ndarray | None = None) -> jnp.ndarray:
+          lam: jnp.ndarray | None = None,
+          trilinear: bool = False) -> jnp.ndarray:
     """Full legacy-path shading for a traced batch → RGB [N,3].
 
     Misses get `sky_color` (black in the legacy kernel, lib.rs:77). An
     out-of-range material id shades magenta (lib.rs:307-309).
     """
-    lighting = direct_lighting(scene, hit, shadow_mask, lam=lam)
+    lighting = direct_lighting(scene, hit, shadow_mask, lam=lam,
+                               trilinear=trilinear)
     color = apply_dispersion(scene, hit, lighting)
 
     invalid = hit.hit & ((hit.material_id < 0)

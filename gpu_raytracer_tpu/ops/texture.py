@@ -68,23 +68,15 @@ def _mirror_flip(coord: jnp.ndarray, size: jnp.ndarray,
     return (mode == 2) & (per >= size)
 
 
-def mip_level_params(tex: Textures, safe: jnp.ndarray,
-                     lam: jnp.ndarray):
-    """Per-lane nearest-mip level parameters → (w, h, srows, off_row) i32.
-
-    Twin of the fused kernel's level walk (ops/pallas/texshade.py::
-    _mip_meta): lod = round(log2(lam * w0)) clamped to the texture's
-    resident chain, level addresses derived by walking the contiguous
-    pyramid (models/geometry.py::Textures layout)."""
+def _level_walk(tex: Textures, safe: jnp.ndarray, lod: jnp.ndarray):
+    """Walk the contiguous mip chain to per-lane level `lod` →
+    (w, h, srows, off_row) i32. Level addresses are DERIVED
+    (off_{l+1} = off_l + (h_l+1)*ceil(w_l/127), sizes halving — the
+    models/geometry.py::Textures layout), no per-level tables."""
     w = tex.width[safe].astype(jnp.float32)
     h = tex.height[safe].astype(jnp.float32)
     sr = tex.srows[safe].astype(jnp.float32)
     off = tex.offset_row[safe].astype(jnp.float32)
-    lv = tex.levels[safe].astype(jnp.float32)
-    foot = jnp.maximum(lam * w, 1e-20)
-    bits = jax.lax.bitcast_convert_type(foot * jnp.float32(1.4142135),
-                                        jnp.int32)
-    lod = jnp.clip(((bits >> 23) - 127).astype(jnp.float32), 0.0, lv - 1.0)
     sw, sh, soff, ssr = w, h, off, sr
     wl, hl, offl, srl = w, h, off, sr
     for l in range(1, tex.n_levels):
@@ -101,18 +93,59 @@ def mip_level_params(tex: Textures, safe: jnp.ndarray,
             ssr.astype(jnp.int32), soff.astype(jnp.int32))
 
 
+def mip_lod_frac(tex: Textures, safe: jnp.ndarray, lam: jnp.ndarray):
+    """Continuous LOD split for trilinear: (floor level l0, blend frac).
+
+    lodf = log2(foot) approximated as exponent + mantissa (the classic
+    piecewise-linear log2, max error 0.086 — monotone and exactly 0 at
+    level boundaries, so the blend is continuous across them). frac is
+    zeroed when magnifying (l0 would be < 0) or when l0+1 runs past the
+    texture's resident chain."""
+    lv = tex.levels[safe].astype(jnp.float32)
+    w = tex.width[safe].astype(jnp.float32)
+    foot = jnp.maximum(lam * w, 1e-20)
+    bits = jax.lax.bitcast_convert_type(foot, jnp.int32)
+    e = ((bits >> 23) - 127).astype(jnp.float32)
+    mant = (bits & 0x7FFFFF).astype(jnp.float32) * jnp.float32(2.0 ** -23)
+    l0 = jnp.clip(e, 0.0, lv - 1.0)
+    frac = jnp.where((e >= 0.0) & (e < lv - 1.0), mant, 0.0)
+    return l0, frac
+
+
+def mip_level_params(tex: Textures, safe: jnp.ndarray,
+                     lam: jnp.ndarray):
+    """Per-lane nearest-mip level parameters → (w, h, srows, off_row) i32.
+
+    Twin of the fused kernel's level walk (ops/pallas/texshade.py::
+    _mip_meta): lod = round(log2(lam * w0)) clamped to the texture's
+    resident chain, computed exactly as floor(log2(x*sqrt2)) via f32
+    exponent extraction."""
+    lv = tex.levels[safe].astype(jnp.float32)
+    w = tex.width[safe].astype(jnp.float32)
+    foot = jnp.maximum(lam * w, 1e-20)
+    bits = jax.lax.bitcast_convert_type(foot * jnp.float32(1.4142135),
+                                        jnp.int32)
+    lod = jnp.clip(((bits >> 23) - 127).astype(jnp.float32), 0.0, lv - 1.0)
+    return _level_walk(tex, safe, lod)
+
+
 def tap_base(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
-             lam: jnp.ndarray | None = None):
+             lam: jnp.ndarray | None = None,
+             lod: jnp.ndarray | None = None):
     """Bilinear tap setup in the guard-band atlas → (row [..], lane [..],
     srows [..], fx, fy) with every tap of the quad at
     (row + {0,1}*srows)*128 + lane + {0,1}.
 
     `idx` must already be valid (callers clamp/mask). The MIRRORED_REPEAT
     reflected-period tap direction flip is folded into (lane, fx).
-    `lam` (mip footprint) + a pyramid atlas select a per-lane mip level."""
+    `lam` (mip footprint) + a pyramid atlas select a per-lane mip level;
+    an explicit per-lane `lod` overrides the nearest-mip pick (trilinear)."""
     safe = jnp.minimum(idx.astype(jnp.uint32),
                        jnp.uint32(max(tex.count - 1, 0)))
-    if lam is not None and tex.n_levels > 1:
+    if lod is not None and tex.n_levels > 1:
+        w, h, srows, off_row = _level_walk(tex, safe, lod)
+        mode = tex.wrap[safe].astype(jnp.int32)
+    elif lam is not None and tex.n_levels > 1:
         w, h, srows, off_row = mip_level_params(tex, safe, lam)
         mode = tex.wrap[safe].astype(jnp.int32)
     else:
@@ -150,38 +183,56 @@ def tap_base(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
     return row, lane, srows, fx, fy
 
 
-@partial(jax.jit, static_argnames=("bilinear",))
+def _bilinear_fetch(tex: Textures, safe: jnp.ndarray, uv: jnp.ndarray,
+                    lam: jnp.ndarray | None = None,
+                    lod: jnp.ndarray | None = None) -> jnp.ndarray:
+    """One bilinear fetch (at the nearest mip from `lam`, or at explicit
+    per-lane `lod`): two whole-row gathers (XLA's fast row-gather path) +
+    weighted one-hot lane select — both x taps live in the fetched rows."""
+    row, lane, srows, fx, fy = tap_base(tex, safe, uv, lam=lam, lod=lod)
+    rows2d = tex.data_u32.reshape(-1, 128)
+    flat = row.reshape(-1)
+    top = rows2d[flat]                                   # [N,128]
+    bot = rows2d[(row + srows).reshape(-1)]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, top.shape, 1)
+    l0 = lane.reshape(-1, 1)
+    wl = (jnp.where(lanes == l0, (1.0 - fx).reshape(-1, 1), 0.0)
+          + jnp.where(lanes == l0 + 1, fx.reshape(-1, 1), 0.0))
+    mix = lambda rowtex: jnp.stack(
+        [jnp.sum(((rowtex >> (8 * c)) & 0xFF).astype(jnp.float32) * wl,
+                 axis=1) for c in range(4)], axis=-1)
+    rgba = (mix(top) * (1.0 - fy).reshape(-1, 1)
+            + mix(bot) * fy.reshape(-1, 1)) * (1.0 / 255.0)
+    return rgba.reshape(uv.shape[:-1] + (4,))
+
+
+@partial(jax.jit, static_argnames=("bilinear", "trilinear"))
 def sample_texture(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
                    bilinear: bool = True,
-                   lam: jnp.ndarray | None = None) -> jnp.ndarray:
+                   lam: jnp.ndarray | None = None,
+                   trilinear: bool = False) -> jnp.ndarray:
     """Sample texture `idx` (u32, NO_TEXTURE = miss) at `uv` → RGBA f32.
 
     Lanes with idx == NO_TEXTURE (or out of range) return opaque white
     (1,1,1,1) so the caller can multiply unconditionally — the standard
     "no texture = identity factor" convention. `lam` (per-lane mip
-    footprint) enables nearest-mip selection on pyramid atlases.
+    footprint) enables nearest-mip selection on pyramid atlases;
+    `trilinear=True` lerps the two straddling levels instead (kills
+    level-boundary banding at the cost of a second fetch).
     """
     valid = idx != NO_TEXTURE
     safe = jnp.where(valid, idx, 0).astype(jnp.uint32)
 
-    if bilinear:
-        row, lane, srows, fx, fy = tap_base(tex, safe, uv, lam=lam)
-        # Two whole-row gathers (XLA's fast row-gather path) + weighted
-        # one-hot lane select: both x taps live in the fetched rows.
-        rows2d = tex.data_u32.reshape(-1, 128)
-        flat = row.reshape(-1)
-        top = rows2d[flat]                                   # [N,128]
-        bot = rows2d[(row + srows).reshape(-1)]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, top.shape, 1)
-        l0 = lane.reshape(-1, 1)
-        wl = (jnp.where(lanes == l0, (1.0 - fx).reshape(-1, 1), 0.0)
-              + jnp.where(lanes == l0 + 1, fx.reshape(-1, 1), 0.0))
-        mix = lambda rowtex: jnp.stack(
-            [jnp.sum(((rowtex >> (8 * c)) & 0xFF).astype(jnp.float32) * wl,
-                     axis=1) for c in range(4)], axis=-1)
-        rgba = (mix(top) * (1.0 - fy).reshape(-1, 1)
-                + mix(bot) * fy.reshape(-1, 1)) * (1.0 / 255.0)
-        rgba = rgba.reshape(uv.shape[:-1] + (4,))
+    if bilinear and trilinear and lam is not None and tex.n_levels > 1:
+        sidx = jnp.minimum(safe, jnp.uint32(max(tex.count - 1, 0)))
+        lv = tex.levels[sidx].astype(jnp.float32)
+        l0, frac = mip_lod_frac(tex, sidx, lam)
+        r0 = _bilinear_fetch(tex, safe, uv, lod=l0)
+        r1 = _bilinear_fetch(tex, safe, uv, lod=jnp.minimum(l0 + 1.0,
+                                                            lv - 1.0))
+        rgba = r0 * (1.0 - frac)[..., None] + r1 * frac[..., None]
+    elif bilinear:
+        rgba = _bilinear_fetch(tex, safe, uv, lam=lam)
     else:
         w = tex.width[safe].astype(jnp.int32)
         h = tex.height[safe].astype(jnp.int32)

@@ -14,6 +14,12 @@ Two orthogonal strategies (composable in principle, exposed separately):
   lexicographic (t, original-triangle-id) argmin. This is the mode for
   scenes too big for one chip's HBM/VMEM tables.
 
+* **Ring geometry+ray sharding** (`trace_geometry_sharded_ring`): both at
+  once — each chip holds N/D rays AND one sub-BVH; ray blocks ppermute
+  around the ring carrying their running winner, whose best-t prunes every
+  later sub-BVH at the root. Per-chip compute scales with D on coherent
+  content, unlike the replicated-ray combine above.
+
 The reference has no multi-device path at all (SURVEY.md §2.4: "Multi-chip:
 absent in reference"); this layer is the TPU-native extension.
 """
@@ -278,6 +284,173 @@ def _geom_shard_fn(mesh: Mesh, packet_size: int, leaf_size: int,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=32)
+def _geom_ring_fn(mesh: Mesh, packet_size: int, leaf_size: int,
+                  use_pallas: bool, interpret: bool):
+    """Ring-rotated geometry+ray sharding (VERDICT r3 #4): rays are split
+    into D home blocks of N/D; each block visits the D sub-BVHs by
+    ppermute-ing around the ring (D hops → blocks end home), carrying a
+    running (t, gid, normal, mat, uv) winner. The running best-t enters
+    every later shard's traversal as the initial max-t, so a ray that
+    already found its hit prunes distant sub-BVHs at their root
+    (strict-< slab prune) — per-chip traversal work scales down with D on
+    spatially coherent content instead of every chip traversing the FULL
+    replicated batch (the r3 scheme, kept as `trace_geometry_sharded`).
+
+    Tie semantics: an exactly-equal-t hit in a later shard does not replace
+    the running winner (the kernel's max-t prune is strict); cross-shard
+    ties therefore resolve to the earlier-visited shard rather than the
+    lower original id. Real content hits this only on shared edges split
+    across shards."""
+    from ..ops.pallas.traverse import pallas_packet_traverse
+    from ..ops.packet_trace import packet_traverse
+    from ..models.bvh import Bvh
+
+    SHARD = RAY_AXIS
+    INT_MAX = jnp.int32(2**31 - 1)
+    n_dev = mesh.devices.size
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def shard_fn(o_blk, d_blk, nmin, nmax, left, right, ts_, tc_, hl, ml,
+                 qc, ql, qmn, qmx, qax, v0, e1, e2, tmat, tuv, gid):
+        bvh = Bvh(node_min=nmin[0], node_max=nmax[0], left=left[0],
+                  right=right[0], tri_start=ts_[0], tri_count=tc_[0],
+                  hit_link=hl[0], miss_link=ml[0],
+                  q_child=qc[0], q_leafc=ql[0], q_min=qmn[0], q_max=qmx[0],
+                  q_axis=qax[0], leaf_align=8, max_leaf=leaf_size)
+        o, dd = o_blk, d_blk          # local ray block [N/D, 3]
+        n = o.shape[0]
+        bt = jnp.full((n,), MISS_T - 2.0, jnp.float32)
+        bg = jnp.full((n,), INT_MAX)
+        bn = jnp.zeros((n, 3), jnp.float32)
+        bm = jnp.zeros((n,), jnp.int32)
+        buv = jnp.zeros((n, 2), jnp.float32)
+        bh = jnp.zeros((n,), bool)
+
+        for _step in range(n_dev):
+            if use_pallas:
+                t, i_loc, hit, nrm, mat, uv = pallas_packet_traverse(
+                    bvh, v0[0], e1[0], e2[0], o, dd, bt, tri_mat=tmat[0],
+                    tri_uv=tuv[0], interpret=interpret,
+                    packet_size=packet_size)
+                il = jnp.clip(i_loc, 0, gid.shape[1] - 1)
+            else:
+                t, i_loc, hit, nrm, mat, bary = packet_traverse(
+                    bvh, v0[0], e1[0], e2[0], o, dd, bt, tri_mat=tmat[0],
+                    leaf_size=leaf_size, packet_size=packet_size)
+                il = jnp.clip(i_loc, 0, gid.shape[1] - 1)
+                w0 = 1.0 - bary[:, 0] - bary[:, 1]
+                uvt = tuv[0, il]
+                uv = (w0[:, None] * uvt[:, 0] + bary[:, 0:1] * uvt[:, 1]
+                      + bary[:, 1:2] * uvt[:, 2])
+            g = jnp.where(hit, gid[0, il], INT_MAX)
+            better = hit & (t < bt)
+            bt = jnp.where(better, t, bt)
+            bg = jnp.where(better, g, bg)
+            bn = jnp.where(better[:, None], nrm, bn)
+            bm = jnp.where(better, mat, bm)
+            buv = jnp.where(better[:, None], uv, buv)
+            bh = bh | better
+            # rotate the block (rays + running winner) to the next chip;
+            # after n_dev hops every block is back home with the global
+            # winner on board (the only ICI traffic: ~13 words/ray/hop)
+            o, dd, bt, bg, bn, bm, buv, bh = [
+                jax.lax.ppermute(x, SHARD, perm)
+                for x in (o, dd, bt, bg, bn, bm, buv, bh)]
+        tmin = jnp.where(bh, bt, MISS_T)
+        return tmin, bg, bn, bm, buv, bh
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(RAY_AXIS),) * 21,
+        out_specs=(P(RAY_AXIS),) * 6, check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _merge_spheres(scene: Scene, orig, dirn, tri_t, tri_g, tri_n, tri_m,
+                   tri_uv, tri_hit) -> Hit:
+    """Combine the (replicated, tiny) sphere pass with the sharded triangle
+    winner — shared tail of both geometry-sharding schemes."""
+    from ..ops.texture import sphere_uv
+
+    s_t, s_hit = sphere_intersect(orig, dirn, scene.spheres.center,
+                                  scene.spheres.radius, MISS_T - 2.0)
+    sph_t, sph_i, sph_any = closest_select(s_t, s_hit)
+    use_tri = tri_hit & (~sph_any | (tri_t < sph_t))
+    t = jnp.where(use_tri, tri_t, jnp.where(sph_any, sph_t, MISS_T))
+    hit = use_tri | sph_any
+    point = orig + dirn * t[:, None]
+    sc = scene.spheres.center[jnp.clip(sph_i, 0, scene.spheres.count - 1)]
+    normal = jnp.where(use_tri[:, None], tri_n, normalize(point - sc))
+    mat = jnp.where(use_tri, tri_m,
+                    scene.spheres.material_id.astype(jnp.int32)[
+                        jnp.clip(sph_i, 0, scene.spheres.count - 1)])
+    uv = jnp.where(use_tri[:, None], tri_uv,
+                   sphere_uv(normalize(point - sc)))
+    return Hit(
+        t=jnp.where(hit, t, MISS_T), hit=hit,
+        prim_kind=jnp.where(use_tri, TRIANGLE, SPHERE).astype(jnp.int32),
+        prim_id=jnp.where(use_tri, tri_g, sph_i).astype(jnp.int32),
+        point=jnp.where(hit[:, None], point, 0.0),
+        normal=jnp.where(hit[:, None], normal, 0.0),
+        material_id=jnp.where(hit, mat, -1).astype(jnp.int32),
+        uv=jnp.where(hit[:, None], uv, 0.0),
+    )
+
+
+def trace_geometry_sharded_ring(scene: Scene, orig: jnp.ndarray,
+                                dirn: jnp.ndarray, mesh: Mesh,
+                                shards: GeometryShards | None = None,
+                                packet_size: int | None = None,
+                                use_pallas: bool | None = None,
+                                interpret: bool | None = None) -> Hit:
+    """Closest hit with rays AND triangles sharded: each chip traverses
+    only N/D rays per step against its sub-BVH, ring-rotating blocks with
+    their running winner (see _geom_ring_fn). Compute per chip scales with
+    D on coherent content (the running best-t retires later sub-BVHs at
+    the root); HBM scales with D as in trace_geometry_sharded."""
+    from ..ops.trace import _pallas_available
+
+    n_dev = mesh.devices.size
+    if shards is None:
+        shards = GeometryShards(scene, n_dev)
+    assert shards.n_shards == n_dev
+
+    N = orig.shape[0]
+    if interpret is None:
+        interpret = not _pallas_available()
+    blk = -(-N // n_dev)
+    if use_pallas is None:
+        use_pallas = blk % 1024 == 0
+    if packet_size is None:
+        if use_pallas:
+            packet_size = 8192 if blk % 8192 == 0 else 1024
+        else:
+            packet_size = max(k for k in (8192, 4096, 1024, 512, 256, 128,
+                                          64, 32, 16, 8, 4, 2, 1)
+                              if blk % k == 0)
+    pad = blk * n_dev - N
+    o = jnp.concatenate([orig, jnp.zeros((pad, 3), orig.dtype)]) if pad \
+        else orig
+    d = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)]) if pad \
+        else dirn
+    fn = _geom_ring_fn(mesh, packet_size, shards.max_leaf,
+                       bool(use_pallas), bool(interpret))
+    tri_t, tri_g, tri_n, tri_m, tri_uv, tri_hit = fn(
+        o, d, shards.node_min, shards.node_max, shards.left,
+        shards.right, shards.tri_start, shards.tri_count, shards.hit_link,
+        shards.miss_link, shards.q_child, shards.q_leafc, shards.q_min,
+        shards.q_max, shards.q_axis, shards.tri_v0, shards.tri_e1,
+        shards.tri_e2, shards.tri_mat, shards.tri_uv, shards.orig_id)
+    if pad:
+        tri_t, tri_g, tri_n, tri_m, tri_uv, tri_hit = (
+            tri_t[:N], tri_g[:N], tri_n[:N], tri_m[:N], tri_uv[:N],
+            tri_hit[:N])
+    return _merge_spheres(scene, orig, dirn, tri_t, tri_g, tri_n, tri_m,
+                          tri_uv, tri_hit)
+
+
 def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
                            mesh: Mesh, shards: GeometryShards | None = None,
                            packet_size: int | None = None,
@@ -373,28 +546,40 @@ def render_frame_multichip(scene: Scene, width: int, height: int, mesh: Mesh,
 def render_frame_fused_multichip(scene, width: int, height: int, mesh,
                                  shadows: bool = False,
                                  interpret: bool = False) -> np.ndarray:
-    """Whole frame through the fused raygen→trace→shade Pallas kernel
-    (ops/pallas/render.py), ray-sharded over the mesh: every chip holds the
-    replicated scene tables and renders its slice of the tile-ordered pixel
-    stream — the data-parallel layout where the only collective is the
-    implicit output gather (ICI-friendly; no cross-chip traffic during the
-    frame). `interpret=True` runs the kernel in the Pallas interpreter for
-    virtual-CPU-mesh validation."""
+    """Whole frame through the fused Pallas render kernels, ray-sharded over
+    the mesh: every chip holds the replicated scene tables and renders its
+    slice of the tile-ordered pixel stream — the data-parallel layout where
+    the only collective is the implicit output gather (ICI-friendly; no
+    cross-chip traffic during the frame). Textured scenes ride the TWO-PHASE
+    deferred kernel (trace + MXU texshade) per shard; untextured the
+    single-phase fused kernel (VERDICT r3 #4: both fast paths are
+    multichip). `interpret=True` runs the kernels in the Pallas interpreter
+    for virtual-CPU-mesh validation."""
     from ..ops.packet_trace import tiled_pixel_order
-    from ..ops.pallas.render import pallas_render_primary
+    from ..ops.pallas.render import (pallas_render_deferred,
+                                     pallas_render_primary)
 
     n_dev = mesh.devices.size
+    textured = scene.textures.data_u32.shape[0] > 1
     px, py = tiled_pixel_order(width, height, tile=64)
     n = px.shape[0]
-    pad = (-n) % (n_dev * 128)
+    # the texshade phase consumes 1024-ray blocks (8 sublane groups), so
+    # textured frames need >= 1024 rays per chip
+    gran = n_dev * (1024 if textured else 128)
+    pad = (-n) % gran
     if pad:
         px = np.concatenate([px, np.full(pad, width - 1, np.int32)])
         py = np.concatenate([py, np.full(pad, height - 1, np.int32)])
     per_dev = px.shape[0] // n_dev
     packet = max(k for k in (8192, 4096, 1024, 512, 256, 128)
-                 if per_dev % k == 0)
+                 if per_dev % k == 0 and not (textured and k < 1024))
 
     def shard_fn(scene, pxs, pys):
+        if textured:
+            return pallas_render_deferred(scene, pxs, pys, width, height,
+                                          shadows=shadows,
+                                          packet_size=packet,
+                                          interpret=interpret)
         return pallas_render_primary(scene, pxs, pys, width, height,
                                      shadows=shadows, packet_size=packet,
                                      interpret=interpret)

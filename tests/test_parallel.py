@@ -191,3 +191,93 @@ def test_geometry_shards_empty_chunks_inert(default_scene):
                                   np.asarray(single.material_id)[tri])
     np.testing.assert_allclose(np.asarray(sharded.uv)[tri],
                                np.asarray(single.uv)[tri], atol=1e-5)
+
+
+@needs_8
+def test_geometry_ring_matches_single():
+    """VERDICT r3 #4: ring-rotated geometry+ray sharding — each chip
+    traverses N/8 rays per step, blocks ppermute around the ring carrying
+    the running winner — must reproduce the single-device closest hit."""
+    from gpu_raytracer_tpu.parallel.shard import (GeometryShards,
+                                                  trace_geometry_sharded_ring)
+    from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+
+    scene = make_courtyard_scene(target_triangles=6_000, seed=2)
+    mesh = make_mesh(8)
+    shards = GeometryShards(scene, 8)
+
+    rng2 = np.random.default_rng(13)
+    m = 2048                              # 256 rays per chip block
+    o = rng2.uniform(-30, 30, (m, 3)).astype(np.float32)
+    tgt = rng2.uniform(-15, 15, (m, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    sharded = trace_geometry_sharded_ring(scene, o, d, mesh, shards=shards)
+    single = trace(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(sharded.hit),
+                                  np.asarray(single.hit))
+    h = np.asarray(single.hit)
+    assert h.sum() > 200
+    np.testing.assert_allclose(np.asarray(sharded.t)[h],
+                               np.asarray(single.t)[h], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sharded.material_id)[h],
+                                  np.asarray(single.material_id)[h])
+    # (prim_id is the ORIGINAL mesh id here vs the single trace's
+    # leaf-order id — not comparable; t/material/normal parity is.)
+    dn = np.abs(np.sum(np.asarray(sharded.normal)[h]
+                       * np.asarray(single.normal)[h], axis=1))
+    np.testing.assert_allclose(dn, 1.0, atol=1e-4)
+
+
+@needs_8
+def test_geometry_ring_pallas_interpreted():
+    """The ring path on the PALLAS per-shard traversal (interpreted on the
+    CPU mesh), non-divisible ray count exercises the padding."""
+    from gpu_raytracer_tpu.parallel.shard import (GeometryShards,
+                                                  trace_geometry_sharded_ring)
+    from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+
+    scene = make_courtyard_scene(target_triangles=3_000, seed=4)
+    mesh = make_mesh(8)
+    shards = GeometryShards(scene, 8)
+
+    rng2 = np.random.default_rng(17)
+    m = 8192                              # 1024/chip -> Pallas packets
+    o = rng2.uniform(-25, 25, (m, 3)).astype(np.float32)
+    tgt = rng2.uniform(-12, 12, (m, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    sharded = trace_geometry_sharded_ring(scene, o, d, mesh, shards=shards,
+                                          use_pallas=True, interpret=True)
+    single = trace(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(sharded.hit),
+                                  np.asarray(single.hit))
+    h = np.asarray(single.hit)
+    assert h.sum() > 500
+    np.testing.assert_allclose(np.asarray(sharded.t)[h],
+                               np.asarray(single.t)[h], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sharded.material_id)[h],
+                                  np.asarray(single.material_id)[h])
+
+
+@needs_8
+def test_fused_multichip_textured():
+    """The ray-sharded whole-frame path must also drive the two-phase
+    textured kernel (VERDICT r3 #4): 8-chip frame == single-device frame."""
+    from gpu_raytracer_tpu.parallel.shard import render_frame_fused_multichip
+    from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+    from gpu_raytracer_tpu import Renderer
+
+    scene = make_courtyard_scene(target_triangles=1500, seed=1,
+                                 textured=True)
+    W, H = 64, 32
+    fb = render_frame_fused_multichip(scene, W, H, make_mesh(8),
+                                      shadows=True, interpret=True)
+    r = Renderer(scene, W, H, shadows=True, interpret=True)
+    assert r._use_deferred()
+    single = r.render()
+    np.testing.assert_allclose(fb, single, atol=3e-4)
