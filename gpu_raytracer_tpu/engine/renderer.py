@@ -110,7 +110,6 @@ class Renderer:
         # reproduces the deterministic single-frame behaviour.
         self.light_frame = 0
         self._chunks = None  # cached device px/py chunks
-        self._sphere_uv_ok = None  # lazy host check (see _use_deferred)
 
     def set_camera(self, camera: Camera) -> None:
         self.scene = self.scene.with_camera(camera)
@@ -176,14 +175,7 @@ class Renderer:
 
         if not ((_pallas_available() or self.interpret) and self.use_bvh):
             return False
-        if self._sphere_uv_ok is None:
-            # One host fetch per Renderer: radius-0 guard spheres
-            # (Spheres.from_rows([])) can never hit, so the kernel's missing
-            # sphere equirect-UV (Mosaic has no atan2) is unreachable.
-            self._sphere_uv_ok = bool(
-                np.all(np.asarray(self.scene.spheres.radius) == 0.0))
-        return fused_deferred_eligible(self.scene,
-                                       sphere_uv_ok=self._sphere_uv_ok)
+        return fused_deferred_eligible(self.scene)
 
     def _light_u(self, n: int, salt: int):
         """Per-lane uniforms for the fused kernels' single-sample NEE

@@ -50,15 +50,20 @@ def test_sky_color():
 
 
 def test_eligibility_gates():
-    from gpu_raytracer_tpu.models.geometry import Textures
+    from gpu_raytracer_tpu.models.geometry import Spheres, Textures
     from gpu_raytracer_tpu.utils.pytree import replace
     import numpy as onp
 
     scene = build_default_scene()
     assert fused_render_eligible(scene)
+    # textured + LIVE spheres stays fused since r4 (polynomial atan2 UV)
     textured = replace(scene, textures=Textures.from_images(
         [onp.full((2, 2, 4), 255, onp.uint8)]))
-    assert not fused_render_eligible(textured)
+    assert fused_render_eligible(textured)
+    # the sphere-count loop bound still gates
+    many = Spheres.from_rows([((0.0, 0.0, -1.0 - i), 0.5, 0)
+                              for i in range(9)])
+    assert not fused_render_eligible(replace(scene, spheres=many))
 
 
 # ---- two-phase (deferred) fused path: textures + unbounded materials ----
@@ -131,8 +136,9 @@ def test_deferred_default_scene_untextured():
 
 
 def test_deferred_eligibility_sphere_guard():
-    """Textured scenes with (potentially live) spheres need the host's
-    radius-0 attestation — Mosaic can't compute the sphere equirect UV."""
+    """Since r4, textured scenes with LIVE spheres are fused-eligible —
+    the kernel computes equirect UV with a polynomial atan2 (the old
+    radius-0 attestation kwarg is accepted and ignored)."""
     from gpu_raytracer_tpu.models.geometry import Textures
     from gpu_raytracer_tpu.utils.pytree import replace
     import numpy as onp
@@ -140,7 +146,7 @@ def test_deferred_eligibility_sphere_guard():
     scene = build_default_scene()
     textured = replace(scene, textures=Textures.from_images(
         [onp.full((2, 2, 4), 255, onp.uint8)]))
-    assert not fused_deferred_eligible(textured)
+    assert fused_deferred_eligible(textured)
     assert fused_deferred_eligible(textured, sphere_uv_ok=True)
 
 
@@ -269,3 +275,48 @@ def test_primary_order_modes_agree(default_scene):
         for om, so in ((0, 0), (1, 0), (2, 0), (0, 2), (2, 2))]
     for o in outs[1:]:
         np.testing.assert_allclose(o, outs[0], atol=1e-6)
+
+
+def test_textured_sphere_stays_fused():
+    """VERDICT r3 #8: textured scenes with LIVE spheres ride the fused
+    kernels — the sphere lanes' equirectangular UV comes from the in-kernel
+    polynomial atan2 (|err| <= 1e-5 rad). Parity vs the XLA pipeline's
+    exact arctan2 within the approximation bound."""
+    from gpu_raytracer_tpu.models.camera import Camera
+    from gpu_raytracer_tpu.models.geometry import Mesh, Spheres, Textures
+    from gpu_raytracer_tpu.models.light import LightBuilder
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+    from gpu_raytracer_tpu.models.scene import prepare_scene
+    from gpu_raytracer_tpu.utils.procgen import make_checker_texture
+
+    mb = MaterialBuilder()
+    ti = np.full(8, 0xFFFFFFFF, np.uint32)
+    ti[0] = 0
+    mb.add(albedo=(1.0, 1.0, 1.0), metallic=0.0, roughness=1.0,
+           texture_indices=ti)                      # 0: checkered sphere
+    mb.add_diffuse((0.4, 0.4, 0.45))                # 1: plain floor
+    spheres = Spheres.from_rows([((0.0, 0.0, -1.0), 0.8, 0)])
+    verts = np.asarray([[-5, -1, 3], [5, -1, 3], [5, -1, -7], [-5, -1, -7]],
+                       np.float32)
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint32)
+    mesh = Mesh.from_arrays(verts, idx, np.asarray([1, 1], np.uint32),
+                            uv=np.zeros((4, 2), np.float32))
+    lb = LightBuilder()
+    lb.add_point((3.0, 6.0, 4.0), (1.0, 1.0, 1.0), 2.0, float("inf"))
+    tex = Textures.from_images([make_checker_texture(64, tiles=8)])
+    scene = prepare_scene(Camera.default(), spheres, mesh, mb.build(),
+                          lb.build(), textures=tex)
+
+    assert fused_deferred_eligible(scene)           # live sphere, textured
+    W = H = 32
+    px, py = _coords(W, H)
+    got = np.asarray(pallas_render_deferred(scene, px, py, W, H,
+                                            shadows=True, packet_size=1024,
+                                            interpret=True))
+    want = np.asarray(render_chunk(scene, px, py, W, H, shadows=True,
+                                   use_bvh=True, leaf_size=8))
+    # poly-atan2 UV error ~1.6e-6 * 64 texels * checker contrast
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    # the sphere is REALLY textured: its pixels carry checker variance
+    img = got.reshape(-1, 3)
+    assert img.std() > 0.05
