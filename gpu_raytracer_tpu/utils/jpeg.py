@@ -20,6 +20,7 @@ device atlas).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -52,6 +53,8 @@ class _HuffTable:
     """Canonical Huffman table with a 16-bit peek LUT for O(1) decode."""
 
     def __init__(self, counts: np.ndarray, symbols: bytes):
+        self.counts = np.asarray(counts, np.uint8)   # raw DHT payload (for
+        self.symbols = bytes(symbols)                # the native decoder)
         lut_sym = np.zeros(1 << 16, np.uint8)
         lut_len = np.zeros(1 << 16, np.uint8)
         code = 0
@@ -220,6 +223,91 @@ def _block_refine_ac(br, row, ac, ss, se, al, state):
         state["eobrun"] -= 1
 
 
+# ---- native scan decoder (csrc/jpeg_scan.cpp): the serial entropy loop in
+# C++; everything else stays vectorised Python. Falls back transparently.
+_NATIVE = None
+use_native = True     # tests flip this to force the Python loop
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is None:
+        import ctypes
+
+        path = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                            "libjpeg_scan.so")
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _NATIVE = False
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.jpeg_decode_scan.restype = ctypes.c_int
+        lib.jpeg_decode_scan.argtypes = [
+            u8p, ctypes.c_int64,                      # ent
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,  # rst offsets
+            ctypes.c_int32,                           # restart_interval
+            u8p, ctypes.c_int32,                      # tables, ncomp
+            i32p, i32p,                               # comp_h, comp_v
+            ctypes.c_int32, ctypes.c_int32,           # mcus_x, mcus_y
+            ctypes.c_int32, ctypes.c_int32,           # bw, bh
+            ctypes.c_int32, ctypes.c_int32,           # ss, se
+            ctypes.c_int32, ctypes.c_int32,           # ah, al
+            ctypes.POINTER(ctypes.c_void_p), i32p,    # coef ptrs, grid_w
+        ]
+        _NATIVE = lib
+    return _NATIVE or None
+
+
+def _decode_scan_native(sc, comp_state, frame_dims) -> bool:
+    """Run one scan through csrc/libjpeg_scan.so. Returns False when the
+    library is absent/disabled (caller falls back to the Python loop);
+    raises JpegError on a corrupt bitstream, like the Python path."""
+    lib = _load_native() if use_native else None
+    if lib is None:
+        return False
+    import ctypes
+
+    W, H, hmax, vmax, mcus_x, mcus_y = frame_dims
+    ncomp = len(sc["comps"])
+    tables = np.zeros((ncomp, 2, 272), np.uint8)
+    for c, (_cid, dc, ac) in enumerate(sc["comps"]):
+        for j, t in enumerate((dc, ac)):
+            if t is not None:
+                tables[c, j, :16] = t.counts
+                tables[c, j, 16:16 + len(t.symbols)] = np.frombuffer(
+                    t.symbols, np.uint8)
+    comp_h = np.asarray([comp_state[cid]["h"] for cid, _, _ in sc["comps"]],
+                        np.int32)
+    comp_v = np.asarray([comp_state[cid]["v"] for cid, _, _ in sc["comps"]],
+                        np.int32)
+    grids = [comp_state[cid]["coef"] for cid, _, _ in sc["comps"]]
+    gw = np.asarray([g.shape[1] for g in grids], np.int32)
+    ptrs = (ctypes.c_void_p * ncomp)(
+        *[g.ctypes.data for g in grids])
+    if ncomp == 1:
+        ci = comp_state[sc["comps"][0][0]]
+        bw = -(-(-(-W * ci["h"] // hmax)) // 8)
+        bh = -(-(-(-H * ci["v"] // vmax)) // 8)
+    else:
+        bw = bh = 0
+    ent = np.ascontiguousarray(sc["ent"])
+    rst = np.ascontiguousarray(np.asarray(sc["rst"], np.int64))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.jpeg_decode_scan(
+        ent.ctypes.data_as(u8p), ent.shape[0],
+        rst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), rst.shape[0],
+        sc["restart_interval"], tables.ctypes.data_as(u8p), ncomp,
+        comp_h.ctypes.data_as(i32p), comp_v.ctypes.data_as(i32p),
+        mcus_x, mcus_y, bw, bh, sc["ss"], sc["se"], sc["ah"], sc["al"],
+        ptrs, gw.ctypes.data_as(i32p))
+    if rc != 0:
+        raise JpegError("bad Huffman code")
+    return True
+
+
 def _decode_scan(sc, comp_state, frame_dims) -> None:
     """Run one scan (baseline or progressive) over the component coefficient
     grids. Interleaved MCU order for multi-component scans, raster block
@@ -374,7 +462,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     }
     frame_dims = (W, H, hmax, vmax, mcus_x, mcus_y)
     for sc in scans:
-        _decode_scan(sc, comp_state, frame_dims)
+        if not _decode_scan_native(sc, comp_state, frame_dims):
+            _decode_scan(sc, comp_state, frame_dims)
 
     # ---- vectorised: dequantise, de-zigzag, IDCT, plane assembly ----
     planes = []

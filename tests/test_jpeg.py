@@ -115,3 +115,67 @@ def test_progressive_restart_markers():
 def test_not_a_jpeg():
     with pytest.raises(JpegError):
         decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_native_scan_matches_python():
+    """csrc/libjpeg_scan.so (the C++ entropy loop) must decode bit-
+    identically to the Python loop on baseline AND progressive streams,
+    with restarts and subsampling."""
+    from gpu_raytracer_tpu.utils import jpeg as J
+
+    if J._load_native() is None:
+        pytest.skip("libjpeg_scan.so not built")
+    img = _smooth(130, 94, seed=9)
+    streams = [
+        _encode(img, quality=90, subsampling=2),
+        _encode(img, quality=85, progressive=True, subsampling=2),
+        _encode(img[..., 0], quality=92, progressive=True),
+    ]
+    cv2 = None
+    try:
+        import cv2 as _cv2
+        cv2 = _cv2
+    except ImportError:
+        pass
+    if cv2 is not None:
+        ok, enc = cv2.imencode(".jpg", img[..., ::-1],
+                               [cv2.IMWRITE_JPEG_QUALITY, 88,
+                                cv2.IMWRITE_JPEG_PROGRESSIVE, 1,
+                                cv2.IMWRITE_JPEG_RST_INTERVAL, 2])
+        assert ok
+        streams.append(enc.tobytes())
+    for i, data in enumerate(streams):
+        J.use_native = True
+        a = decode_jpeg(data)
+        J.use_native = False
+        try:
+            b = decode_jpeg(data)
+        finally:
+            J.use_native = True
+        np.testing.assert_array_equal(a, b, err_msg=f"stream {i}")
+
+
+def test_native_scan_speedup():
+    """The point of the native loop: a real end-to-end decode speedup on a
+    megapixel-class stream (the remaining time is the vectorised IDCT,
+    shared by both paths)."""
+    import time
+
+    from gpu_raytracer_tpu.utils import jpeg as J
+
+    if J._load_native() is None:
+        pytest.skip("libjpeg_scan.so not built")
+    img = _smooth(512, 512, seed=3)
+    data = _encode(img, quality=90)
+    J.use_native = True
+    t0 = time.perf_counter()
+    decode_jpeg(data)
+    t_native = time.perf_counter() - t0
+    J.use_native = False
+    try:
+        t0 = time.perf_counter()
+        decode_jpeg(data)
+        t_python = time.perf_counter() - t0
+    finally:
+        J.use_native = True
+    assert t_python / t_native > 1.5, (t_python, t_native)
