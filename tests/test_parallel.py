@@ -220,6 +220,14 @@ def test_geometry_ring_matches_single():
                                   np.asarray(single.hit))
     h = np.asarray(single.hit)
     assert h.sum() > 200
+
+    # non-divisible ray count exercises the block padding (1003 % 8 != 0)
+    odd = trace_geometry_sharded_ring(scene, o[:1003], d[:1003], mesh,
+                                      shards=shards)
+    np.testing.assert_array_equal(np.asarray(odd.hit), h[:1003])
+    np.testing.assert_allclose(np.asarray(odd.t)[h[:1003]],
+                               np.asarray(single.t)[:1003][h[:1003]],
+                               rtol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded.t)[h],
                                np.asarray(single.t)[h], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(sharded.material_id)[h],
@@ -234,7 +242,7 @@ def test_geometry_ring_matches_single():
 @needs_8
 def test_geometry_ring_pallas_interpreted():
     """The ring path on the PALLAS per-shard traversal (interpreted on the
-    CPU mesh), non-divisible ray count exercises the padding."""
+    CPU mesh), packet-shaped blocks (8192 rays = 1024/chip)."""
     from gpu_raytracer_tpu.parallel.shard import (GeometryShards,
                                                   trace_geometry_sharded_ring)
     from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
