@@ -139,6 +139,30 @@ def cmd_info(args, config):
           f"images={len(loaded.images)}")
 
 
+def cmd_export(args, config):
+    """Scene → .glb through the writer (models/gltf_export.py): ships the
+    demo/courtyard scenes — or re-packs a loaded glTF — as self-contained
+    binary assets the loader (and any glTF 2.0 consumer) ingests."""
+    from .models.gltf_export import export_glb
+
+    scene = _load_scene(args, config)
+    images = None
+    if getattr(args, "courtyard", 0) and getattr(args, "textured", False):
+        from .utils.procgen import courtyard_source_images
+
+        images = courtyard_source_images(0)
+    elif getattr(args, "gltf", None):
+        from .models.gltf import load_gltf
+
+        loaded = load_gltf(args.gltf)
+        if loaded.images:
+            images = [loaded.images[i] for i in loaded.texture_image
+                      if i < len(loaded.images)]
+    export_glb(scene, args.output, images=images)
+    print(f"wrote {args.output} ({os.path.getsize(args.output)} bytes, "
+          f"{scene.num_triangles} triangles)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="gpu_raytracer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -185,6 +209,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8642)
     p.add_argument("--max-fps", type=float, default=30.0)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("export", help="write a scene as a binary glTF (.glb)")
+    _add_scene_args(p)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("info", help="inspect a glTF file")
     p.add_argument("--gltf", type=str, required=True)

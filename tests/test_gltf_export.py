@@ -103,3 +103,85 @@ def test_export_missing_images_raises(tmp_path):
     scene = make_courtyard_scene(500, seed=0, textured=True)
     with pytest.raises(ValueError, match="source images"):
         export_glb(scene, str(tmp_path / "x.glb"))
+
+
+def test_material_zoo_roundtrip(tmp_path):
+    """Every exported material field survives the writer → reader loop:
+    spec-gloss workflow, volume/specular extensions, spot lights."""
+    import numpy as np
+
+    from gpu_raytracer_tpu.models.camera import Camera
+    from gpu_raytracer_tpu.models.geometry import Mesh, Spheres
+    from gpu_raytracer_tpu.models.light import LightBuilder
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+    from gpu_raytracer_tpu.models.scene import prepare_scene
+
+    mb = MaterialBuilder()
+    mb.add(albedo=(0.8, 0.2, 0.1), metallic=0.3, roughness=0.7,
+           emission=(0.1, 0.2, 0.3), ior=1.45, transmission=0.6,
+           specular_factor=0.5, specular_color=(0.9, 0.8, 0.7),
+           thickness_factor=0.25, attenuation_distance=3.5,
+           attenuation_color=(0.5, 0.6, 0.7))
+    mb.add_specular_glossiness((0.3, 0.4, 0.5), (0.6, 0.5, 0.4), 0.8)
+    mb.add_glass((0.2, 0.3, 0.8), 1.52, 0.9)
+    # a quad per material so every material is referenced
+    verts, idx, mats = [], [], []
+    for m in range(3):
+        base = len(verts)
+        verts += [[m * 3.0, 0, 0], [m * 3.0 + 1, 0, 0], [m * 3.0, 1, 0],
+                  [m * 3.0 + 1, 1, 0]]
+        idx += [[base, base + 1, base + 2], [base + 1, base + 3, base + 2]]
+        mats += [m, m]
+    mesh = Mesh.from_arrays(np.asarray(verts, np.float32),
+                            np.asarray(idx, np.uint32),
+                            np.asarray(mats, np.uint32))
+    lb = LightBuilder()
+    lb.add_spot((1.0, 5.0, 2.0), (0.1, -1.0, 0.0), (1.0, 0.8, 0.6), 3.0,
+                12.0, 0.2, 0.6)
+    lb.add_directional((0.0, -1.0, -0.3), (0.9, 0.9, 1.0), 1.2)
+    scene = prepare_scene(Camera.create((0, 1, 8), (0, 0, -1), fov=50.0),
+                          Spheres.from_rows([]), mesh, mb.build(),
+                          lb.build())
+    p = str(tmp_path / "zoo.glb")
+    export_glb(scene, p)
+    got = scene_from_gltf(p)
+    m0, m1 = scene.materials, got.materials
+    for f in ("metallic_roughness_f16", "ior_transmission_f16",
+              "material_type", "texture_indices"):
+        np.testing.assert_array_equal(np.asarray(getattr(m0, f)),
+                                      np.asarray(getattr(m1, f)), err_msg=f)
+    for f in ("albedo", "emission", "specular_factor", "specular_color",
+              "thickness_factor", "attenuation_distance",
+              "attenuation_color"):
+        np.testing.assert_allclose(np.asarray(getattr(m0, f)),
+                                   np.asarray(getattr(m1, f)), atol=1e-6,
+                                   err_msg=f)
+    # diffuse/glossiness are authoritative only in the spec-gloss workflow
+    # (MR rows hold a 1-roughness convenience value that round-trips at f16
+    # precision and is never shaded from)
+    sg = np.asarray(m0.material_type) == 1
+    for f in ("diffuse_factor", "glossiness_factor"):
+        np.testing.assert_allclose(np.asarray(getattr(m0, f))[sg],
+                                   np.asarray(getattr(m1, f))[sg],
+                                   atol=1e-6, err_msg=f)
+    l0, l1 = scene.lights, got.lights
+    np.testing.assert_array_equal(np.asarray(l0.light_type),
+                                  np.asarray(l1.light_type))
+    np.testing.assert_array_equal(np.asarray(l0.range_packed),
+                                  np.asarray(l1.range_packed))
+    np.testing.assert_array_equal(np.asarray(l0.cone_angles_packed),
+                                  np.asarray(l1.cone_angles_packed))
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """`python -m gpu_raytracer_tpu export` writes a loadable .glb."""
+    from gpu_raytracer_tpu.__main__ import main
+
+    out = str(tmp_path / "demo.glb")
+    main(["export", "--demo", "-o", out])
+    got = scene_from_gltf(out)
+    assert got.mesh.num_triangles == 2    # the demo scene's triangles
+    out2 = str(tmp_path / "court.glb")
+    main(["export", "--courtyard", "500", "--textured", "-o", out2])
+    got2 = scene_from_gltf(out2)
+    assert got2.textures.count == 3
