@@ -62,10 +62,11 @@ def fused_bounce_eligible(scene: Scene) -> bool:
     if textured:
         # Textured path tracing: material lookup by one-hot matmul
         # (unbounded count up to the texshade table cap) + in-kernel
-        # guard-band atlas sampling. Spheres are excluded — a sphere hit
-        # would need equirect UV (atan2, which Mosaic does not lower).
+        # guard-band atlas sampling. Live spheres get their equirect UV
+        # from the polynomial atan2 (ops/pallas/render.py::_sphere_uv_tiles,
+        # VERDICT r3 #8).
         return (texshade_eligible(scene)
-                and scene.spheres.all_guards
+                and scene.spheres.count <= MAX_SPHERES
                 and scene.lights.count <= MAX_SAMPLED_LIGHTS
                 and pallas_scene_ok(scene.bvh, scene.tri_v0.shape[0],
                                     want_uv=True))
@@ -133,8 +134,14 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
     # ---- material params: static mask-select (no gathers), or the
     # textured matmul lookup + atlas sampling subroutine ----
     if textured:
-        uvx = jnp.where(use_tri, best[6], 0.0)
-        uvy = jnp.where(use_tri, best[7], 0.0)
+        from .render import _sphere_uv_tiles
+
+        if n_spheres > 0:
+            s_u, s_v = _sphere_uv_tiles(snx * snl, sny * snl, snz * snl)
+        else:
+            s_u = s_v = jnp.zeros(tile, jnp.float32)
+        uvx = jnp.where(use_tri, best[6], s_u)
+        uvy = jnp.where(use_tri, best[7], s_v)
         (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, metal, rough, iorv,
          trans, occ) = sample_materials_tiles(
             planes_ref, mtable_ref, uvx, uvy, mat_id, n_mats=n_mats,

@@ -319,3 +319,48 @@ def test_textured_fused_bounce_parity():
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(d), np.asarray(r2.direction),
                                atol=2e-5)
+
+
+def test_fused_bounce_textured_with_live_sphere():
+    """VERDICT r3 #8 reaches the BOUNCE kernel too: a textured scene with a
+    LIVE checkered sphere stays on the fused path (polynomial-atan2
+    equirect UV for sphere hits) and matches the XLA body within the
+    approximation bound."""
+    from gpu_raytracer_tpu.models.geometry import Mesh, Spheres, Textures
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+    from gpu_raytracer_tpu.models.light import LightBuilder
+    from gpu_raytracer_tpu.models.camera import Camera
+    from gpu_raytracer_tpu.models.scene import prepare_scene
+    from gpu_raytracer_tpu.ops.pallas.bounce import fused_bounce_eligible
+    from gpu_raytracer_tpu.utils.procgen import make_checker_texture
+
+    mb = MaterialBuilder()
+    ti = np.full(8, 0xFFFFFFFF, np.uint32)
+    ti[0] = 0
+    mb.add(albedo=(1.0, 1.0, 1.0), metallic=0.0, roughness=1.0,
+           texture_indices=ti)                     # checkered sphere
+    mb.add_diffuse((0.5, 0.45, 0.4))               # plain floor
+    spheres = Spheres.from_rows([((0.0, 0.0, -1.0), 0.8, 0)])
+    verts = np.asarray([[-5, -1, 3], [5, -1, 3], [5, -1, -7], [-5, -1, -7]],
+                       np.float32)
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint32)
+    mesh = Mesh.from_arrays(verts, idx, np.asarray([1, 1], np.uint32),
+                            uv=np.zeros((4, 2), np.float32))
+    lb = LightBuilder()
+    lb.add_point((3.0, 6.0, 4.0), (1.0, 1.0, 1.0), 2.0, float("inf"))
+    scene = prepare_scene(Camera.default(), spheres, mesh, mb.build(),
+                          lb.build(),
+                          textures=Textures.from_images(
+                              [make_checker_texture(64, tiles=8)]))
+    assert fused_bounce_eligible(scene)            # live sphere, textured
+
+    rays = _pool(scene, RGB_CHANNEL)
+    u = jax.random.uniform(jax.random.PRNGKey(5), (rays.count, 7),
+                           jnp.float32)
+    r2, rad, fused, radF = _run_both(scene, rays, u, shadows=True, rr=False)
+    np.testing.assert_array_equal(np.asarray(fused["active"]),
+                                  np.asarray(r2.active))
+    # poly-atan2 UV error x 64-texel checker contrast
+    np.testing.assert_allclose(np.asarray(radF), np.asarray(rad), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fused["throughput"]),
+                               np.asarray(r2.throughput), atol=2e-3)
