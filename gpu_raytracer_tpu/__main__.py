@@ -146,7 +146,7 @@ def cmd_export(args, config):
     from .models.gltf_export import export_glb
 
     scene = _load_scene(args, config)
-    images = None
+    images = wraps = None
     if getattr(args, "courtyard", 0) and getattr(args, "textured", False):
         from .utils.procgen import courtyard_source_images
 
@@ -156,9 +156,15 @@ def cmd_export(args, config):
 
         loaded = load_gltf(args.gltf)
         if loaded.images:
-            images = [loaded.images[i] for i in loaded.texture_image
-                      if i < len(loaded.images)]
-    export_glb(scene, args.output, images=images)
+            # one image per TEXTURE slot, alignment preserved (a dangling
+            # source index gets the white placeholder, not a compaction
+            # that would shift every later texture), wrap modes forwarded
+            images = [loaded.images[i] if i < len(loaded.images)
+                      else np.full((1, 1, 4), 255, np.uint8)
+                      for i in loaded.texture_image]
+            wraps = [loaded.texture_wrap[t] if t < len(loaded.texture_wrap)
+                     else 0 for t in range(len(loaded.texture_image))]
+    export_glb(scene, args.output, images=images, texture_wrap=wraps)
     print(f"wrote {args.output} ({os.path.getsize(args.output)} bytes, "
           f"{scene.num_triangles} triangles)")
 

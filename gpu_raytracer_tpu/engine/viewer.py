@@ -317,7 +317,13 @@ class Viewer:
     def _nee_accum_pending(self) -> bool:
         from ..ops.pallas.render import MAX_LIGHTS
 
+        # only when the renderer is genuinely on a fused single-sample-NEE
+        # path: the XLA fallback computes the exact per-light sum, so
+        # re-rendering idle frames would average identical images
         return (self._fb_dev is not None
+                and self._whole_frame
+                and (self.renderer._use_fused()
+                     or self.renderer._use_deferred())
                 and self.scene.lights.count > MAX_LIGHTS
                 and 0 < self._nee_samples < self.nee_accum_limit)
 

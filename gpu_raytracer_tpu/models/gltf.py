@@ -232,11 +232,23 @@ def decode_png(data: bytes) -> np.ndarray:
         return (width * channels * bit_depth + 7) // 8
 
     bpp = max(channels * bit_depth // 8, 1)      # filter pixel unit, bytes
+    # tRNS color keys on 16-bit gray/RGB need the EXACT 16-bit samples
+    # (high-byte matching would mark 1/256 of non-key pixels transparent)
+    want16 = (bit_depth == 16 and trns is not None and color_type in (0, 2))
+    px16 = None
+
+    def full16(rows, width):
+        r = rows.reshape(rows.shape[0], width, channels, 2).astype(np.uint16)
+        return (r[..., 0] << 8) | r[..., 1]
+
     if interlace == 0:
         rows, _ = _unfilter(raw, 0, w, h, bpp, stride_of(w))
         px = _unpack_samples(rows, w, channels, bit_depth)
+        if want16:
+            px16 = full16(rows, w)
     elif interlace == 1:                         # Adam7
         px = np.zeros((h, w, channels), np.uint8)
+        px16 = np.zeros((h, w, channels), np.uint16) if want16 else None
         off = 0
         for (x0, y0, dx, dy) in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
@@ -247,6 +259,8 @@ def decode_png(data: bytes) -> np.ndarray:
             off += used
             px[y0::dy, x0::dx] = _unpack_samples(rows, pw, channels,
                                                  bit_depth)
+            if want16:
+                px16[y0::dy, x0::dx] = full16(rows, pw)
     else:
         raise GltfError(f"unsupported PNG interlace method {interlace}")
 
@@ -272,12 +286,15 @@ def decode_png(data: bytes) -> np.ndarray:
         # (high byte for 16-bit, identity for 8-bit, scale for 1/2/4-bit).
         key = np.frombuffer(trns[:2 * channels], ">u2").astype(np.uint32)
         if bit_depth == 16:
-            key8 = (key >> 8).astype(np.uint8)
-        elif bit_depth == 8:
-            key8 = key.astype(np.uint8)
+            # exact 16-bit compare (the reference's image crate keys before
+            # the to-8-bit conversion)
+            transparent = np.all(px16 == key.astype(np.uint16), axis=-1)
         else:
-            key8 = (key * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
-        transparent = np.all(px == key8, axis=-1)
+            if bit_depth == 8:
+                key8 = key.astype(np.uint8)
+            else:
+                key8 = (key * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+            transparent = np.all(px == key8, axis=-1)
         rgba[..., 3] = np.where(transparent, 0, 255).astype(np.uint8)
     if channels == 1:
         rgba[..., :3] = px

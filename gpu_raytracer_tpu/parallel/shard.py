@@ -469,11 +469,7 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     Build `shards = GeometryShards(scene, D)` once per scene and pass it
     in; it is rebuilt per call otherwise.
     """
-    from ..ops.packet_trace import packet_traverse
-    from ..ops.pallas.traverse import pallas_packet_traverse
     from ..ops.trace import _pallas_available
-    from ..ops.texture import sphere_uv
-    from ..models.bvh import Bvh
 
     n_dev = mesh.devices.size
     if shards is None:
@@ -501,31 +497,8 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
         shards.miss_link, shards.q_child, shards.q_leafc, shards.q_min,
         shards.q_max, shards.q_axis, shards.tri_v0, shards.tri_e1,
         shards.tri_e2, shards.tri_mat, shards.tri_uv, shards.orig_id)
-
-    # sphere pass is tiny: replicated
-    s_t, s_hit = sphere_intersect(orig, dirn, scene.spheres.center,
-                                  scene.spheres.radius, MISS_T - 2.0)
-    sph_t, sph_i, sph_any = closest_select(s_t, s_hit)
-    use_tri = tri_hit & (~sph_any | (tri_t < sph_t))
-    t = jnp.where(use_tri, tri_t, jnp.where(sph_any, sph_t, MISS_T))
-    hit = use_tri | sph_any
-    point = orig + dirn * t[:, None]
-    sc = scene.spheres.center[jnp.clip(sph_i, 0, scene.spheres.count - 1)]
-    normal = jnp.where(use_tri[:, None], tri_n, normalize(point - sc))
-    mat = jnp.where(use_tri, tri_m,
-                    scene.spheres.material_id.astype(jnp.int32)[
-                        jnp.clip(sph_i, 0, scene.spheres.count - 1)])
-    uv = jnp.where(use_tri[:, None], tri_uv,
-                   sphere_uv(normalize(point - sc)))
-    return Hit(
-        t=jnp.where(hit, t, MISS_T), hit=hit,
-        prim_kind=jnp.where(use_tri, TRIANGLE, SPHERE).astype(jnp.int32),
-        prim_id=jnp.where(use_tri, tri_g, sph_i).astype(jnp.int32),
-        point=jnp.where(hit[:, None], point, 0.0),
-        normal=jnp.where(hit[:, None], normal, 0.0),
-        material_id=jnp.where(hit, mat, -1).astype(jnp.int32),
-        uv=jnp.where(hit[:, None], uv, 0.0),
-    )
+    return _merge_spheres(scene, orig, dirn, tri_t, tri_g, tri_n, tri_m,
+                          tri_uv, tri_hit)
 
 
 def render_frame_multichip(scene: Scene, width: int, height: int, mesh: Mesh,

@@ -105,6 +105,13 @@ class _BitReader:
         return v
 
 
+def _comp_blocks(size: int, samp: int, smax: int) -> int:
+    """Blocks per non-interleaved scan line/column (T.81 A.2.2):
+    ceil(ceil(size*samp/smax) / 8)."""
+    comp = -(-size * samp // smax)
+    return -(-comp // 8)
+
+
 def _extend(v: int, s: int) -> int:
     """JPEG signed-magnitude extension (ITU T.81 F.2.2.1)."""
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
@@ -288,8 +295,8 @@ def _decode_scan_native(sc, comp_state, frame_dims) -> bool:
         *[g.ctypes.data for g in grids])
     if ncomp == 1:
         ci = comp_state[sc["comps"][0][0]]
-        bw = -(-(-(-W * ci["h"] // hmax)) // 8)
-        bh = -(-(-(-H * ci["v"] // vmax)) // 8)
+        bw = _comp_blocks(W, ci["h"], hmax)
+        bh = _comp_blocks(H, ci["v"], vmax)
     else:
         bw = bh = 0
     ent = np.ascontiguousarray(sc["ent"])
@@ -324,8 +331,10 @@ def _decode_scan(sc, comp_state, frame_dims) -> None:
     def resync(j):
         br.acc = 0
         br.nbits = 0
-        if j < len(rst_list):
-            br.pos = rst_list[j]
+        # exhausted restart list (truncated stream): seek to END so the
+        # remaining blocks decode from zero bits — identical to the native
+        # decoder (csrc/jpeg_scan.cpp resync)
+        br.pos = rst_list[j] if j < len(rst_list) else len(br.buf)
         for c in preds:
             preds[c] = 0
         state["eobrun"] = 0
@@ -333,8 +342,8 @@ def _decode_scan(sc, comp_state, frame_dims) -> None:
     if len(sc["comps"]) == 1:                # non-interleaved: one block/MCU
         cid, dc, ac = sc["comps"][0]
         ci = comp_state[cid]
-        bw = -(-(-(-W * ci["h"] // hmax)) // 8)
-        bh = -(-(-(-H * ci["v"] // vmax)) // 8)
+        bw = _comp_blocks(W, ci["h"], hmax)
+        bh = _comp_blocks(H, ci["v"], vmax)
         for u in range(bw * bh):
             if ri and u and u % ri == 0:
                 resync(u // ri - 1)
@@ -387,6 +396,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:                               # fill byte (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:                               # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
@@ -398,6 +410,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, H, W, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
+            if nc > 4:
+                raise JpegError(f"unsupported component count {nc}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
@@ -430,6 +444,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                             # SOS
             ns = body[0]
+            if ns > 4:                                   # T.81 B.2.3: Ns <= 4
+                raise JpegError(f"bad scan component count {ns}")
             comps_s = []
             for i in range(ns):
                 cid = body[1 + 2 * i]

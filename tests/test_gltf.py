@@ -379,3 +379,25 @@ def test_color_key_trns_png():
     got = decode_png(buf.getvalue())
     np.testing.assert_array_equal(got[..., 0], g)
     np.testing.assert_array_equal(got[..., 3], np.where(g == 77, 0, 255))
+
+
+def test_16bit_color_key_exact_match():
+    """16-bit gray/RGB tRNS keys compare against the EXACT 16-bit samples:
+    a pixel sharing only the key's high bytes must stay opaque."""
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    img16 = np.full((4, 4), 0x8042, np.uint16)
+    img16[1, 1] = 0x8000      # the key
+    img16[2, 2] = 0x80FF      # same high byte, NOT the key
+    buf = io.BytesIO()
+    PIL.fromarray(img16, mode="I;16").save(buf, format="PNG",
+                                           transparency=0x8000)
+    data = buf.getvalue()
+    assert b"tRNS" in data
+    got = decode_png(data)
+    assert got[1, 1, 3] == 0          # exact match -> transparent
+    assert got[2, 2, 3] == 255        # high-byte-only match stays opaque
+    assert got[0, 0, 3] == 255
