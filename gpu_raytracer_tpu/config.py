@@ -50,6 +50,11 @@ class RaytracerConfig:
     # pick a per-lane nearest mip from the primary hit footprint — arbitrary
     # source texture sets stay fused AND minification stops aliasing.
     texture_mips: int = 8
+    # SBVH-style chopped spatial splits in the host builder: duplicates
+    # straddling triangle references across leaves with clipped bounds,
+    # cutting node overlap on content with large spanning triangles. Costs
+    # build time + up to ~35% more leaf-table slots; off by default.
+    bvh_spatial_splits: bool = False
     # Trilinear mip filtering (two-level lerp) in the deferred texture
     # shade + XLA sampler: kills nearest-mip level-boundary banding at the
     # cost of a second fetch per map (doubles the sampling matmuls in the

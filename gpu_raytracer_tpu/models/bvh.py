@@ -439,9 +439,12 @@ def build_bvh(vertices: np.ndarray, indices: np.ndarray, leaf_size: int = 4,
     )
 
 
-def validate_bvh(res: BvhBuildResult, num_triangles: int) -> None:
-    """Property checks (SURVEY.md §4): every triangle reachable exactly once,
-    parent bounds contain child bounds, leaf ranges disjoint-contiguous."""
+def validate_bvh(res: BvhBuildResult, num_triangles: int,
+                 allow_refs: bool = False) -> None:
+    """Property checks (SURVEY.md §4): every triangle reachable, parent
+    bounds contain child bounds, leaf ranges disjoint-contiguous. Spatial
+    (SBVH) builds duplicate triangle REFERENCES across leaves —
+    `allow_refs=True` checks coverage instead of exactly-once."""
     seen = np.zeros(num_triangles, bool)
     stack = [0]
     while stack:
@@ -449,7 +452,8 @@ def validate_bvh(res: BvhBuildResult, num_triangles: int) -> None:
         if res.left[n] == LEAF:
             s, c = res.tri_start[n], res.tri_count[n]
             ids = res.tri_order[s:s + c]
-            assert not seen[ids].any(), "triangle in two leaves"
+            if not allow_refs:
+                assert not seen[ids].any(), "triangle in two leaves"
             seen[ids] = True
         else:
             for ch in (res.left[n], res.right[n]):
@@ -457,3 +461,222 @@ def validate_bvh(res: BvhBuildResult, num_triangles: int) -> None:
                 assert (res.node_max[ch] <= res.node_max[n] + 1e-6).all()
                 stack.append(int(ch))
     assert seen.all(), "unreachable triangle"
+
+
+def build_bvh_spatial(vertices: np.ndarray, indices: np.ndarray,
+                      leaf_size: int = 8, bins: int = 16,
+                      alpha: float = 1e-5,
+                      max_dup: float = 1.35) -> BvhBuildResult:
+    """SBVH-style top-down build with CHOPPED spatial splits (Stich et al.
+    2009, binned variant): at each node the binned-SAH object split competes
+    with a spatial split that bins the CLIPPED reference boxes along the
+    widest axis; straddling triangles are referenced in BOTH children with
+    their boxes clipped at the plane. Spatial splits are only evaluated when
+    the object split's child boxes overlap (SA(L∩R)/SA(root) > alpha) and
+    total references stay under `max_dup`·T.
+
+    Returns a BvhBuildResult whose `tri_order` may reference a triangle
+    MORE THAN ONCE (every downstream consumer — _expand_triangles,
+    align_leaves, collapse4, refit — gathers by id and is duplication-safe;
+    closest-hit/any-hit correctness is unaffected, duplicates only add
+    candidate tests). Tighter clipped bounds cut node overlap on content
+    with large triangles spanning many cells — fewer traversal steps on
+    every bounce for the same geometry."""
+    vertices = np.asarray(vertices, np.float32)
+    indices = np.asarray(indices, np.uint32)
+    T = indices.shape[0]
+    if T == 0:
+        return build_bvh(vertices, indices, leaf_size)
+    tmin, tmax = triangle_aabbs(vertices, indices)
+
+    max_refs = int(T * max_dup) + 64
+    rtri = np.empty(max_refs, np.int64)
+    rmin = np.empty((max_refs, 3), np.float32)
+    rmax = np.empty((max_refs, 3), np.float32)
+    rtri[:T] = np.arange(T)
+    rmin[:T] = tmin
+    rmax[:T] = tmax
+    n_refs = T
+
+    cap = 2 * max_refs + 2
+    node_min = np.zeros((cap, 3), np.float32)
+    node_max = np.zeros((cap, 3), np.float32)
+    left = np.full(cap, LEAF, np.int32)
+    right = np.full(cap, LEAF, np.int32)
+    tri_start = np.zeros(cap, np.int32)
+    tri_count = np.zeros(cap, np.int32)
+    out_order = np.empty(max_refs, np.int64)
+    out_n = 0
+    n_nodes = 1
+    max_depth = 1
+
+    def sa(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    root_sa = max(sa(tmin.min(0), tmax.max(0)), 1e-30)
+
+    stack = [(0, np.arange(T, dtype=np.int64), 1)]
+    while stack:
+        node, ids, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        bmin = rmin[ids].min(axis=0)
+        bmax = rmax[ids].max(axis=0)
+        node_min[node] = bmin
+        node_max[node] = bmax
+        count = ids.shape[0]
+        if count <= leaf_size:
+            tri_start[node] = out_n
+            tri_count[node] = count
+            out_order[out_n:out_n + count] = rtri[ids]
+            out_n += count
+            continue
+
+        # ---- object split: binned SAH on reference centroids ----
+        cen = 0.5 * (rmin[ids] + rmax[ids])
+        cmin, cmax = cen.min(axis=0), cen.max(axis=0)
+        extent = cmax - cmin
+        axis = int(np.argmax(extent))
+        obj_mask = None
+        obj_cost = np.inf
+        obj_overlap = np.inf
+        if extent[axis] > 0.0:
+            scale = bins * (1.0 - 1e-6) / extent[axis]
+            b = np.clip(((cen[:, axis] - cmin[axis]) * scale).astype(np.int32),
+                        0, bins - 1)
+            bin_cnt = np.bincount(b, minlength=bins)
+            bin_min = np.full((bins, 3), np.inf, np.float32)
+            bin_max = np.full((bins, 3), -np.inf, np.float32)
+            for a in range(3):
+                np.minimum.at(bin_min[:, a], b, rmin[ids][:, a])
+                np.maximum.at(bin_max[:, a], b, rmax[ids][:, a])
+            lmin = np.minimum.accumulate(bin_min, axis=0)
+            lmax = np.maximum.accumulate(bin_max, axis=0)
+            gmin = np.minimum.accumulate(bin_min[::-1], axis=0)[::-1]
+            gmax = np.maximum.accumulate(bin_max[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(bin_cnt)
+            rcnt = count - lcnt
+
+            def areas(mn, mx):
+                d = np.maximum(mx - mn, 0.0)
+                return 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                              + d[:, 2] * d[:, 0])
+
+            cost = (areas(lmin, lmax)[:-1] * lcnt[:-1]
+                    + areas(gmin[1:], gmax[1:]) * rcnt[:-1])
+            cost = np.where((lcnt[:-1] == 0) | (rcnt[:-1] == 0), np.inf,
+                            cost)
+            best = int(np.argmin(cost))
+            if np.isfinite(cost[best]):
+                obj_cost = float(cost[best])
+                obj_mask = b <= best
+                omn = np.maximum(lmin[best], gmin[best + 1])
+                omx = np.minimum(lmax[best], gmax[best + 1])
+                obj_overlap = sa(omn, omx) if (omx > omn).all() else 0.0
+
+        # ---- spatial split: chopped binning along the widest NODE axis,
+        # evaluated only when the object split leaves overlapping children
+        # and the duplication budget has headroom ----
+        sp_cost = np.inf
+        sp_plane = 0.0
+        sp_axis = int(np.argmax(bmax - bmin))
+        headroom = max_refs - n_refs - count
+        if (headroom > 0 and (not np.isfinite(obj_cost)
+                              or obj_overlap / root_sa > alpha)
+                and bmax[sp_axis] - bmin[sp_axis] > 0.0):
+            ext = bmax[sp_axis] - bmin[sp_axis]
+            inv = bins / ext
+            lo = rmin[ids][:, sp_axis]
+            hi = rmax[ids][:, sp_axis]
+            eb = np.clip(((lo - bmin[sp_axis]) * inv).astype(np.int32),
+                         0, bins - 1)
+            xb = np.clip(((hi - bmin[sp_axis]) * inv - 1e-9).astype(np.int32),
+                         0, bins - 1)
+            xb = np.maximum(xb, eb)
+            edges = bmin[sp_axis] + np.arange(bins + 1) * (ext / bins)
+            sbin_min = np.full((bins, 3), np.inf, np.float32)
+            sbin_max = np.full((bins, 3), -np.inf, np.float32)
+            for bi in range(bins):
+                m = (eb <= bi) & (xb >= bi)
+                if not m.any():
+                    continue
+                cm = rmin[ids][m].copy()
+                cM = rmax[ids][m].copy()
+                cm[:, sp_axis] = np.maximum(cm[:, sp_axis], edges[bi])
+                cM[:, sp_axis] = np.minimum(cM[:, sp_axis], edges[bi + 1])
+                sbin_min[bi] = np.minimum(sbin_min[bi], cm.min(axis=0))
+                sbin_max[bi] = np.maximum(sbin_max[bi], cM.max(axis=0))
+            ecnt = np.bincount(eb, minlength=bins)
+            xcnt = np.bincount(xb, minlength=bins)
+            slmin = np.minimum.accumulate(sbin_min, axis=0)
+            slmax = np.maximum.accumulate(sbin_max, axis=0)
+            srmin = np.minimum.accumulate(sbin_min[::-1], axis=0)[::-1]
+            srmax = np.maximum.accumulate(sbin_max[::-1], axis=0)[::-1]
+            nl = np.cumsum(ecnt)                 # refs entering at <= i
+            nr = count - np.cumsum(xcnt)         # refs exiting after i
+
+            def areas2(mn, mx):
+                d = np.maximum(mx - mn, 0.0)
+                return 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+                              + d[:, 2] * d[:, 0])
+
+            scost = (areas2(slmin, slmax)[:-1] * nl[:-1]
+                     + areas2(srmin[1:], srmax[1:]) * nr[:-1])
+            dup = nl[:-1] + nr[:-1] - count      # straddler copies per plane
+            scost = np.where((nl[:-1] == 0) | (nr[:-1] == 0)
+                             | (dup > headroom), np.inf, scost)
+            sbest = int(np.argmin(scost))
+            if np.isfinite(scost[sbest]):
+                sp_cost = float(scost[sbest])
+                sp_plane = float(edges[sbest + 1])
+
+        # ---- apply the cheaper split ----
+        if sp_cost < obj_cost:
+            lo = rmin[ids][:, sp_axis]
+            hi = rmax[ids][:, sp_axis]
+            left_only = hi <= sp_plane
+            right_only = lo >= sp_plane
+            strad = ~(left_only | right_only)
+            sid = ids[strad]
+            # left keeps the straddler refs, clipped at the plane...
+            rmax[sid, sp_axis] = sp_plane
+            # ...the right side gets fresh clipped COPIES
+            k = sid.shape[0]
+            new_ids = np.arange(n_refs, n_refs + k, dtype=np.int64)
+            rtri[new_ids] = rtri[sid]
+            rmin[new_ids] = rmin[sid]
+            rmin[new_ids, sp_axis] = sp_plane
+            rmax[new_ids] = rmax[sid]
+            # rmax[sid] was clipped above; `hi` is a pre-clip copy (fancy
+            # indexing), so the right box recovers its original high edge
+            rmax[new_ids, sp_axis] = hi[strad]
+            n_refs += k
+            lids = np.concatenate([ids[left_only], sid])
+            rids = np.concatenate([ids[right_only], new_ids])
+            if (lids.size == 0 or rids.size == 0
+                    or (lids.size >= count and rids.size >= count)):
+                # degenerate (incl. every ref straddling: children would
+                # both equal the parent and recurse forever): median split
+                lids, rids = ids[: count // 2], ids[count // 2:]
+        elif obj_mask is not None:
+            lids, rids = ids[obj_mask], ids[~obj_mask]
+            if lids.size == 0 or rids.size == 0:
+                lids, rids = ids[: count // 2], ids[count // 2:]
+        else:
+            lids, rids = ids[: count // 2], ids[count // 2:]
+
+        l_idx, r_idx = n_nodes, n_nodes + 1
+        n_nodes += 2
+        if n_nodes > cap:
+            raise RuntimeError("SBVH node capacity exceeded")
+        left[node] = l_idx
+        right[node] = r_idx
+        stack.append((r_idx, rids, depth + 1))
+        stack.append((l_idx, lids, depth + 1))
+
+    return BvhBuildResult(
+        node_min[:n_nodes].copy(), node_max[:n_nodes].copy(),
+        left[:n_nodes].copy(), right[:n_nodes].copy(),
+        tri_start[:n_nodes].copy(), tri_count[:n_nodes].copy(),
+        out_order[:out_n].copy(), max_depth,
+    )

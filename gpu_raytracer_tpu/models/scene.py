@@ -131,7 +131,13 @@ def prepare_scene(
                 f"bvh_leaf_size={config.bvh_leaf_size} clamped to the Pallas "
                 f"row alignment ({align}); larger leaves would break the "
                 f"packed leaf-row invariant", stacklevel=2)
-        bvh_result = build_bvh(vertices, indices, leaf_size=align)
+        if config.bvh_spatial_splits:
+            from .bvh import build_bvh_spatial
+
+            bvh_result = build_bvh_spatial(vertices, indices,
+                                           leaf_size=align)
+        else:
+            bvh_result = build_bvh(vertices, indices, leaf_size=align)
         bvh_result = align_leaves(bvh_result, align)
     tri_v0, tri_e1, tri_e2, tri_mat, tri_uv, tri_src = _expand_triangles(
         vertices, indices, material_id, np.asarray(mesh.uv),
