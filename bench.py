@@ -219,6 +219,12 @@ def main():
 
 
 def _run(result):
+    # BENCH_SMOKE=1 shrinks every section (resolution, triangle count, burst
+    # length) so the WHOLE record path — including the GLB export→load and
+    # textured-pathtrace sections — executes in minutes on the CPU backend.
+    # Used to pre-flight the driver run; the emitted JSON keeps its shape.
+    SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0")
+
     jax, jnp, rpc_lat = init_device_with_retry(
         float(os.environ.get("BENCH_INIT_MAX_WAIT_S", 600)))
 
@@ -234,7 +240,17 @@ def _run(result):
     from gpu_raytracer_tpu import RaytracerConfig, Renderer
     from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
 
-    W, H = 1920, 1080
+    W, H = (512, 384) if SMOKE else (1920, 1080)
+    NTRI = 5_000 if SMOKE else 100_000
+    PTRES = 256 if SMOKE else 1024
+    MK, MR = (2, 1) if SMOKE else (8, 3)      # measure_frame burst/reps
+    # Reference-class texture volume for the textured/GLB sections
+    # (VERDICT r3 #3: the loader must ingest a >=16-MTexel GLB):
+    # 4096^2 floor + 2x2048^2 boxes = 25.2 MTexel.
+    TEXSIZE = 256 if SMOKE else 4096
+    SB = 1 if SMOKE else 3                     # pathtrace spp-burst reps
+    VK, VR = (2, 1) if SMOKE else (8, 3)       # viewer loop frames/reps
+    RFI = 2 if SMOKE else 4                    # refit iterations
     n = W * H
     config = RaytracerConfig()
 
@@ -252,7 +268,7 @@ def _run(result):
 
     # ---- 1. primary headline: untextured courtyard, single-phase fused ----
     t0 = time.time()
-    scene = make_courtyard_scene(target_triangles=100_000, seed=0,
+    scene = make_courtyard_scene(target_triangles=NTRI, seed=0,
                                  config=config)
     log(f"scene: {scene.num_triangles} tris, {scene.bvh.num_nodes} nodes "
         f"({time.time()-t0:.1f}s build)")
@@ -262,7 +278,8 @@ def _run(result):
     float(fb[-1, 0])
     log(f"primary compile+first frame: {time.time()-t0:.1f}s")
     best, med = measure_frame(renderer.render_device,
-                              lambda fb: float(fb[-1, 0]), rpc_lat)
+                              lambda fb: float(fb[-1, 0]), rpc_lat,
+                              K=MK, reps=MR)
     mrays = n * 3 / best / 1e6
     log(f"primary: best={best*1e3:.1f}ms median={med*1e3:.1f}ms "
         f"-> {mrays:.1f} Mrays/s (ref-equiv)")
@@ -276,7 +293,7 @@ def _run(result):
         from gpu_raytracer_tpu.engine.pathtracer import PathTracer
 
         # SAME scene object as the headline (scene reuse: VERDICT r2 #1)
-        pt = PathTracer(scene, 1024, 1024, config=config, spectral=True,
+        pt = PathTracer(scene, PTRES, PTRES, config=config, spectral=True,
                         shadows=True, antialias=True,
                         samples_per_step=config.pathtrace_samples_per_step)
         t0 = time.time()
@@ -294,7 +311,7 @@ def _run(result):
                     / (k * pt.samples_per_step))
 
         spp_burst(1)
-        spp_t = min(spp_burst() for _ in range(3))
+        spp_t = min(spp_burst() for _ in range(SB))
         spp_per_s = 1.0 / spp_t
         log(f"pathtrace: {spp_t*1e3:.0f}ms/spp -> {spp_per_s:.2f} spp/s, "
             f"64 spp in {64*spp_t:.1f}s")
@@ -330,8 +347,8 @@ def _run(result):
                 float(fb[-1, 0])
             return (time.perf_counter() - t0 - rpc_lat) / k
 
-        vloop(2)
-        vt = min(vloop() for _ in range(3))
+        vloop(1 if SMOKE else 2)
+        vt = min(vloop(VK) for _ in range(VR))
         result["viewer_fps_1080p"] = round(1.0 / vt, 1)
         log(f"viewer loop: {vt*1e3:.1f}ms/frame -> "
             f"{result['viewer_fps_1080p']} FPS (camera moving, shadows)")
@@ -344,14 +361,14 @@ def _run(result):
             float(v._fb_dev[-1, 0])
         log(f"refit compile+first frame: {time.time()-t0:.1f}s")
         t_ref = time.perf_counter()
-        for i in range(4):
+        for i in range(RFI):
             off = np.zeros(3, np.float32)
             off[1] = 0.05 * (i + 1)
             v.update_geometry(base_v + off)
             v.run_compute()
         if v._fb_dev is not None:
             float(v._fb_dev[-1, 0])
-        rt = (time.perf_counter() - t_ref - rpc_lat) / 4
+        rt = (time.perf_counter() - t_ref - rpc_lat) / RFI
         result["refit_fps_1080p"] = round(1.0 / rt, 1)
         log(f"refit loop (device LBVH rebuild + frame): {rt*1e3:.1f}ms -> "
             f"{result['refit_fps_1080p']} FPS")
@@ -365,9 +382,14 @@ def _run(result):
         if over_budget("textured"):
             raise TimeoutError("budget")
         t0 = time.time()
-        tex_scene = make_courtyard_scene(target_triangles=100_000, seed=0,
-                                         config=config, textured=True)
-        log(f"textured scene build: {time.time()-t0:.1f}s")
+        tex_scene = make_courtyard_scene(target_triangles=NTRI, seed=0,
+                                         config=config, textured=True,
+                                         texture_size=TEXSIZE)
+        mtex = sum(i.shape[0] * i.shape[1]
+                   for i in courtyard_source_images(0,
+                                                    texture_size=TEXSIZE))
+        log(f"textured scene build: {time.time()-t0:.1f}s "
+            f"({mtex/1e6:.1f} MTexel source set)")
         tex_renderer = Renderer(tex_scene, W, H, config=config)
         assert tex_renderer._use_deferred(), "textured scene must stay fused"
         t0 = time.time()
@@ -375,7 +397,8 @@ def _run(result):
         float(fb[-1, 0])
         log(f"textured compile+first frame: {time.time()-t0:.1f}s")
         tbest, tmed = measure_frame(tex_renderer.render_device,
-                                    lambda fb: float(fb[-1, 0]), rpc_lat)
+                                    lambda fb: float(fb[-1, 0]), rpc_lat,
+                                    K=MK, reps=MR)
         tmrays = n * 3 / tbest / 1e6
         log(f"textured: best={tbest*1e3:.1f}ms median={tmed*1e3:.1f}ms "
             f"-> {tmrays:.1f} Mrays/s (ref-equiv)")
@@ -391,7 +414,7 @@ def _run(result):
             raise TimeoutError("budget")
         from gpu_raytracer_tpu.engine.pathtracer import PathTracer
 
-        ptt = PathTracer(tex_scene, 1024, 1024, config=config,
+        ptt = PathTracer(tex_scene, PTRES, PTRES, config=config,
                          spectral=True, shadows=True,
                          samples_per_step=config.pathtrace_samples_per_step)
         t0 = time.time()
@@ -407,7 +430,7 @@ def _run(result):
             return ((time.perf_counter() - t0 - rpc_lat)
                     / (k * ptt.samples_per_step))
 
-        tspp = min(spp_burst_t() for _ in range(2))
+        tspp = min(spp_burst_t() for _ in range(1 if SMOKE else 2))
         log(f"textured pathtrace: {tspp*1e3:.0f}ms/spp, "
             f"64 spp in {64*tspp:.1f}s")
         result["pathtrace_textured_spp_per_s"] = round(1.0 / tspp, 3)
@@ -432,7 +455,8 @@ def _run(result):
 
         glb_path = os.path.join(tempfile.gettempdir(), "courtyard_bench.glb")
         t0 = time.time()
-        export_glb(tex_scene, glb_path, images=courtyard_source_images(0))
+        export_glb(tex_scene, glb_path,
+                   images=courtyard_source_images(0, texture_size=TEXSIZE))
         log(f"GLB export: {time.time()-t0:.1f}s, "
             f"{os.path.getsize(glb_path)/1e6:.1f} MB")
         t0 = time.time()
@@ -447,7 +471,7 @@ def _run(result):
         float(fbg[-1, 0])
         gbest, _ = measure_frame(gren.render_device,
                                  lambda fb: float(fb[-1, 0]), rpc_lat,
-                                 K=4, reps=2)
+                                 K=min(MK, 4), reps=min(MR, 2))
         log(f"gltf-loaded textured frame: {gbest*1e3:.1f}ms -> "
             f"{n*3/gbest/1e6:.1f} Mrays/s")
         fbp = tex_renderer.render_device()   # same pixel order by layout
@@ -505,7 +529,7 @@ def _run(result):
 
         mesh1 = make_mesh(1)
         shards = GeometryShards(scene, 1)
-        ab_n = 256 * 1024
+        ab_n = 16 * 1024 if SMOKE else 256 * 1024
         pyg = np.random.default_rng(0)
         o = jnp.asarray(pyg.uniform(-40, 40, (ab_n, 3)).astype(np.float32))
         tg = jnp.asarray(pyg.uniform(-20, 20, (ab_n, 3)).astype(np.float32))

@@ -60,12 +60,13 @@ def make_checker_texture(size: int = 128, tiles: int = 8,
                          c0=(230, 228, 220), c1=(60, 58, 54)) -> np.ndarray:
     """Procedural checkerboard RGBA8 atlas (zero-egress stand-in for the
     Sponza floor textures)."""
-    y, x = np.mgrid[0:size, 0:size]
-    cell = ((x * tiles // size) + (y * tiles // size)) % 2
-    img = np.where(cell[..., None] == 0,
-                   np.asarray(c0, np.uint8), np.asarray(c1, np.uint8))
-    return np.concatenate(
-        [img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
+    # per-axis uint8 parity + palette take: full-size int64 grids (np.mgrid)
+    # measured ~18 s at 4096^2 on this host's memory bandwidth
+    ax = ((np.arange(size, dtype=np.int32) * tiles // size) & 1).astype(
+        np.uint8)
+    cell = ax[:, None] ^ ax[None, :]
+    palette = np.asarray([(*c0, 255), (*c1, 255)], np.uint8)
+    return palette[cell]
 
 
 def make_brick_texture(size: int = 128, rows: int = 8,
@@ -73,12 +74,16 @@ def make_brick_texture(size: int = 128, rows: int = 8,
                        seed: int = 0) -> np.ndarray:
     """Procedural running-bond brick RGBA8 atlas with per-brick tint noise."""
     rng = np.random.default_rng(seed)
-    y, x = np.mgrid[0:size, 0:size]
+    y = np.arange(size)[:, None]
+    x = np.arange(size)[None, :]
     bh = size // rows
     bw = bh * 2
     row = y // bh
     xs = x + (row % 2) * (bw // 2)              # running bond offset
     col = xs // bw
+    row, xs = np.broadcast_to(row, (size, size)), \
+        np.broadcast_to(xs, (size, size))
+    col = np.broadcast_to(col, (size, size))
     in_mortar = ((y % bh) < max(bh // 8, 1)) | ((xs % bw) < max(bw // 8, 1))
     tint = rng.uniform(0.8, 1.15, (rows + 1, size // bw + 2, 1))
     base = np.clip(np.asarray(brick, np.float32)
@@ -94,7 +99,8 @@ def make_noise_texture(size: int = 128, base=(200, 60, 45),
     """Procedural smooth value-noise RGBA8 atlas (painted-plaster look)."""
     rng = np.random.default_rng(seed)
     coarse = rng.uniform(0.6, 1.3, (size // 16 + 1, size // 16 + 1))
-    y, x = np.mgrid[0:size, 0:size] / 16.0
+    y = (np.arange(size, dtype=np.float32) / 16.0)[:, None]
+    x = (np.arange(size, dtype=np.float32) / 16.0)[None, :]
     x0, y0 = x.astype(int), y.astype(int)
     fx, fy = x - x0, y - y0
     v = (coarse[y0, x0] * (1 - fx) * (1 - fy)
@@ -107,19 +113,27 @@ def make_noise_texture(size: int = 128, base=(200, 60, 45),
         [img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
 
 
-def courtyard_source_images(seed: int = 0) -> list[np.ndarray]:
+def courtyard_source_images(seed: int = 0,
+                            texture_size: int = 128) -> list[np.ndarray]:
     """The textured courtyard's source texture table (level-0 RGBA8 images,
     texture-index order) — the arrays `make_courtyard_scene(textured=True)`
     feeds `Textures.from_images`, exposed for the GLB exporter (the derived
-    guard-band atlas is not an interchange format)."""
-    return [make_checker_texture(128),            # 0: floor
-            make_brick_texture(128, seed=seed),   # 1: stone boxes
-            make_noise_texture(128, seed=seed)]   # 2: plaster boxes
+    guard-band atlas is not an interchange format).
+
+    `texture_size` sets the floor map's edge; the box maps use half that
+    (floor ≥ the default 128). texture_size=4096 is the reference-class
+    asset volume (4096² + 2·2048² = 25.2 MTexel — the scale the reference's
+    image crate ingests for Sponza, gltf_loader.rs:128-184)."""
+    half = max(texture_size // 2, 128)
+    return [make_checker_texture(texture_size),        # 0: floor
+            make_brick_texture(half, seed=seed),       # 1: stone boxes
+            make_noise_texture(half, seed=seed)]       # 2: plaster boxes
 
 
 def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
                          config: RaytracerConfig = DEFAULT_CONFIG,
-                         lights: int = 2, textured: bool = False) -> Scene:
+                         lights: int = 2, textured: bool = False,
+                         texture_size: int = 128) -> Scene:
     """Sponza-scale procedural stand-in.
 
     `textured=True` is BASELINE config 4's content class: the same geometry
@@ -231,7 +245,8 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
     if textured:
         from ..ops.pallas.texshade import MAX_ATLAS_ROWS
         textures = Textures.from_images(
-            courtyard_source_images(seed), mips=config.texture_mips,
+            courtyard_source_images(seed, texture_size=texture_size),
+            mips=config.texture_mips,
             budget_rows=(MAX_ATLAS_ROWS if config.texture_mips > 1
                          else None))
     return prepare_scene(camera, Spheres.from_rows([]), mesh, mats.build(),

