@@ -282,21 +282,21 @@ extern "C" int64_t bvh_build(
   return b.n_nodes.load();
 }
 
-// ---- BVH4 collapse ---------------------------------------------------------
+// ---- wide (BVH4/BVH8) collapse ---------------------------------------------
 //
-// Greedy surface-area collapse of the binary tree to 4-wide nodes — the
-// native twin of gpu_raytracer_tpu/models/bvh.py::collapse4 (identical
+// Greedy surface-area collapse of the binary tree to `width`-wide nodes —
+// the native twin of gpu_raytracer_tpu/models/bvh.py::collapse4 (identical
 // greedy choice and stable child ordering, so outputs are bit-equal and the
 // Python implementation doubles as the test oracle). Sequential: the
 // collapse touches each internal node once (trivially fast next to the SAH
 // build itself).
 
-extern "C" int64_t bvh_collapse4(
+extern "C" int64_t bvh_collapse_wide(
     const int32_t* left, const int32_t* right, const int32_t* tri_start,
     const int32_t* tri_count, const float* node_min, const float* node_max,
-    int64_t n, int32_t* q_child, int32_t* q_leafc, float* q_min, float* q_max,
-    int32_t* q_axis, int32_t* q_src) {
-  if (n <= 0) return -1;
+    int64_t n, int32_t width, int32_t* q_child, int32_t* q_leafc,
+    float* q_min, float* q_max, int32_t* q_axis, int32_t* q_src) {
+  if (n <= 0 || width < 2 || width > 16) return -1;
   const float kFar = 1e30f;
   auto leaf = [&](int32_t c) { return left[c] < 0; };
   auto sa = [&](int32_t c) {
@@ -311,12 +311,12 @@ extern "C" int64_t bvh_collapse4(
   int64_t emitted = 0;
   auto emit_slot = [&](int64_t node, int i, int32_t ch, int32_t lc,
                        const float* mn, const float* mx, int32_t src) {
-    q_child[node * 4 + i] = ch;
-    q_leafc[node * 4 + i] = lc;
-    q_src[node * 4 + i] = src;  // binary node behind the slot (refit)
+    q_child[node * width + i] = ch;
+    q_leafc[node * width + i] = lc;
+    q_src[node * width + i] = src;  // binary node behind the slot (refit)
     for (int k = 0; k < 3; ++k) {
-      q_min[(node * 4 + i) * 3 + k] = mn ? mn[k] : kFar;
-      q_max[(node * 4 + i) * 3 + k] = mx ? mx[k] : kFar;
+      q_min[(node * width + i) * 3 + k] = mn ? mn[k] : kFar;
+      q_max[(node * width + i) * 3 + k] = mx ? mx[k] : kFar;
     }
   };
   auto emit_empty = [&](int64_t node, int i) {
@@ -324,7 +324,7 @@ extern "C" int64_t bvh_collapse4(
   };
 
   if (leaf(0)) {
-    for (int i = 0; i < 4; ++i) emit_empty(0, i);
+    for (int i = 0; i < width; ++i) emit_empty(0, i);
     if (tri_count[0] > 0)
       emit_slot(0, 0, tri_start[0], tri_count[0], node_min, node_max, 0);
     q_axis[0] = 0;
@@ -334,11 +334,14 @@ extern "C" int64_t bvh_collapse4(
   queue.push_back(0);
   qid[0] = 0;
   int64_t next_id = 1;
+  std::vector<int32_t> cand_buf(width + 1);
   for (size_t qi = 0; qi < queue.size(); ++qi) {
     int32_t b = queue[qi];
-    int32_t cand[4] = {left[b], right[b], -1, -1};
+    int32_t* cand = cand_buf.data();
+    cand[0] = left[b];
+    cand[1] = right[b];
     int nc = 2;
-    while (nc < 4) {
+    while (nc < width) {
       int grow = -1;
       float grow_sa = -1.f;
       for (int j = 0; j < nc; ++j)
@@ -380,9 +383,20 @@ extern "C" int64_t bvh_collapse4(
                   node_max + 3 * c, c);
       }
     }
-    for (; out < 4; ++out) emit_empty(qid[b], out);
+    for (; out < width; ++out) emit_empty(qid[b], out);
     q_axis[qid[b]] = ax;
     emitted = std::max<int64_t>(emitted, qid[b] + 1);
   }
   return next_id;
+}
+
+// Backward-compatible 4-wide entry point.
+extern "C" int64_t bvh_collapse4(
+    const int32_t* left, const int32_t* right, const int32_t* tri_start,
+    const int32_t* tri_count, const float* node_min, const float* node_max,
+    int64_t n, int32_t* q_child, int32_t* q_leafc, float* q_min, float* q_max,
+    int32_t* q_axis, int32_t* q_src) {
+  return bvh_collapse_wide(left, right, tri_start, tri_count, node_min,
+                           node_max, n, 4, q_child, q_leafc, q_min, q_max,
+                           q_axis, q_src);
 }

@@ -34,6 +34,13 @@ class RaytracerConfig:
     # device). 8 fills the Pallas kernel's one-leaf-per-128-lane-row layout
     # exactly (ops/pallas/traverse.py) and halves the node count.
     bvh_leaf_size: int = 8
+    # Children per wide-BVH node in the host-built overlay (4 or 8). The
+    # Pallas wide kernels fetch one 8*width-lane node record per traversal
+    # step, so a wider node amortises the per-step scalar overhead (fetch,
+    # stack ops, loop bookkeeping) over more slab tests at the cost of more
+    # wasted tests in deep, incoherent regions. Device-refit overlays
+    # (ops/lbvh.py) are always width 4.
+    bvh_width: int = 4
     # Wavefront path tracing.
     max_bounce_depth: int = 4            # PushConstants::new default (shared/src/lib.rs:1088)
     russian_roulette_start: int = 2      # rays ENTERING this bounce depth

@@ -48,16 +48,17 @@ class Bvh:
     # traversals MUST cover (a smaller static leaf_size would silently skip
     # triangles in fuller leaves).
     max_leaf: int = 4
-    # Optional BVH4 overlay (collapse4): each wide node holds up to four
-    # children with their bounds, so one traversal step does four slab tests
-    # — the per-step scalar overhead (node fetch switch, stack ops, loop
-    # bookkeeping) amortises 4x and the node table shrinks ~3x. None when
-    # not built (e.g. on-device LBVH output); traversals then use the
-    # binary tree.
-    q_child: jnp.ndarray | None = None   # [Q,4] i32: quad id | tri_start | -1
-    q_leafc: jnp.ndarray | None = None   # [Q,4] i32 leaf tri count (0=internal/empty)
-    q_min: jnp.ndarray | None = None     # [Q,4,3] f32
-    q_max: jnp.ndarray | None = None     # [Q,4,3] f32
+    # Optional wide overlay (collapse4, width w = 4 or 8 from
+    # config.bvh_width): each wide node holds up to w children with their
+    # bounds, so one traversal step does w slab tests — the per-step scalar
+    # overhead (node fetch switch, stack ops, loop bookkeeping) amortises
+    # w-fold and the node table shrinks ~(w-1)x. None when not built
+    # (traversals then use the binary tree); device refit overlays
+    # (ops/lbvh.py) are always width 4.
+    q_child: jnp.ndarray | None = None   # [Q,w] i32: wide id | tri_start | -1
+    q_leafc: jnp.ndarray | None = None   # [Q,w] i32 leaf tri count (0=internal/empty)
+    q_min: jnp.ndarray | None = None     # [Q,w,3] f32
+    q_max: jnp.ndarray | None = None     # [Q,w,3] f32
     q_axis: jnp.ndarray | None = None    # [Q] i32 child sort axis
     # BINARY node id behind each quad slot (-1 empty): lets a topology
     # refit re-derive q_min/q_max by gathering refreshed binary bounds.
@@ -122,23 +123,25 @@ class BvhBuildResult:
         self.max_depth = max_depth
         self.leaf_align = leaf_align
 
-    def to_device(self, wide: bool = True) -> Bvh:
+    def to_device(self, wide: bool = True, width: int = 4) -> Bvh:
         hit_link, miss_link = compute_links(self.left, self.right)
         leaf_counts = np.asarray(self.tri_count)[np.asarray(self.left) < 0]
         max_leaf = int(leaf_counts.max()) if leaf_counts.size else 0
         quad = {}
         if wide and self.left.shape[0] > 1:
             # pack_node4_rows folds the child-sort axis into leaf counts as
-            # lc + 16*axis — the BVH4 overlay needs every leaf count < 16.
+            # lc + 16*axis — the wide overlay needs every leaf count < 16.
             assert max_leaf < 16, \
-                f"BVH4 overlay requires leaf counts < 16 (got {max_leaf})"
+                f"wide overlay requires leaf counts < 16 (got {max_leaf})"
+            assert width in (4, 8), f"wide overlay width must be 4 or 8"
             from .bvh_native import collapse4_native
             out = collapse4_native(self.left, self.right, self.tri_start,
                                    self.tri_count, self.node_min,
-                                   self.node_max)
+                                   self.node_max, width=width)
             qc, ql, qmn, qmx, qax, qsrc = out if out is not None else \
                 collapse4(self.left, self.right, self.tri_start,
-                          self.tri_count, self.node_min, self.node_max)
+                          self.tri_count, self.node_min, self.node_max,
+                          width=width)
             quad = dict(q_child=jnp.asarray(qc), q_leafc=jnp.asarray(ql),
                         q_min=jnp.asarray(qmn), q_max=jnp.asarray(qmx),
                         q_axis=jnp.asarray(qax), q_src=jnp.asarray(qsrc))
@@ -158,17 +161,18 @@ class BvhBuildResult:
         )
 
 
-def collapse4(left, right, tri_start, tri_count, node_min, node_max):
-    """Collapse a binary BVH into a BVH4 overlay → NumPy
+def collapse4(left, right, tri_start, tri_count, node_min, node_max,
+              width: int = 4):
+    """Collapse a binary BVH into a `width`-wide overlay → NumPy
     (q_child, q_leafc, q_min, q_max, q_axis).
 
-    Each wide node replaces a binary internal node by up to four descendants,
-    grown greedily by splitting the candidate with the largest surface area
-    (the standard SAH-greedy collapse). Children are stored sorted by
-    centroid along the parent's longest axis; traversal visits them in
-    forward or reverse order by the packet's majority direction sign — the
-    4-wide analogue of the binary ordered kernel's near-child-first trick.
-    Empty slots get child -1 / count 0 and inert point bounds."""
+    Each wide node replaces a binary internal node by up to `width`
+    descendants, grown greedily by splitting the candidate with the largest
+    surface area (the standard SAH-greedy collapse). Children are stored
+    sorted by centroid along the parent's longest axis; traversal visits
+    them in forward or reverse order by the packet's majority direction
+    sign — the wide analogue of the binary ordered kernel's near-child-first
+    trick. Empty slots get child -1 / count 0 and inert point bounds."""
     FAR = 1e30
     is_leaf = left < 0
     ext = node_max - node_min
@@ -178,11 +182,11 @@ def collapse4(left, right, tri_start, tri_count, node_min, node_max):
     q_child, q_leafc, q_min, q_max, q_axis, q_src = [], [], [], [], [], []
 
     def emit(slots, axis):
-        ch = np.full(4, -1, np.int64)
-        lc = np.zeros(4, np.int64)
-        mn = np.full((4, 3), FAR, np.float32)
-        mx = np.full((4, 3), FAR, np.float32)
-        srcs = np.full(4, -1, np.int64)
+        ch = np.full(width, -1, np.int64)
+        lc = np.zeros(width, np.int64)
+        mn = np.full((width, 3), FAR, np.float32)
+        mx = np.full((width, 3), FAR, np.float32)
+        srcs = np.full(width, -1, np.int64)
         for i, (c, l, lo, hi, s) in enumerate(slots):
             ch[i], lc[i], mn[i], mx[i], srcs[i] = c, l, lo, hi, s
         q_child.append(ch)
@@ -203,7 +207,7 @@ def collapse4(left, right, tri_start, tri_count, node_min, node_max):
             b = queue[i]
             i += 1
             cand = [int(left[b]), int(right[b])]
-            while len(cand) < 4:
+            while len(cand) < width:
                 grow, grow_sa = -1, -1.0
                 for j, c in enumerate(cand):
                     if not is_leaf[c] and sa[c] > grow_sa:

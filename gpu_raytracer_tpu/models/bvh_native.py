@@ -81,24 +81,28 @@ def build_bvh_native(vertices: np.ndarray, indices: np.ndarray, leaf_size: int):
     )
 
 
-def collapse4_native(left, right, tri_start, tri_count, node_min, node_max):
-    """Native BVH4 collapse (csrc bvh_collapse4) → same tuple as
-    models/bvh.py::collapse4, or None when the library is unavailable."""
+def collapse4_native(left, right, tri_start, tri_count, node_min, node_max,
+                     width: int = 4):
+    """Native wide collapse (csrc bvh_collapse_wide) → same tuple as
+    models/bvh.py::collapse4, or None when the library is unavailable
+    (or predates the width-parametric symbol for width != 4)."""
     lib = _load()
     if lib is None:
         return None
-    if not hasattr(lib, "_collapse4_ready"):
-        lib.bvh_collapse4.argtypes = [
+    if not hasattr(lib, "bvh_collapse_wide"):
+        return None  # stale .so: Python fallback handles any width
+    if not hasattr(lib, "_collapse_wide_ready"):
+        lib.bvh_collapse_wide.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
-        lib.bvh_collapse4.restype = ctypes.c_int64
-        lib._collapse4_ready = True
+        lib.bvh_collapse_wide.restype = ctypes.c_int64
+        lib._collapse_wide_ready = True
 
     left = np.ascontiguousarray(left, np.int32)
     right = np.ascontiguousarray(right, np.int32)
@@ -107,19 +111,20 @@ def collapse4_native(left, right, tri_start, tri_count, node_min, node_max):
     node_min = np.ascontiguousarray(node_min, np.float32)
     node_max = np.ascontiguousarray(node_max, np.float32)
     n = left.shape[0]
-    q_child = np.empty((n, 4), np.int32)
-    q_leafc = np.empty((n, 4), np.int32)
-    q_min = np.empty((n, 4, 3), np.float32)
-    q_max = np.empty((n, 4, 3), np.float32)
+    q_child = np.empty((n, width), np.int32)
+    q_leafc = np.empty((n, width), np.int32)
+    q_min = np.empty((n, width, 3), np.float32)
+    q_max = np.empty((n, width, 3), np.float32)
     q_axis = np.empty(n, np.int32)
-    q_src = np.empty((n, 4), np.int32)
+    q_src = np.empty((n, width), np.int32)
 
     i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     f32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-    q = lib.bvh_collapse4(i32p(left), i32p(right), i32p(tri_start),
-                          i32p(tri_count), f32p(node_min), f32p(node_max),
-                          n, i32p(q_child), i32p(q_leafc), f32p(q_min),
-                          f32p(q_max), i32p(q_axis), i32p(q_src))
+    q = lib.bvh_collapse_wide(i32p(left), i32p(right), i32p(tri_start),
+                              i32p(tri_count), f32p(node_min), f32p(node_max),
+                              n, width, i32p(q_child), i32p(q_leafc),
+                              f32p(q_min), f32p(q_max), i32p(q_axis),
+                              i32p(q_src))
     if q <= 0:
         return None
     return (q_child[:q], q_leafc[:q], q_min[:q], q_max[:q], q_axis[:q],

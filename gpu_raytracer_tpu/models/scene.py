@@ -151,7 +151,7 @@ def prepare_scene(
         materials=materials,
         lights=lights,
         textures=textures if textures is not None else Textures.empty(),
-        bvh=bvh_result.to_device(),
+        bvh=bvh_result.to_device(width=config.bvh_width),
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=tri_mat,
         tri_uv=tri_uv, tri_src=tri_src,
     )

@@ -38,6 +38,7 @@ from .traverse import (
     LANES, STACK, VMEM_HEADROOM,
     _ordered_traverse, pack_node_rows, pack_node4_rows, pack_tri_rows,
     pallas_scene_ok, quad_per_row, scene_vmem_bytes, traverse_best,
+    wide_width,
 )
 from .render import (
     MAX_LIGHTS, MAX_MATERIALS, MAX_SAMPLED_LIGHTS, MAX_SPHERES,
@@ -85,7 +86,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
             light_sample, wide=False, textured=False, mats_pad=0,
             rows_pad=0, present=(), per_row=4, unroll=1,
-            last=False, order_mode=0, shadow_order=0):
+            last=False, order_mode=0, shadow_order=0, bvh_w=4):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -106,7 +107,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=textured, slots=slots,
                          wide=wide, per_row=per_row, unroll=unroll,
-                         order_mode=order_mode)
+                         order_mode=order_mode, width=bvh_w)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -190,7 +191,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             p[10], nx, ny, nz, phx, phy, phz, hit_live,
             shadows=True, n_spheres=n_spheres, max_iters=max_iters,
             slots=slots, wide=wide, per_row=per_row,
-            order_mode=shadow_order)
+            order_mode=shadow_order, bvh_w=bvh_w)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
@@ -203,7 +204,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
                 nx, ny, nz, phx, phy, phz, hit_live,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
                 slots=slots, wide=wide, per_row=per_row,
-                order_mode=shadow_order)
+                order_mode=shadow_order, bvh_w=bvh_w)
             gate = (I > 0.0).astype(jnp.float32)
             w = brdf * I * gate
             tot_r = tot_r + alb_r * w * lcr
@@ -494,7 +495,8 @@ def pallas_bounce(
                      mats_pad=mtable.shape[1], rows_pad=planes.shape[2],
                      present=present, per_row=qpr, unroll=trav_unroll,
                      last=last, order_mode=order_mode,
-                     shadow_order=shadow_order)
+                     shadow_order=shadow_order,
+                     bvh_w=wide_width(bvh) if wide else 4)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),

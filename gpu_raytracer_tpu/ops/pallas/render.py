@@ -53,6 +53,7 @@ from .traverse import (
     LANES, STACK, VMEM_HEADROOM,
     _ordered_traverse, pack_node_rows, pack_node4_rows, pack_tri_rows,
     pallas_scene_ok, quad_per_row, scene_vmem_bytes, traverse_best,
+    wide_width,
 )
 
 _MIN_T = 1e-5
@@ -219,7 +220,7 @@ def _sphere_occluders(sph_ref, n_spheres, sox, soy, soz, sdx, sdy, sdz, smax,
 def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
              nx, ny, nz, phx, phy, phz, hit_mask, *,
              shadows, n_spheres, max_iters, slots, wide=False, per_row=4,
-             order_mode=0):
+             order_mode=0, bvh_w=4):
     """Post-shadow intensity I and colour of light `li` at the hit points
     (lighting.rs:20-139 + the shadow occlusion the reference never wired).
     Shared by the primary, deferred and bounce kernels."""
@@ -231,14 +232,14 @@ def _light_I(node_ref, tri_ref, stack_ref, sph_ref, light_ref, li,
                        nx, ny, nz, phx, phy, phz, hit_mask,
                        shadows=shadows, n_spheres=n_spheres,
                        max_iters=max_iters, slots=slots, wide=wide,
-                       per_row=per_row, order_mode=order_mode)
+                       per_row=per_row, order_mode=order_mode, bvh_w=bvh_w)
 
 
 def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
                 lpx, lpy, lpz, ltype, lcr, lcg, lcb, lint, ldx, ldy, ldz,
                 nx, ny, nz, phx, phy, phz, hit_mask, *,
                 shadows, n_spheres, max_iters, slots, wide=False,
-                per_row=4, order_mode=0):
+                per_row=4, order_mode=0, bvh_w=4):
     """_light_I with explicit light parameters — scalars (one static light)
     or per-lane tiles (a SAMPLED light per lane, ops/pallas/bounce.py's
     single-light NEE). `ldx/ldy/ldz` must be pre-normalised."""
@@ -283,7 +284,7 @@ def _light_eval(node_ref, tri_ref, stack_ref, sph_ref,
             node_ref, tri_ref, stack_ref, sox, soy, soz,
             sdx, sdy, sdz, smax, max_iters=max_iters, with_uv=False,
             any_hit=True, slots=slots, wide=wide, per_row=per_row,
-            order_mode=order_mode)
+            order_mode=order_mode, width=bvh_w)
         blocked = (sb[1] >= 0).astype(jnp.float32)
         blocked = _sphere_occluders(sph_ref, n_spheres, sox, soy, soz,
                                     sdx, sdy, sdz, smax, blocked)
@@ -314,7 +315,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             max_iters, width, height, n_mats, n_lights, n_spheres,
             shadows, sky, slots, wide=False, textured=False, mats_pad=0,
             rows_pad=0, present=(), light_sample=False, n_levels=1,
-            per_row=4, order_mode=0, shadow_order=0):
+            per_row=4, order_mode=0, shadow_order=0, bvh_w=4):
     """Single-phase: shade in-kernel — material parameters via a static
     mask-select loop, or (textured) the matmul lookup + atlas sampling
     subroutine shared with the fused bounce. With light_sample (scenes over
@@ -337,7 +338,8 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=textured, slots=slots,
-                         wide=wide, per_row=per_row, order_mode=order_mode)
+                         wide=wide, per_row=per_row, order_mode=order_mode,
+                         width=bvh_w)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -413,7 +415,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
             p[10], nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
             slots=slots, wide=wide, per_row=per_row,
-            order_mode=shadow_order)
+            order_mode=shadow_order, bvh_w=bvh_w)
         gate = (I > 0.0).astype(jnp.float32)
         w = brdf * I * gate * float(n_lights)
         tot_r = tot_r + alb_r * w * lcr
@@ -426,7 +428,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
                 nx, ny, nz, px_hit, py_hit, pz_hit, hit,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
                 slots=slots, wide=wide, per_row=per_row,
-                order_mode=shadow_order)
+                order_mode=shadow_order, bvh_w=bvh_w)
             gate = (I > 0.0).astype(jnp.float32)
             w = brdf * I * gate
             tot_r = tot_r + alb_r * w * lcr
@@ -462,7 +464,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
                      max_iters, width, height, n_lights, n_spheres,
                      shadows, slots, with_uv, wide=False,
                      light_sample=False, per_row=4, order_mode=0,
-                     shadow_order=0):
+                     shadow_order=0, bvh_w=4):
     """Two-phase: all traversal (primary + shadow), winner attributes and
     the material-independent light sum in-kernel; material/texture apply
     happens in XLA (ops/shading.py::shade_deferred). Output planes:
@@ -483,7 +485,8 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, sph_t,
                          max_iters=max_iters, with_uv=with_uv, slots=slots,
-                         wide=wide, per_row=per_row, order_mode=order_mode)
+                         wide=wide, per_row=per_row, order_mode=order_mode,
+                         width=bvh_w)
     tri_t, tri_id = best[0], best[1]
     use_tri = tri_id >= 0
     hit = use_tri | sph_any
@@ -520,7 +523,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
             p[10], nx, ny, nz, px_hit, py_hit, pz_hit, hit,
             shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
             slots=slots, wide=wide, per_row=per_row,
-            order_mode=shadow_order)
+            order_mode=shadow_order, bvh_w=bvh_w)
         Ig = I * (I > 0.0).astype(jnp.float32) * float(n_lights)
         S_r = Ig * lcr
         S_g = Ig * lcg
@@ -532,7 +535,7 @@ def _kernel_deferred(node_ref, tri_ref, cam_ref, light_ref, sph_ref,
                 nx, ny, nz, px_hit, py_hit, pz_hit, hit,
                 shadows=shadows, n_spheres=n_spheres, max_iters=max_iters,
                 slots=slots, wide=wide, per_row=per_row,
-                order_mode=shadow_order)
+                order_mode=shadow_order, bvh_w=bvh_w)
             Ig = I * (I > 0.0).astype(jnp.float32)
             S_r = S_r + Ig * lcr
             S_g = S_g + Ig * lcg
@@ -673,7 +676,8 @@ def pallas_render_primary(
         wide=wide, textured=textured, mats_pad=mtable.shape[1],
         rows_pad=planes.shape[2], present=present,
         light_sample=light_sample, n_levels=scene.textures.n_levels,
-        per_row=qpr, order_mode=order_mode, shadow_order=shadow_order)
+        per_row=qpr, order_mode=order_mode, shadow_order=shadow_order,
+        bvh_w=wide_width(scene.bvh) if wide else 4)
     in_specs = [
         _resident(node_rows.shape),
         _resident(tri_rows.shape),
@@ -758,7 +762,8 @@ def pallas_render_deferred(
         _kernel_deferred, max_iters=nn + 4, width=float(width),
         height=float(height), n_lights=scene.lights.count,
         n_spheres=scene.spheres.count, shadows=shadows, slots=slots,
-        with_uv=textured, wide=wide, light_sample=light_sample, per_row=qpr)
+        with_uv=textured, wide=wide, light_sample=light_sample, per_row=qpr,
+        bvh_w=wide_width(scene.bvh) if wide else 4)
     in_specs = [
         _resident(node_rows.shape),
         _resident(tri_rows.shape),

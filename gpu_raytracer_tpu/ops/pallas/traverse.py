@@ -90,8 +90,10 @@ def pallas_scene_ok(bvh, num_tris: int, want_uv: bool = False) -> bool:
     if want_uv and bvh.leaf_align != 8:
         return False
     if bvh.has_wide:
-        # wide node table: 4 nodes per row — ~3x smaller than binary
-        node_rows = -(-bvh.q_child.shape[0] // ROW4)
+        # wide node table packed at 128 // (8*width) nodes per row —
+        # ~3x smaller than binary at width 4, smaller still at width 8
+        w = bvh.q_child.shape[1]
+        node_rows = -(-bvh.q_child.shape[0] // (128 // (8 * w)))
         tri_rows = -(-num_tris // bvh.leaf_align)
         return (node_rows + tri_rows) * 512 <= VMEM_TABLE_BUDGET
     return (scene_vmem_bytes(bvh.num_nodes, num_tris, bvh.leaf_align)
@@ -357,62 +359,86 @@ def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
     return _normalize_best(best, any_hit)
 
 
-ROW4 = 4      # quad nodes per 128-lane row (packed layout)
-GROUP4 = 32   # lanes per quad node record
-# Full-row quad layout: ONE node per 128-lane row (lanes 32-127 unused).
-# 4x the VMEM bytes, but the per-step fetch becomes a single dynamic-row
-# slice with STATIC lanes — no 4-way lax.switch per traversal step. Used
-# whenever the 4x table still fits the VMEM budget (pallas_scene_ok gates).
+ROW4 = 4      # quad nodes per 128-lane row (packed layout, width 4)
+GROUP4 = 32   # lanes per quad node record (width 4; width w uses 8*w)
+# Full-row wide layout: ONE node per 128-lane row (trailing lanes unused).
+# More VMEM bytes, but the per-step fetch becomes a single dynamic-row
+# slice with STATIC lanes — no lax.switch per traversal step. Used
+# whenever the full-row table still fits the VMEM budget
+# (pallas_scene_ok gates).
 FULL_ROW_QUAD_BUDGET = 48 * 1024 * 1024
+
+# Scalar sorting networks for the order_mode-2 entry-distance child sort
+# (comparator pairs; Batcher odd-even mergesort at width 8).
+SORT_NETWORKS = {
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    8: ((0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)),
+}
+
+
+def wide_width(bvh: Bvh) -> int:
+    """Children per wide node (4 or 8) — static, from the overlay shape."""
+    return int(bvh.q_child.shape[1]) if bvh.has_wide else 4
 
 
 def quad_per_row(bvh: Bvh, num_tris: int) -> int:
-    """Nodes per 128-lane row for the BVH4 table: 1 (switch-free fetch)
-    when the full-row table + leaf rows fit comfortably, else 4."""
+    """Nodes per 128-lane row for the wide table: 1 (switch-free fetch)
+    when the full-row table + leaf rows fit comfortably, else the densest
+    packing (4 nodes/row at width 4, 2 at width 8)."""
     if not bvh.has_wide:
         return 4
+    w = wide_width(bvh)
     Q = bvh.q_child.shape[0]
     tri_rows = -(-num_tris // max(bvh.leaf_align, 1))
     if (Q + tri_rows) * 512 <= FULL_ROW_QUAD_BUDGET:
         return 1
-    return 4
+    return 128 // (8 * w)
 
 
 def pack_node4_rows(bvh: Bvh, per_row: int = 4) -> jnp.ndarray:
-    """Pack the BVH4 overlay (models/bvh.py::collapse4) into lane-dense
-    [R,128] f32 rows, `per_row` nodes x 32 lanes each: per child
-    (min.xyz, max.xyz) (lanes 0-23), child links (24-27), leaf counts
-    (28-31, lane 28 also carrying the child-sort axis as +16*axis)."""
-    Q = bvh.q_child.shape[0]
+    """Pack the wide overlay (models/bvh.py::collapse4, width w = 4 or 8)
+    into lane-dense [R,128] f32 rows, `per_row` nodes x 8w lanes each: per
+    child (min.xyz, max.xyz) (lanes 0..6w-1), child links (6w..7w-1), leaf
+    counts (7w..8w-1, lane 7w also carrying the child-sort axis as
+    +16*axis)."""
+    Q, w = bvh.q_child.shape
+    group = 8 * w
     lc = bvh.q_leafc.astype(jnp.float32)
     lc0 = lc[:, 0:1] + 16.0 * bvh.q_axis.astype(jnp.float32)[:, None]
     bounds = jnp.concatenate(
         [jnp.concatenate([bvh.q_min[:, c], bvh.q_max[:, c]], axis=1)
-         for c in range(4)], axis=1)                        # [Q,24]
+         for c in range(w)], axis=1)                        # [Q,6w]
     node = jnp.concatenate(
         [bounds, bvh.q_child.astype(jnp.float32),
-         lc0, lc[:, 1:]], axis=1)                           # [Q,32]
+         lc0, lc[:, 1:]], axis=1)                           # [Q,8w]
     pad = (-Q) % per_row
     if pad:
-        filler = jnp.zeros((pad, GROUP4), jnp.float32)
-        filler = filler.at[:, 24:28].set(-1.0)
+        filler = jnp.zeros((pad, group), jnp.float32)
+        filler = filler.at[:, 6 * w:7 * w].set(-1.0)
         node = jnp.concatenate([node, filler])
-    if per_row == 4:
+    if per_row * group == 128:
         return node.reshape(-1, 128)
-    grouped = node.reshape(-1, per_row * GROUP4)
-    return jnp.pad(grouped, ((0, 0), (0, 128 - per_row * GROUP4)))
+    grouped = node.reshape(-1, per_row * group)
+    return jnp.pad(grouped, ((0, 0), (0, 128 - per_row * group)))
 
 
 def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                        mt0, max_iters, with_uv, any_hit=False, slots=8,
-                       per_row=4, unroll=1, order_mode=0):
-    """BVH4 near-first DFS — the 4-wide sibling of _ordered_traverse with
-    the SAME carry/result tuple. One step fetches a 32-lane quad record and
-    slab-tests all four children, so the per-step scalar overhead (switch
-    fetch, stack ops, loop bookkeeping) is paid once per four boxes; the
-    visit order walks the pre-sorted children forward or backward by the
-    packet's majority sign along the stored sort axis. per_row=1 (the
-    full-row layout) trades 4x node-table VMEM for a switch-free fetch."""
+                       per_row=4, unroll=1, order_mode=0, width=4):
+    """Wide (BVH4/BVH8) near-first DFS — the wide sibling of
+    _ordered_traverse with the SAME carry/result tuple. One step fetches an
+    8w-lane node record and slab-tests all `width` children, so the per-step
+    scalar overhead (switch fetch, stack ops, loop bookkeeping) is paid once
+    per `width` boxes; the visit order walks the pre-sorted children forward
+    or backward by the packet's majority sign along the stored sort axis.
+    per_row=1 (the full-row layout) trades node-table VMEM for a
+    switch-free fetch."""
+    group = 8 * width
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     s0 = jnp.sum(dx) >= 0.0
     s1 = jnp.sum(dy) >= 0.0
@@ -427,26 +453,27 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
         cursor = jnp.maximum(cursor, 0)
 
         if per_row == 1:
-            b = node_ref[pl.ds(cursor, 1), 0:GROUP4]
-            vals = tuple(b[0, j] for j in range(GROUP4))
+            b = node_ref[pl.ds(cursor, 1), 0:group]
+            vals = tuple(b[0, j] for j in range(group))
         else:
             row = cursor // per_row
 
             def pick(g):
                 def f():
-                    b = node_ref[pl.ds(row, 1), g * GROUP4:(g + 1) * GROUP4]
-                    return tuple(b[0, j] for j in range(GROUP4))
+                    b = node_ref[pl.ds(row, 1), g * group:(g + 1) * group]
+                    return tuple(b[0, j] for j in range(group))
                 return f
             vals = jax.lax.switch(cursor % per_row,
                                   [pick(g) for g in range(per_row)])
 
-        childf = [vals[24 + c] for c in range(4)]
-        axis = jnp.floor(vals[28] * (1.0 / 16.0))
-        lcs = [vals[28] - 16.0 * axis, vals[29], vals[30], vals[31]]
+        childf = [vals[6 * width + c] for c in range(width)]
+        axis = jnp.floor(vals[7 * width] * (1.0 / 16.0))
+        lcs = ([vals[7 * width] - 16.0 * axis]
+               + [vals[7 * width + c] for c in range(1, width)])
         fwd = jnp.where(axis == 0.0, s0, jnp.where(axis == 1.0, s1, s2))
 
         rhs, ces = [], []
-        for c in range(4):
+        for c in range(width):
             t1x = (vals[6 * c + 0] - ox) * ix
             t1y = (vals[6 * c + 1] - oy) * iy
             t1z = (vals[6 * c + 2] - oz) * iz
@@ -472,47 +499,48 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
             # true per-packet entry ordering: each child's scalar key is the
             # packet-min clamped entry distance over lanes that hit it (BIG
             # when no lane does). The min-reduction SUBSUMES the any-
-            # reduction (any = key < BIG), and a 5-swap sorting network on
-            # the four (key, child, leafc) scalar tuples runs on the scalar
+            # reduction (any = key < BIG), and a sorting network on the
+            # `width` (key, child, leafc) scalar tuples runs on the scalar
             # core. Chip A/B: majority-sign ordering is 2.2x better than
             # static order at bounce depth 2 — entry ordering is the exact
             # version of that heuristic.
             BIG = jnp.float32(3.0e38)
             items = []
-            for c in range(4):
+            for c in range(width):
                 key_c = jnp.min(jnp.where(rhs[c], ces[c], BIG))
                 items.append((key_c, childf[c], lcs[c]))
-            for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            for i, j in SORT_NETWORKS[width]:
                 swap = items[j][0] < items[i][0]
                 a, b = items[i], items[j]
                 items[i] = tuple(jnp.where(swap, y, x) for x, y in zip(a, b))
                 items[j] = tuple(jnp.where(swap, x, y) for x, y in zip(a, b))
-            hits = [(items[k][0] < BIG) & live for k in range(4)]
+            hits = [(items[k][0] < BIG) & live for k in range(width)]
             sel_ch = lambda k: items[k][1]
             sel_lc = lambda k: items[k][2]
         else:
-            # four any-reductions packed into two: per-lane counts of
-            # children (0,1) and (2,3) share one int32 sum (tile <= 8192
-            # lanes < 2^14, so a 14-bit shift keeps both counts exact); the
-            # scalar decode is scalar-core work, off the VPU critical path
-            s01 = jnp.sum(rhs[0].astype(jnp.int32)
-                          + (rhs[1].astype(jnp.int32) << 14))
-            s23 = jnp.sum(rhs[2].astype(jnp.int32)
-                          + (rhs[3].astype(jnp.int32) << 14))
-            anys = [((s01 & 16383) > 0) & live, ((s01 >> 14) > 0) & live,
-                    ((s23 & 16383) > 0) & live, ((s23 >> 14) > 0) & live]
-            # near-order view k=0..3 (forward or reversed children)
+            # any-reductions packed in pairs: per-lane counts of children
+            # (2c, 2c+1) share one int32 sum (tile <= 8192 lanes < 2^14, so
+            # a 14-bit shift keeps both counts exact); the scalar decode is
+            # scalar-core work, off the VPU critical path
+            anys = []
+            for c in range(0, width, 2):
+                s = jnp.sum(rhs[c].astype(jnp.int32)
+                            + (rhs[c + 1].astype(jnp.int32) << 14))
+                anys.append(((s & 16383) > 0) & live)
+                anys.append(((s >> 14) > 0) & live)
+            # near-order view k=0..width-1 (forward or reversed children)
             if order_mode == 1:
                 sel = lambda arr, k: arr[k]
             else:
-                sel = lambda arr, k: jnp.where(fwd, arr[k], arr[3 - k])
-            hits = [sel(anys, k) for k in range(4)]
+                sel = lambda arr, k: jnp.where(fwd, arr[k],
+                                               arr[width - 1 - k])
+            hits = [sel(anys, k) for k in range(width)]
             sel_ch = lambda k: sel(childf, k)
             sel_lc = lambda k: sel(lcs, k)
 
         wants, pushes = [], []
         seen = None
-        for k in range(4):
+        for k in range(width):
             hit_k = hits[k]
             lc_k = sel_lc(k)
             ch_k = sel_ch(k)
@@ -530,14 +558,16 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
             pushes.append(w & seen if seen is not None else w & False)
             seen = w if seen is None else (seen | w)
 
-        descend = wants[0] | wants[1] | wants[2] | wants[3]
+        descend = wants[0]
+        for k in range(1, width):
+            descend = descend | wants[k]
         cnext = jnp.int32(-1)
-        for k in reversed(range(4)):
+        for k in reversed(range(width)):
             cnext = jnp.where(wants[k], sel_ch(k).astype(jnp.int32),
                               cnext)
 
         spc = sp
-        for k in (3, 2, 1):   # far-to-near so the nearest pops first
+        for k in reversed(range(1, width)):  # far-to-near: nearest pops first
             @pl.when(pushes[k])
             def _(k=k, spc=spc):
                 stack_ref[jnp.minimum(spc, STACK - 1)] = \
@@ -577,14 +607,14 @@ def _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
 
 def traverse_best(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
                   mt0, *, max_iters, with_uv, any_hit=False, slots=8,
-                  wide=False, per_row=4, unroll=1, order_mode=0):
+                  wide=False, per_row=4, unroll=1, order_mode=0, width=4):
     """Closest/any-hit traversal over the packed node table — dispatches to
-    the BVH4 kernel when the table was packed wide (pack_node4_rows)."""
+    the wide kernel when the table was packed wide (pack_node4_rows)."""
     if wide:
         return _ordered_traverse4(node_ref, tri_ref, stack_ref, ox, oy, oz,
                                   dx, dy, dz, mt0, max_iters, with_uv,
                                   any_hit, slots, per_row, unroll,
-                                  order_mode=order_mode)
+                                  order_mode=order_mode, width=width)
     return _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz,
                              dx, dy, dz, mt0, max_iters, with_uv, any_hit,
                              slots)
@@ -593,14 +623,14 @@ def traverse_best(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,
 def _kernel_ordered(node_ref, tri_ref, o_ref, d_ref, mt_ref,
                     t_ref, tri_out_ref, n_ref, m_ref, uv_ref, stack_ref,
                     *, max_iters, with_uv, any_hit=False, slots=8,
-                    wide=False, per_row=4):
+                    wide=False, per_row=4, width=4):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     best = traverse_best(node_ref, tri_ref, stack_ref,
                          ox, oy, oz, dx, dy, dz, mt_ref[0],
                          max_iters=max_iters, with_uv=with_uv,
                          any_hit=any_hit, slots=slots, wide=wide,
-                         per_row=per_row)
+                         per_row=per_row, width=width)
     t_ref[0] = best[0]
     tri_out_ref[0] = best[1]
     n_ref[0, 0] = best[2]
@@ -766,7 +796,8 @@ def pallas_packet_traverse(
 
     kernel = (partial(_kernel_ordered, max_iters=nn + 4,
                       with_uv=tri_uv is not None, any_hit=any_hit,
-                      slots=slots, wide=wide, per_row=qpr)
+                      slots=slots, wide=wide, per_row=qpr,
+                      width=wide_width(bvh) if wide else 4)
               if ordered else
               partial(_kernel, max_iters=nn + 4,
                       with_uv=tri_uv is not None, any_hit=any_hit,

@@ -186,6 +186,41 @@ def test_collapse4_native_matches_python():
         np.testing.assert_array_equal(g, w, err_msg=name)
 
 
+def test_collapse_wide8_native_matches_python_and_covers_leaves():
+    """Width-8 collapse (config.bvh_width=8): the C++ bvh_collapse_wide and
+    the Python oracle are bit-equal, and the 8-wide overlay references every
+    aligned leaf range exactly once (no drops, no duplicates)."""
+    import numpy as np
+    from gpu_raytracer_tpu.models.bvh import build_bvh, collapse4
+    from gpu_raytracer_tpu.models.bvh_native import collapse4_native
+
+    rng = np.random.default_rng(4)
+    verts = rng.uniform(-5, 5, (3000, 3)).astype(np.float32)
+    idx = rng.integers(0, 3000, (2000, 3)).astype(np.uint32)
+    res = build_bvh(verts, idx, leaf_size=8, use_native=False)
+    want = collapse4(res.left, res.right, res.tri_start, res.tri_count,
+                     res.node_min, res.node_max, width=8)
+    got = collapse4_native(res.left, res.right, res.tri_start, res.tri_count,
+                           res.node_min, res.node_max, width=8)
+    assert got is not None, "native library missing (csrc make failed?)"
+    for g, w, name in zip(got, want,
+                          ("child", "leafc", "min", "max", "axis", "src")):
+        np.testing.assert_array_equal(g, w, err_msg=name)
+
+    q_child, q_leafc = np.asarray(want[0]), np.asarray(want[1])
+    assert q_child.shape[1] == 8
+    covered = []
+    for i in range(q_child.shape[0]):
+        for c in range(8):
+            if q_leafc[i, c] > 0:
+                covered.extend(range(int(q_child[i, c]),
+                                     int(q_child[i, c]) + int(q_leafc[i, c])))
+    covered = np.sort(np.asarray(covered))
+    total = int(np.asarray(res.tri_count)[np.asarray(res.left) < 0].sum())
+    assert covered.shape[0] == total
+    np.testing.assert_array_equal(covered, np.unique(covered))
+
+
 
 def test_align_leaves_first_fit_packing():
     """First-fit row packing: leaves share 8-slot rows without straddling,

@@ -97,3 +97,32 @@ def test_vmem_budget_formula():
     # 8 records per 128-lane f32 row, one node table + leaf rows
     assert scene_vmem_bytes(8, 8) == 2 * 128 * 4
     assert scene_vmem_bytes(9, 16) == (2 + 2) * 128 * 4
+
+
+@pytest.mark.parametrize("per_row_forced", [False, True])
+def test_bvh8_traversal_parity(courtyard, rays, xla_result, per_row_forced,
+                               monkeypatch):
+    """Width-8 overlay (config.bvh_width=8) traverses to the same hits as
+    the XLA oracle — in both the full-row and packed (2 nodes/row,
+    lax.switch) layouts."""
+    import gpu_raytracer_tpu.ops.pallas.traverse as T
+    from gpu_raytracer_tpu.models.scene import prepare_scene
+
+    if per_row_forced:
+        monkeypatch.setattr(T, "FULL_ROW_QUAD_BUDGET", 0)
+    o, d, mt = rays
+    c = courtyard
+    s = prepare_scene(c.camera, c.spheres, c.mesh, c.materials, c.lights,
+                      config=RaytracerConfig(bvh_width=8))
+    assert s.bvh.q_child.shape[1] == 8
+    assert T.quad_per_row(s.bvh, s.tri_v0.shape[0]) == (2 if per_row_forced
+                                                        else 1)
+    t_x, tri_x, hit_x, n_x, m_x, _ = xla_result
+    t_p, tri_p, hit_p, n_p, m_p, _ = pallas_packet_traverse(
+        s.bvh, s.tri_v0, s.tri_e1, s.tri_e2, o, d, mt,
+        tri_mat=s.tri_mat, interpret=True, ordered=True)
+    hx = np.asarray(hit_x)
+    np.testing.assert_array_equal(hx, np.asarray(hit_p))
+    np.testing.assert_allclose(np.asarray(t_x)[hx], np.asarray(t_p)[hx],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_p))
