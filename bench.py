@@ -238,7 +238,8 @@ def _run(result):
         pass
 
     from gpu_raytracer_tpu import RaytracerConfig, Renderer
-    from gpu_raytracer_tpu.utils.procgen import make_courtyard_scene
+    from gpu_raytracer_tpu.utils.procgen import (
+        courtyard_source_images, make_courtyard_scene)
 
     W, H = (512, 384) if SMOKE else (1920, 1080)
     NTRI = 5_000 if SMOKE else 100_000
@@ -451,7 +452,6 @@ def _run(result):
 
         from gpu_raytracer_tpu.models.gltf import scene_from_gltf
         from gpu_raytracer_tpu.models.gltf_export import export_glb
-        from gpu_raytracer_tpu.utils.procgen import courtyard_source_images
 
         glb_path = os.path.join(tempfile.gettempdir(), "courtyard_bench.glb")
         t0 = time.time()
@@ -485,9 +485,10 @@ def _run(result):
     try:
         if over_budget("display/parity"):
             raise TimeoutError("budget")
+        renderer.render_u8()                 # compile warm-up
         t0 = time.perf_counter()
         renderer.render_u8()
-        log(f"display path (u8 + readback): "
+        log(f"display path (u8 + readback, warm): "
             f"{(time.perf_counter()-t0)*1e3:.1f}ms")
 
         from gpu_raytracer_tpu.engine.renderer import render_chunk

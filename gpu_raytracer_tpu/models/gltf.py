@@ -32,6 +32,7 @@ import base64
 import json
 import os
 import struct
+import sys
 import zlib
 from dataclasses import dataclass, field
 
@@ -514,8 +515,6 @@ class GltfLoader:
                 # slot gets a 1x1 white placeholder (albedo passthrough)
                 msg = f"glTF image {i} ({desc}): {e} -> 1x1 white placeholder"
                 out.image_warnings.append(msg)
-                import sys
-
                 print(f"WARNING: {msg}", file=sys.stderr)
                 out.images.append(np.full((1, 1, 4), 255, np.uint8))
         samplers = self.doc.get("samplers", [])
@@ -629,7 +628,8 @@ class GltfLoader:
     def _process_primitive(self, prim, m, verts, tris, tmats, uvs) -> None:
         mode = prim.get("mode", MODE_TRIANGLES)
         if mode not in (MODE_TRIANGLES, MODE_TRIANGLE_STRIP, MODE_TRIANGLE_FAN):
-            print(f"Warning: unsupported primitive mode {mode}")
+            print(f"Warning: unsupported primitive mode {mode}",
+                  file=sys.stderr)
             return
         if "POSITION" not in prim.get("attributes", {}):
             raise GltfError("Primitive missing position data")
@@ -722,10 +722,12 @@ def scene_from_gltf(path: str, scene_index: int | None = None,
                          else None))
     else:
         textures = None
+    # stderr: stdout belongs to callers' machine-readable output (bench.py's
+    # one-JSON-line contract)
     print(f"Loaded glTF scene: {mesh.num_triangles} triangles, "
           f"{mesh.num_vertices} vertices, {len(loaded.materials)} materials, "
           f"{len(loaded.lights)} lights, {len(loaded.cameras)} cameras, "
-          f"{len(images)} textures")
+          f"{len(images)} textures", file=sys.stderr)
     return prepare_scene(camera, Spheres.from_rows([]), mesh,
                          loaded.materials.build(), loaded.lights.build(),
                          textures=textures, config=config)
@@ -739,5 +741,6 @@ def scene_from_gltf_or_default(path: str, **kw) -> Scene:
     try:
         return scene_from_gltf(path, **kw)
     except (GltfError, Exception) as e:  # noqa: BLE001 — reference catches all
-        print(f"Failed to load glTF scene '{path}': {e}; using default scene")
+        print(f"Failed to load glTF scene '{path}': {e}; using default scene",
+              file=sys.stderr)
         return build_default_scene(kw.get("config", DEFAULT_CONFIG))
