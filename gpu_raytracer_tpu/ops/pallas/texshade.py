@@ -64,6 +64,17 @@ GROUPS_PER_BLOCK = 8          # 8 sublane groups = 1024 rays per grid step
 MAX_ATLAS_ROWS = 4096
 MAX_TABLE_MATERIALS = 1024
 
+# Windowed-fetch row count: coherent 128-ray groups contract the sampling
+# matmul over this 128-aligned window instead of the whole atlas (see
+# _sample_map). Must be a multiple of 128; divergent groups fall back to
+# the full-K path, so this only trades speed, never correctness.
+# Chip A/B on the 25.2-MTexel courtyard at 1080p (R=3415 resident rows,
+# was 60 ms/frame full-K): W=1024 → 36.2 ms, W=512 → 32.7 ms,
+# W=256 → 30.8 ms (202 Mrays/s), all bit-exact vs the XLA pipeline —
+# diminishing returns below 512 as fixed per-group cost and fallback
+# groups take over.
+WINDOW_ROWS = 256
+
 # Samplable map slots and which RGBA byte-planes each needs.
 _MAPS = (
     (TEX_BASE_COLOR, (0, 1, 2)),
@@ -227,36 +238,77 @@ def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
                 n_levels=1, trilinear=False):
     """Bilinear-sample one map for a 128-ray group → dict channel→(1,128).
 
-    One bf16 matmul per channel fetches BOTH tap rows ([128lanes, R] @
-    [R, 256] with the y0 one-hot in lanes 0-127 and y1 in 128-255), an f32
+    One bf16 matmul per channel fetches BOTH tap rows ([128lanes, K] @
+    [K, 256] with the y0 one-hot in lanes 0-127 and y1 in 128-255), an f32
     lerp blends them vertically, and a weighted lane one-hot reduces the
     horizontal pair. Absent-map lanes read row 0 harmlessly; the caller
     masks with `has`. With a mip pyramid (n_levels > 1) and a footprint
     operand, each lane samples its own nearest mip level — or, with
     `trilinear`, lerps the two straddling levels (a second fetch: opt-in,
-    it doubles the sampling matmuls)."""
+    it doubles the sampling matmuls).
+
+    The matmul's contraction K is the atlas row count — the phase-2 cost
+    driver at reference-scale texture sets (chip-measured ~60 ms/frame at
+    1080p with R≈3450, flat in texel volume once the mip budget clamps).
+    Screen-coherent ray groups address a narrow row band, so when the
+    atlas is larger than WINDOW_ROWS the fetch slices a 128-aligned
+    WINDOW_ROWS-row window around the group's min tap row and contracts
+    over K=WINDOW_ROWS instead of R (Mosaic lane-axis dynamic slice);
+    groups whose taps straddle more than the window (texture seams, mixed
+    mip levels, depth discontinuities) fall back to the full-K matmul
+    under the same lax.cond. Bit-identical results either way — the
+    one-hot rows select the same texels."""
     def fetch(meta6):
         rowA, lane, srows, fx, fy = _tap_setup(u, v, meta6)
-        rit = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, 1),
-                                       0).astype(jnp.float32)
-        w0 = (rit == rowA).astype(jnp.bfloat16)              # [R,128]
-        w1 = (rit == rowA + srows).astype(jnp.bfloat16)
-        wstack = jnp.concatenate([w0, w1], axis=1)           # [R,256]
 
         lit = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1),
                                        0).astype(jnp.float32)
         hl = ((lit == lane).astype(jnp.float32) * (1.0 - fx)
               + (lit == lane + 1.0).astype(jnp.float32) * fx)  # [128,128]
 
-        out = {}
-        for c in channels:
-            res = jax.lax.dot_general(
-                plane_ref[c], wstack, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [128,256]
-            col = (res[:, :LANES] * (1.0 - fy) + res[:, LANES:] * fy)
-            out[c] = jnp.sum(col * hl, axis=0,
-                             keepdims=True) * (1.0 / 255.0)
-        return out
+        def tapped(base, k_rows, plane_of):
+            rit = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1),
+                                           0).astype(jnp.float32)
+            w0 = (rit == rowA - base).astype(jnp.bfloat16)   # [K,128]
+            w1 = (rit == rowA + srows - base).astype(jnp.bfloat16)
+            wstack = jnp.concatenate([w0, w1], axis=1)       # [K,256]
+            out = {}
+            for c in channels:
+                res = jax.lax.dot_general(
+                    plane_of(c), wstack, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [128,256]
+                col = (res[:, :LANES] * (1.0 - fy) + res[:, LANES:] * fy)
+                out[c] = jnp.sum(col * hl, axis=0,
+                                 keepdims=True) * (1.0 / 255.0)
+            return out
+
+        if rows_pad > WINDOW_ROWS:
+            # window stats over lanes that HAVE the map (absent lanes read
+            # row 0 and must not drag the window there)
+            has = meta6[0] > 0.0
+            BIGF = jnp.float32(3.0e38)
+            rmin = jnp.min(jnp.where(has, rowA, BIGF))
+            rmax = jnp.max(jnp.where(has, rowA + srows, -BIGF))
+            base_f = jnp.floor(rmin * (1.0 / 128.0)) * 128.0
+            base_f = jnp.minimum(base_f, float(rows_pad - WINDOW_ROWS))
+            base_f = jnp.maximum(base_f, 0.0)
+            ok = rmax < base_f + float(WINDOW_ROWS)
+            # Mosaic needs a static divisibility proof for lane-axis
+            # dynamic slices; the float floor math above guarantees it.
+            base_i = pl.multiple_of(base_f.astype(jnp.int32), 128)
+            def win_branch(_):
+                d = tapped(base_f, WINDOW_ROWS,
+                           lambda c: plane_ref[c, :,
+                                               pl.ds(base_i, WINDOW_ROWS)])
+                return tuple(d[c] for c in channels)
+
+            def full_branch(_):
+                d = tapped(0.0, rows_pad, lambda c: plane_ref[c])
+                return tuple(d[c] for c in channels)
+
+            outs = jax.lax.cond(ok, win_branch, full_branch, 0)
+            return dict(zip(channels, outs))
+        return tapped(0.0, rows_pad, lambda c: plane_ref[c])
 
     if lam is not None and n_levels > 1 and trilinear:
         lv = meta[6]

@@ -122,3 +122,56 @@ def test_deferred_render_uses_texshade():
                                             interpret=True))
     want = np.asarray(render_chunk(scene, px, py, W, H))
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_texshade_windowed_fetch_parity():
+    """Atlases larger than WINDOW_ROWS take the windowed fetch: coherent
+    groups contract the sampling matmul over a 128-aligned window around
+    the group's min tap row; divergent groups fall back to the full-K
+    matmul. Random wide-spread UVs over a 512x512 map exercise BOTH
+    branches; results must equal the XLA reference exactly as before."""
+    from gpu_raytracer_tpu.ops.pallas.texshade import WINDOW_ROWS
+
+    rng = np.random.default_rng(7)
+    mb = MaterialBuilder()
+    imgs = [rng.integers(0, 256, size=(512, 512, 4), dtype=np.uint8),
+            rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)]
+    for i in range(4):
+        ti = np.full(8, 0xFFFFFFFF, np.uint32)
+        ti[0] = i % 2
+        mb.add(albedo=rng.uniform(0.2, 1.0, 3), metallic=float(i % 2),
+               roughness=0.5, emission=(0.0, 0.0, 0.0), ior=1.3,
+               transmission=0.0, texture_indices=ti)
+    tex = Textures.from_images(imgs, wrap=[0, 1], mips=1)
+    base = build_default_scene()
+    scene = prepare_scene(base.camera, base.spheres, base.mesh, mb.build(),
+                          base.lights, textures=tex)
+    assert texshade_eligible(scene)
+    assert scene.textures.data_u32.shape[0] // 128 > WINDOW_ROWS
+
+    # half the groups: tight UV clusters (window hit); half: wide spread
+    # across the 512 rows (window fallback) and mixed materials
+    B, sub = 1, 16
+    N = B * sub * 128
+    light = rng.uniform(0, 3, (N, 3)).astype(np.float32)
+    mat_id = rng.integers(0, 4, N).astype(np.int32)
+    uv = np.empty((N, 2), np.float32)
+    for g in range(N // 128):
+        s = slice(g * 128, (g + 1) * 128)
+        if g % 2 == 0:
+            c = rng.uniform(0.1, 0.9, 2)
+            uv[s] = c + rng.uniform(-0.01, 0.01, (128, 2))
+            mat_id[s] = g % 4          # single material -> coherent rows
+        else:
+            uv[s] = rng.uniform(-1.5, 2.5, (128, 2))
+    lam = np.zeros((N, 1), np.float32)
+    out7 = np.concatenate([light, mat_id[:, None].astype(np.float32),
+                           uv.astype(np.float32), lam], axis=1)
+    out7 = out7.reshape(B, sub, 128, 7).transpose(0, 3, 1, 2)
+
+    want = np.asarray(shade_deferred(scene, jnp.asarray(light),
+                                     jnp.asarray(mat_id),
+                                     jnp.asarray(uv)))
+    got = np.asarray(pallas_texture_shade(scene, jnp.asarray(out7),
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
