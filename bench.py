@@ -379,6 +379,7 @@ def _run(result):
 
     # ---- 4. textured courtyard (BASELINE config 4 class), two-phase ----
     tex_scene = None
+    tex_images = None
     try:
         if over_budget("textured"):
             raise TimeoutError("budget")
@@ -386,9 +387,10 @@ def _run(result):
         tex_scene = make_courtyard_scene(target_triangles=NTRI, seed=0,
                                          config=config, textured=True,
                                          texture_size=TEXSIZE)
-        mtex = sum(i.shape[0] * i.shape[1]
-                   for i in courtyard_source_images(0,
-                                                    texture_size=TEXSIZE))
+        # built ONCE and reused for the log + GLB export below: each
+        # rebuild regenerates the rng-heavy 25-MTexel set (seconds of CPU)
+        tex_images = courtyard_source_images(0, texture_size=TEXSIZE)
+        mtex = sum(i.shape[0] * i.shape[1] for i in tex_images)
         log(f"textured scene build: {time.time()-t0:.1f}s "
             f"({mtex/1e6:.1f} MTexel source set)")
         tex_renderer = Renderer(tex_scene, W, H, config=config)
@@ -446,7 +448,8 @@ def _run(result):
     # built scene. Matches /root/reference/src/gltf_loader.rs:55-125 at the
     # asset scale the reference targets. ----
     try:
-        if tex_scene is None or over_budget("gltf loader at scale"):
+        if (tex_scene is None or tex_images is None
+                or over_budget("gltf loader at scale")):
             raise TimeoutError("budget")
         import tempfile
 
@@ -455,8 +458,7 @@ def _run(result):
 
         glb_path = os.path.join(tempfile.gettempdir(), "courtyard_bench.glb")
         t0 = time.time()
-        export_glb(tex_scene, glb_path,
-                   images=courtyard_source_images(0, texture_size=TEXSIZE))
+        export_glb(tex_scene, glb_path, images=tex_images)
         log(f"GLB export: {time.time()-t0:.1f}s, "
             f"{os.path.getsize(glb_path)/1e6:.1f} MB")
         t0 = time.time()

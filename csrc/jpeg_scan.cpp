@@ -24,15 +24,19 @@ namespace {
 struct Huff {
   // 16-bit peek LUT for O(1) decode (same construction as jpeg.py)
   std::vector<uint8_t> sym, len;
-  void build(const uint8_t* counts, const uint8_t* syms) {
+  // false when the DHT's counts overflow the canonical code space — a
+  // corrupt/adversarial table would otherwise memset past the 64 KiB LUTs
+  // (heap corruption); the caller rejects the scan like any bad code.
+  bool build(const uint8_t* counts, const uint8_t* syms) {
     sym.assign(1 << 16, 0);
     len.assign(1 << 16, 0);
-    uint32_t code = 0;
+    uint64_t code = 0;
     int k = 0;
     for (int L = 1; L <= 16; ++L) {
       for (int i = 0; i < counts[L - 1]; ++i) {
-        uint32_t lo = code << (16 - L);
-        uint32_t hi = lo + (1u << (16 - L));
+        uint64_t lo = code << (16 - L);
+        uint64_t hi = lo + (1ull << (16 - L));
+        if (hi > (1ull << 16)) return false;
         std::memset(sym.data() + lo, syms[k], hi - lo);
         std::memset(len.data() + lo, L, hi - lo);
         ++k;
@@ -40,6 +44,7 @@ struct Huff {
       }
       code <<= 1;
     }
+    return true;
   }
 };
 
@@ -99,6 +104,9 @@ int block_first(BitReader& br, int32_t* row, const Huff& dc, const Huff& ac,
     if (!ln) return -1;
     br.skip(ln);
     int s = dc.sym[p16];
+    // DC magnitude category is <= 16 bits (T.81 F.1.2.1.1); a corrupt DHT
+    // can deliver any byte, and read(s > 31) would be UB in the mask shift
+    if (s > 16) return -1;
     int diff = s ? extend(br.read(s), s) : 0;
     pred += diff;
     row[0] = pred << al;
@@ -200,8 +208,8 @@ int jpeg_decode_scan(const uint8_t* ent, int64_t ent_len,
   std::vector<Huff> dcs((size_t)ncomp), acs((size_t)ncomp);
   for (int c = 0; c < ncomp; ++c) {
     const uint8_t* t = tables + (size_t)c * 2 * 272;
-    dcs[c].build(t, t + 16);
-    acs[c].build(t + 272, t + 272 + 16);
+    if (!dcs[c].build(t, t + 16) || !acs[c].build(t + 272, t + 272 + 16))
+      return -1;  // overfull DHT: reject like a bad Huffman code
   }
   BitReader br{ent, ent_len};
   ScanCtx st;

@@ -218,7 +218,9 @@ def main(argv=None):
 
     p = sub.add_parser("export", help="write a scene as a binary glTF (.glb)")
     _add_scene_args(p)
-    p.set_defaults(fn=cmd_export)
+    # _add_scene_args defaults -o to out.png (the render subcommands');
+    # export writes GLB bytes, so the default must carry the right extension
+    p.set_defaults(fn=cmd_export, output="out.glb")
 
     p = sub.add_parser("info", help="inspect a glTF file")
     p.add_argument("--gltf", type=str, required=True)

@@ -639,29 +639,39 @@ def build_bvh_spatial(vertices: np.ndarray, indices: np.ndarray,
             lo = rmin[ids][:, sp_axis]
             hi = rmax[ids][:, sp_axis]
             left_only = hi <= sp_plane
-            right_only = lo >= sp_plane
+            # & ~left_only: an axis-flat ref lying exactly ON the plane
+            # (lo == hi == sp_plane) satisfies both masks — without the
+            # exclusion it would land in BOTH children as the SAME mutable
+            # ref record (aliased clips, ref-count overflow)
+            right_only = (lo >= sp_plane) & ~left_only
             strad = ~(left_only | right_only)
-            sid = ids[strad]
-            # left keeps the straddler refs, clipped at the plane...
-            rmax[sid, sp_axis] = sp_plane
-            # ...the right side gets fresh clipped COPIES
-            k = sid.shape[0]
-            new_ids = np.arange(n_refs, n_refs + k, dtype=np.int64)
-            rtri[new_ids] = rtri[sid]
-            rmin[new_ids] = rmin[sid]
-            rmin[new_ids, sp_axis] = sp_plane
-            rmax[new_ids] = rmax[sid]
-            # rmax[sid] was clipped above; `hi` is a pre-clip copy (fancy
-            # indexing), so the right box recovers its original high edge
-            rmax[new_ids, sp_axis] = hi[strad]
-            n_refs += k
-            lids = np.concatenate([ids[left_only], sid])
-            rids = np.concatenate([ids[right_only], new_ids])
-            if (lids.size == 0 or rids.size == 0
-                    or (lids.size >= count and rids.size >= count)):
+            n_l = int(left_only.sum() + strad.sum())
+            n_r = int(right_only.sum() + strad.sum())
+            if n_l == 0 or n_r == 0 or (n_l >= count and n_r >= count):
                 # degenerate (incl. every ref straddling: children would
-                # both equal the parent and recurse forever): median split
+                # both equal the parent and recurse forever): median split.
+                # Decided BEFORE any mutation — clipping rmax first and
+                # then discarding the right-side copies would leave leaf
+                # boxes that under-cover their triangles (silent misses).
                 lids, rids = ids[: count // 2], ids[count // 2:]
+            else:
+                sid = ids[strad]
+                # left keeps the straddler refs, clipped at the plane...
+                rmax[sid, sp_axis] = sp_plane
+                # ...the right side gets fresh clipped COPIES
+                k = sid.shape[0]
+                new_ids = np.arange(n_refs, n_refs + k, dtype=np.int64)
+                rtri[new_ids] = rtri[sid]
+                rmin[new_ids] = rmin[sid]
+                rmin[new_ids, sp_axis] = sp_plane
+                rmax[new_ids] = rmax[sid]
+                # rmax[sid] was clipped above; `hi` is a pre-clip copy
+                # (fancy indexing), so the right box recovers its original
+                # high edge
+                rmax[new_ids, sp_axis] = hi[strad]
+                n_refs += k
+                lids = np.concatenate([ids[left_only], sid])
+                rids = np.concatenate([ids[right_only], new_ids])
         elif obj_mask is not None:
             lids, rids = ids[obj_mask], ids[~obj_mask]
             if lids.size == 0 or rids.size == 0:

@@ -65,6 +65,12 @@ class _HuffTable:
                 k += 1
                 lo = code << (16 - length)
                 hi = lo + (1 << (16 - length))
+                if hi > (1 << 16):
+                    # overfull canonical code space: a corrupt DHT. numpy
+                    # slicing would clamp silently and decode garbage; the
+                    # native decoder rejects the same table (rc -1), so
+                    # fail identically here.
+                    raise JpegError("overfull Huffman table (corrupt DHT)")
                 lut_sym[lo:hi] = sym
                 lut_len[lo:hi] = length
                 code += 1

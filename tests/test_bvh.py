@@ -288,3 +288,97 @@ def test_spatial_splits_build_and_parity():
     a = render_image(scene_obj, 64, 48, shadows=True)
     b = render_image(scene_sp, 64, 48, shadows=True)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_spatial_splits_all_straddle_degenerate_covers():
+    """All-straddle spatial split: when every ref straddles the chosen
+    plane the builder must fall back to a median split WITHOUT mutating
+    ref bounds first — the former order clipped rmax in place and then
+    discarded the right-side copies, leaving leaf boxes that under-cover
+    their triangles (silent missed intersections)."""
+    from gpu_raytracer_tpu.models.bvh import build_bvh_spatial
+
+    # 12 identical-centroid triangles spanning x in [0, 16]: the object
+    # split is degenerate (all centroids equal) and every ref straddles
+    # any interior plane.
+    n = 12
+    verts = []
+    for i in range(n):
+        y = 0.01 * i
+        verts.append([[0.0, y, 0.0], [16.0, y + 0.5, 0.0],
+                      [8.0, y + 1.0, 1.0]])
+    v = np.asarray(verts, np.float32).reshape(-1, 3)
+    idx = np.arange(3 * n, dtype=np.uint32).reshape(-1, 3)
+    res = build_bvh_spatial(v, idx, leaf_size=4)
+
+    left = np.asarray(res.left)
+    tri_start = np.asarray(res.tri_start)
+    tri_count = np.asarray(res.tri_count)
+    nmin = np.asarray(res.node_min)
+    nmax = np.asarray(res.node_max)
+    order = np.asarray(res.tri_order)
+    tv = v[idx.astype(np.int64)]                       # [n,3,3]
+    for ni in range(left.shape[0]):
+        if left[ni] >= 0:
+            continue
+        for s in range(tri_start[ni], tri_start[ni] + tri_count[ni]):
+            t = order[s]
+            if t < 0:
+                continue
+            tmin = tv[t].min(axis=0)
+            tmax = tv[t].max(axis=0)
+            # the leaf box may be a CLIPPED sub-box of the triangle, but
+            # the union of all leaf boxes referencing t must cover it —
+            # with a degenerate fallback a single leaf holds t, so that
+            # leaf must cover it fully
+            refs = []
+            for nj in range(left.shape[0]):
+                if left[nj] >= 0:
+                    continue
+                sl = order[tri_start[nj]:tri_start[nj] + tri_count[nj]]
+                if (sl == t).any():
+                    refs.append(nj)
+            cover_min = np.min([nmin[r] for r in refs], axis=0)
+            cover_max = np.max([nmax[r] for r in refs], axis=0)
+            assert (cover_min <= tmin + 1e-5).all() and \
+                   (cover_max >= tmax - 1e-5).all(), (ni, t)
+
+
+def test_spatial_splits_flat_ref_on_plane_not_duplicated_in_place():
+    """An axis-flat triangle lying exactly on the split plane must not land
+    in BOTH children as the same mutable ref record (left_only/right_only
+    overlap): total ref placements stay consistent and every triangle stays
+    covered by the union of its leaf boxes."""
+    from gpu_raytracer_tpu.models.bvh import build_bvh_spatial
+
+    rng = np.random.default_rng(11)
+    # long triangles spanning x in [0,16] force spatial splits at clean
+    # bin-edge planes; add x-flat triangles exactly at those planes
+    tris = []
+    for i in range(24):
+        y = 0.3 * i
+        tris.append([[0.0, y, 0.0], [16.0, y + 0.4, 0.2],
+                     [8.0, y + 0.8, 0.6]])
+    for i in range(8):
+        x = 2.0 * (i + 1)   # bin edges of a 16-wide extent
+        tris.append([[x, 0.1 * i, 0.0], [x, 1.0 + 0.1 * i, 0.0],
+                     [x, 0.5, 1.0]])
+    v = np.asarray(tris, np.float32).reshape(-1, 3)
+    idx = np.arange(v.shape[0], dtype=np.uint32).reshape(-1, 3)
+    res = build_bvh_spatial(v, idx, leaf_size=4)
+    order = np.asarray(res.tri_order)
+    left = np.asarray(res.left)
+    tri_start = np.asarray(res.tri_start)
+    tri_count = np.asarray(res.tri_count)
+    # every input triangle referenced at least once; coverage via union
+    tv = v[idx.astype(np.int64)]
+    nmin = np.asarray(res.node_min)
+    nmax = np.asarray(res.node_max)
+    for t in range(idx.shape[0]):
+        refs = [nj for nj in range(left.shape[0]) if left[nj] < 0 and
+                (order[tri_start[nj]:tri_start[nj] + tri_count[nj]] == t).any()]
+        assert refs, t
+        cover_min = np.min([nmin[r] for r in refs], axis=0)
+        cover_max = np.max([nmax[r] for r in refs], axis=0)
+        assert (cover_min <= tv[t].min(axis=0) + 1e-5).all()
+        assert (cover_max >= tv[t].max(axis=0) - 1e-5).all()

@@ -188,3 +188,54 @@ def test_native_scan_speedup():
     finally:
         J.use_native = True
     assert t_python / t_native > 1.3, (t_python, t_native)
+
+
+def test_overfull_dht_rejected_not_crash():
+    """A corrupt DHT whose counts overflow the canonical code space must
+    raise JpegError — numpy slicing would silently clamp (garbage decode)
+    and the native LUT build formerly memset past its 64 KiB tables
+    (process crash)."""
+    img = _smooth(32, 32, seed=4)
+    data = bytearray(_encode(img))
+    # find the first DHT marker and overflow its first length count
+    i = data.find(b"\xff\xc4")
+    assert i >= 0
+    # payload: 2-byte length, 1-byte table class/id, 16 counts, symbols
+    data[i + 5] = 255  # counts[0] = 255 one-bit codes: overfull
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(data))
+
+
+def test_native_rejects_overfull_dht_directly():
+    """Defense in depth: even if a corrupt table reaches the NATIVE decoder
+    (bypassing the Python-side DHT validation), bvh_collapse-style bounds
+    checking must reject it with rc -1 instead of memsetting past the
+    64 KiB LUTs (formerly a reproducible segfault)."""
+    import ctypes
+
+    from gpu_raytracer_tpu.utils import jpeg as J
+
+    lib = J._load_native()
+    if lib is None:
+        pytest.skip("libjpeg_scan.so not built")
+    # one component, one block; DHT with counts[0]=255 (overfull)
+    tables = np.zeros(2 * 272, np.uint8)
+    tables[0] = 255                       # DC counts[0]
+    tables[16:272] = 5                    # symbols (arbitrary)
+    tables[272] = 255                     # AC counts[0]
+    ent = np.zeros(16, np.uint8)
+    rst = np.zeros(0, np.int64)
+    coef = np.zeros((1, 1, 64), np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    coefp = (ctypes.c_void_p * 1)(coef.ctypes.data)
+    gw = np.asarray([1], np.int32)
+    ch = np.asarray([1], np.int32)
+    cv = np.asarray([1], np.int32)
+    rc = lib.jpeg_decode_scan(
+        ent.ctypes.data_as(u8p), ent.shape[0],
+        rst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 0,
+        0, tables.ctypes.data_as(u8p), 1,
+        ch.ctypes.data_as(i32p), cv.ctypes.data_as(i32p),
+        1, 1, 1, 1, 0, 63, 0, 0, coefp, gw.ctypes.data_as(i32p))
+    assert rc == -1
