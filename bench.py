@@ -249,7 +249,9 @@ def _run(result):
     # (VERDICT r3 #3: the loader must ingest a >=16-MTexel GLB):
     # 4096^2 floor + 2x2048^2 boxes = 25.2 MTexel.
     TEXSIZE = 256 if SMOKE else 4096
-    SB = 1 if SMOKE else 3                     # pathtrace spp-burst reps
+    SB = 1 if SMOKE else 5                     # pathtrace spp-burst reps
+    # (5 reps ~1.5 s extra: a better min estimate under pool load — the
+    # 64-spp projection is min-of-bursts and the pool shows ~2.5x variance)
     VK, VR = (2, 1) if SMOKE else (8, 3)       # viewer loop frames/reps
     RFI = 2 if SMOKE else 4                    # refit iterations
     n = W * H
