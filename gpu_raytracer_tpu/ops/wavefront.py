@@ -60,6 +60,10 @@ SKY_WAVEFRONT = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)  # wavefront.rs:148
 # the spectral price only where dispersion actually happens.
 RGB_CHANNEL = 3
 
+# Deepest bounce that uses the fat 8192-lane packet (see P_at in
+# _path_trace_pool_fused); deeper bounces use 4096. 0 = camera rays only.
+FAT_PACKET_MAX_DEPTH = 0
+
 
 class WavefrontCounters:
     """Host-side per-bounce-depth ray accounting — field-for-field port of
@@ -487,7 +491,7 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
     # program count grows), while the COHERENT depth-0 camera packet prefers
     # the fat (64,128) tile; 2048/1024 are sharply worse (launch-bound).
     def P_at(depth):
-        if depth == 0 and N % 8192 == 0:
+        if depth <= FAT_PACKET_MAX_DEPTH and N % 8192 == 0:
             return 8192
         return 4096 if N % 4096 == 0 else 1024
     r = rays
