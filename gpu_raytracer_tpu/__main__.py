@@ -121,6 +121,21 @@ def cmd_serve(args, config):
                  max_fps=args.max_fps).serve_forever()
 
 
+def cmd_window(args, config):
+    from .engine.viewer import Viewer
+    from .engine.window import NativeWindow, window_available
+
+    if not window_available():
+        print("error: no display server reachable (Tk root failed); "
+              "use `serve` for the HTTP live viewer on headless hosts",
+              file=sys.stderr)
+        raise SystemExit(1)
+    scene = _load_scene(args, config)
+    v = Viewer(scene, args.width, args.height, config=config,
+               shadows=args.shadows)
+    NativeWindow(v, max_fps=args.max_fps).run()
+
+
 def cmd_info(args, config):
     from .models.gltf import GltfError, GltfLoader
 
@@ -215,6 +230,19 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8642)
     p.add_argument("--max-fps", type=float, default=30.0)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("window", help="native OS-window viewer (Tk present)")
+    p.add_argument("--gltf", type=str, default=None)
+    p.add_argument("--demo", action="store_true")
+    p.add_argument("--courtyard", type=int, default=0, metavar="TRIS",
+                   help="procedural courtyard with TRIS triangles")
+    p.add_argument("--textured", action="store_true",
+                   help="with --courtyard: procedural texture atlases")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--shadows", action="store_true")
+    p.add_argument("--max-fps", type=float, default=120.0)
+    p.set_defaults(fn=cmd_window)
 
     p = sub.add_parser("export", help="write a scene as a binary glTF (.glb)")
     _add_scene_args(p)
