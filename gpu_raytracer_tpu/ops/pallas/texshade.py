@@ -75,6 +75,18 @@ MAX_TABLE_MATERIALS = 1024
 # groups take over.
 WINDOW_ROWS = 256
 
+# Escalating window ladder for COHERENT shade paths: groups that straddle
+# the finest window (texture seams, mixed mips at depth edges) try a
+# coarser tier before paying the full-K matmul. Chip A/B (25.2-MTexel
+# courtyard, interleaved arms): (256, 1024) takes the textured 1080p
+# deferred frame 31.4 -> 28.7 ms (-9%) but the textured PATHTRACE
+# 311 -> 342 ms/spp (+10%) — incoherent bounce groups escalate through
+# the extra cond without fitting the tier, so the bounce kernel keeps the
+# single-tier (WINDOW_ROWS,) default; (256, 512, 1024) is 2.5x worse on
+# the frame (77 ms: three resident branch bodies blow the VMEM/scheduling
+# budget). Tiers must be 128-multiples, ascending, first == WINDOW_ROWS.
+WINDOW_TIERS = (WINDOW_ROWS, 1024)
+
 # Samplable map slots and which RGBA byte-planes each needs.
 _MAPS = (
     (TEX_BASE_COLOR, (0, 1, 2)),
@@ -235,7 +247,7 @@ def _mip_lod_frac(meta, lam):
 
 
 def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
-                n_levels=1, trilinear=False):
+                n_levels=1, trilinear=False, tiers=(WINDOW_ROWS,)):
     """Bilinear-sample one map for a 128-ray group → dict channel→(1,128).
 
     One bf16 matmul per channel fetches BOTH tap rows ([128lanes, K] @
@@ -282,31 +294,42 @@ def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
                                  keepdims=True) * (1.0 / 255.0)
             return out
 
-        if rows_pad > WINDOW_ROWS:
+        live_tiers = [t for t in tiers if rows_pad > t]
+        if live_tiers:
             # window stats over lanes that HAVE the map (absent lanes read
             # row 0 and must not drag the window there)
             has = meta6[0] > 0.0
             BIGF = jnp.float32(3.0e38)
             rmin = jnp.min(jnp.where(has, rowA, BIGF))
             rmax = jnp.max(jnp.where(has, rowA + srows, -BIGF))
-            base_f = jnp.floor(rmin * (1.0 / 128.0)) * 128.0
-            base_f = jnp.minimum(base_f, float(rows_pad - WINDOW_ROWS))
-            base_f = jnp.maximum(base_f, 0.0)
-            ok = rmax < base_f + float(WINDOW_ROWS)
-            # Mosaic needs a static divisibility proof for lane-axis
-            # dynamic slices; the float floor math above guarantees it.
-            base_i = pl.multiple_of(base_f.astype(jnp.int32), 128)
-            def win_branch(_):
-                d = tapped(base_f, WINDOW_ROWS,
-                           lambda c: plane_ref[c, :,
-                                               pl.ds(base_i, WINDOW_ROWS)])
-                return tuple(d[c] for c in channels)
+            base_raw = jnp.floor(rmin * (1.0 / 128.0)) * 128.0
+
+            def win_branch(t):
+                base_f = jnp.maximum(
+                    jnp.minimum(base_raw, float(rows_pad - t)), 0.0)
+                # Mosaic needs a static divisibility proof for lane-axis
+                # dynamic slices; the float floor math above guarantees it.
+                base_i = pl.multiple_of(base_f.astype(jnp.int32), 128)
+
+                def br(_):
+                    d = tapped(base_f, t,
+                               lambda c: plane_ref[c, :, pl.ds(base_i, t)])
+                    return tuple(d[c] for c in channels)
+                return br, base_f
 
             def full_branch(_):
                 d = tapped(0.0, rows_pad, lambda c: plane_ref[c])
                 return tuple(d[c] for c in channels)
 
-            outs = jax.lax.cond(ok, win_branch, full_branch, 0)
+            # nest coarsest-out: cond(fits 256, win256, cond(fits 1024, ...))
+            nxt = full_branch
+            for t in reversed(live_tiers):
+                br, base_f = win_branch(t)
+                ok_t = rmax < base_f + float(t)
+                nxt = partial(
+                    lambda ok, a, b, _: jax.lax.cond(ok, a, b, 0),
+                    ok_t, br, nxt)
+            outs = nxt(0)
             return dict(zip(channels, outs))
         return tapped(0.0, rows_pad, lambda c: plane_ref[c])
 
@@ -326,7 +349,7 @@ def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
 
 def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
             n_mats, mats_pad, rows_pad, present, sky, n_levels=1,
-            trilinear=False):
+            trilinear=False, tiers=(WINDOW_ROWS,)):
     for g in range(GROUPS_PER_BLOCK):
         ls_r = in_ref[0, 0, g:g + 1, :]                      # (1,128) each
         ls_g = in_ref[0, 1, g:g + 1, :]
@@ -372,7 +395,7 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
                     lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
                                           channels, lam=lam,
                                           n_levels=n_levels,
-                                          trilinear=trilinear),
+                                          trilinear=trilinear, tiers=tiers),
                     lambda _: ones, 0)
                 pick = {c: jnp.where(has, s[i], 1.0)
                         for i, c in enumerate(channels)}
@@ -437,7 +460,7 @@ def pallas_texture_shade(scene: Scene, out7: jnp.ndarray,
                      mats_pad=mats_pad, rows_pad=rows_pad,
                      present=present, sky=tuple(float(x) for x in sky),
                      n_levels=scene.textures.n_levels,
-                     trilinear=trilinear)
+                     trilinear=trilinear, tiers=WINDOW_TIERS)
     grid = (B * blocks_per_packet,)
     in_map = lambda i: (i // blocks_per_packet, 0, i % blocks_per_packet, 0)
     rgb = pl.pallas_call(
@@ -485,7 +508,7 @@ def material_table_full(scene: Scene):
 
 def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
                         n_mats, mats_pad, rows_pad, present, lam=None,
-                        n_levels=1):
+                        n_levels=1, tiers=(WINDOW_ROWS,)):
     """Per-lane textured material parameters → 11 (sub,128) tiles
     (alb rgb, emi rgb, metal, rough, ior, trans, ambient-occ).
 
@@ -529,7 +552,7 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
                 jnp.any(has),
                 lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
                                       channels, lam=lamg,
-                                      n_levels=n_levels),
+                                      n_levels=n_levels, tiers=tiers),
                 lambda _: tuple(jnp.ones((1, uvx.shape[1]), jnp.float32)
                                 for _ in channels), 0)
             pick = {c: jnp.where(has, smp[i], 1.0)

@@ -127,9 +127,10 @@ def test_deferred_render_uses_texshade():
 def test_texshade_windowed_fetch_parity():
     """Atlases larger than WINDOW_ROWS take the windowed fetch: coherent
     groups contract the sampling matmul over a 128-aligned window around
-    the group's min tap row; divergent groups fall back to the full-K
-    matmul. Random wide-spread UVs over a 512x512 map exercise BOTH
-    branches; results must equal the XLA reference exactly as before."""
+    the group's min tap row; groups that straddle it escalate through the
+    coarser WINDOW_TIERS before the full-K matmul. Tight / medium / wide
+    UV spreads over a 512x512 map exercise ALL tiers and the fallback;
+    results must equal the XLA reference exactly as before."""
     from gpu_raytracer_tpu.ops.pallas.texshade import WINDOW_ROWS
 
     rng = np.random.default_rng(7)
@@ -149,8 +150,9 @@ def test_texshade_windowed_fetch_parity():
     assert texshade_eligible(scene)
     assert scene.textures.data_u32.shape[0] // 128 > WINDOW_ROWS
 
-    # half the groups: tight UV clusters (window hit); half: wide spread
-    # across the 512 rows (window fallback) and mixed materials
+    # groups rotate through: tight UV clusters (finest window), medium
+    # spread (the coarser middle tier), wide spread across the whole map
+    # (full-K fallback) with mixed materials
     B, sub = 1, 16
     N = B * sub * 128
     light = rng.uniform(0, 3, (N, 3)).astype(np.float32)
@@ -158,10 +160,16 @@ def test_texshade_windowed_fetch_parity():
     uv = np.empty((N, 2), np.float32)
     for g in range(N // 128):
         s = slice(g * 128, (g + 1) * 128)
-        if g % 2 == 0:
+        if g % 3 == 0:
             c = rng.uniform(0.1, 0.9, 2)
             uv[s] = c + rng.uniform(-0.01, 0.01, (128, 2))
             mat_id[s] = g % 4          # single material -> coherent rows
+        elif g % 3 == 1:
+            # ~0.2 of the v range = ~400 of the 2048 atlas rows: straddles
+            # the 256-row window but fits the 1024-row tier
+            c = rng.uniform(0.2, 0.7, 2)
+            uv[s] = c + rng.uniform(-0.1, 0.1, (128, 2))
+            mat_id[s] = 0
         else:
             uv[s] = rng.uniform(-1.5, 2.5, (128, 2))
     lam = np.zeros((N, 1), np.float32)
