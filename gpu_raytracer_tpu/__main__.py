@@ -85,6 +85,9 @@ def cmd_pathtrace(args, config):
     if args.checkpoint:
         pt.save_checkpoint(args.checkpoint)
         print(f"checkpoint -> {args.checkpoint}")
+    if args.denoise:
+        img = pt.denoised_image(iterations=args.denoise_iters)
+        print(f"denoised ({args.denoise_iters} a-trous iterations)")
     write_png(args.output, np.clip(img, 0, 1) ** (1 / 2.2) if args.tonemap else img)
     print(f"wrote {args.output} ({pt.samples} spp)")
 
@@ -202,6 +205,9 @@ def main(argv=None):
     p.add_argument("--no-shadows", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tonemap", action="store_true", help="gamma 2.2 output")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-avoiding a-trous reconstruction filter")
+    p.add_argument("--denoise-iters", type=int, default=4)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
     add_config_args(p)
