@@ -73,6 +73,13 @@ class Viewer:
         # accumulated by engine/pathtracer.py; camera moves restart it.
         self.pathtrace = False
         self._pt = None
+        # Denoised path-trace preview ('n' key): while the accumulation is
+        # young (< denoise_until spp) present the edge-avoiding à-trous
+        # reconstruction (ops/denoise.py) instead of the raw mean, then
+        # hand off to the converged accumulation — the first seconds after
+        # every camera move stay smooth instead of speckled.
+        self.denoise = True
+        self.denoise_until = 32
         # Tile pixel template in 64x64-subtile order: 128x128 progressive
         # tiles = two coherent 8192-lane traversal packets per dispatch, so
         # each tile rides the fused Pallas path at full packet occupancy.
@@ -127,6 +134,9 @@ class Viewer:
             self.pathtrace = not self.pathtrace
             if self.pathtrace:
                 self._ensure_pathtracer()
+            return
+        elif key == "n":
+            self.denoise = not self.denoise
             return
         elif key == "l":
             self.load_gltf("model.gltf")
@@ -266,7 +276,14 @@ class Viewer:
             with Timer() as timer:
                 self._pt.step()
             self.timing.record_tile(timer.ms)
-            self._fb_host = self._pt.image()
+            if self.denoise and self._pt.samples < self.denoise_until:
+                fb = self._pt.denoised_image()
+                # denoised_image returns a read-only device-array view;
+                # _fb_host must stay writable (the whitted tile path mutates
+                # it in place after a 'p' toggle back).
+                self._fb_host = fb if fb.flags.writeable else fb.copy()
+            else:
+                self._fb_host = self._pt.image()
             self._fb_dev = None
             return 1
         tiles = self.progressive.next_tiles()

@@ -97,6 +97,29 @@ def test_viewer_pathtrace_toggle():
     v.run_compute()                # whitted path still works
 
 
+def test_viewer_denoised_pathtrace_preview():
+    """While the accumulation is young the path-trace frame is the
+    à-trous reconstruction; past denoise_until (or with 'n' toggled off)
+    it is the raw accumulated mean."""
+    from gpu_raytracer_tpu import build_default_scene
+    from gpu_raytracer_tpu.engine.viewer import Viewer
+
+    v = Viewer(build_default_scene(), 32, 32, shadows=False, verbose=False)
+    v.handle_key("p")
+    v.run_compute()
+    fb_dn = v.framebuffer.copy()
+    assert np.isfinite(fb_dn).all()
+    assert not np.allclose(fb_dn, v._pt.image())   # filtered, not raw
+    v.handle_key("n")                              # denoise off
+    assert not v.denoise
+    v.run_compute()
+    assert np.allclose(v.framebuffer, v._pt.image())
+    v.handle_key("n")                              # back on, but converged:
+    v.denoise_until = 2                            # samples==2 -> raw
+    v.run_compute()
+    assert np.allclose(v.framebuffer, v._pt.image())
+
+
 def test_load_gltf_resets_pathtracer(default_scene, tmp_path):
     """'L' while path tracing must render the NEW scene: load_gltf drops the
     stale PathTracer (the reference marks every buffer dirty on load,
