@@ -77,7 +77,7 @@ def cmd_pathtrace(args, config):
     scene = _load_scene(args, config)
     pt = PathTracer(scene, args.width, args.height, config=config,
                     spectral=args.spectral, shadows=not args.no_shadows,
-                    seed=args.seed)
+                    seed=args.seed, sampler=args.sampler)
     if args.resume and os.path.exists(args.resume):
         pt.load_checkpoint(args.resume)
         print(f"resumed at {pt.samples} spp")
@@ -208,6 +208,9 @@ def main(argv=None):
     p.add_argument("--denoise", action="store_true",
                    help="edge-avoiding a-trous reconstruction filter")
     p.add_argument("--denoise-iters", type=int, default=4)
+    p.add_argument("--sampler", choices=("qmc", "rng"), default="qmc",
+                   help="qmc: low-discrepancy lattice sampling (~2x lower "
+                        "MSE per spp); rng: independent threefry stream")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
     add_config_args(p)

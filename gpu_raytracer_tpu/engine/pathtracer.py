@@ -29,7 +29,8 @@ from functools import partial
 
 def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                   max_depth, rr_start, shadows, leaf_size, use_bvh, jitter,
-                  live=None, spp=1):
+                  live=None, spp=1, qmc=False, sample_base=0, qmc_seed=0,
+                  qmc_antialias=False, qmc_pid_base=0):
     """Trace `spp` independent samples of every pixel in ONE wavefront pool.
 
     The samples are laid out chunk-major (sample s of pixel i at lane
@@ -45,6 +46,19 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                   else jax.random.uniform(jax.random.fold_in(key, 0x5a),
                                           (px.shape[0], 2)))
         live = None if live is None else jnp.tile(live, spp)
+    if qmc and qmc_antialias:
+        # Pixel identity for the QMC stream: chunk base + in-chunk lane
+        # (stable across steps; arithmetic from the lane index — no
+        # gather; see ops/wavefront._pool_uniforms, which derives the
+        # SAME identity from orig_lane inside the pool).
+        from ..ops.sampler import qmc_jitter
+        n = px.shape[0]
+        lane = jnp.arange(n, dtype=jnp.int32)
+        pid = (jnp.asarray(qmc_pid_base).astype(jnp.uint32)
+               + (lane % (n // spp)).astype(jnp.uint32))
+        s_idx = (jnp.asarray(sample_base).astype(jnp.uint32)
+                 + (lane // (n // spp)).astype(jnp.uint32))
+        jitter = qmc_jitter(pid, s_idx, qmc_seed)
     rays = camera_wavefront_rays(scene.camera, width, height, px, py, channel,
                                  jitter=jitter)
     if live is not None:  # tail-chunk padding lanes: excluded from counts
@@ -52,7 +66,10 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
         rays = replace(rays, active=rays.active & live)
     contrib, counts = path_trace_pool(scene, rays, key, max_depth=max_depth,
                                       rr_start=rr_start, shadows=shadows,
-                                      leaf_size=leaf_size, use_bvh=use_bvh)
+                                      leaf_size=leaf_size, use_bvh=use_bvh,
+                                      qmc=qmc, qmc_pid_base=qmc_pid_base,
+                                      sample_base=sample_base,
+                                      qmc_seed=qmc_seed, qmc_spp=spp)
     if spp > 1:
         contrib = contrib.reshape(spp, -1, 3).sum(axis=0)
     return contrib, counts
@@ -61,12 +78,13 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
 @partial(jax.jit,
          static_argnames=("width", "height", "channel", "max_depth",
                           "rr_start", "shadows", "leaf_size", "use_bvh",
-                          "antialias", "spp"),
+                          "antialias", "spp", "qmc"),
          donate_argnums=(1,))
 def _step_whole_frame(scene: Scene, accum, key, step_idx, px, py, *,
                       width: int, height: int, channel: int, max_depth: int,
                       rr_start: int, shadows: bool, leaf_size: int,
-                      use_bvh: bool, antialias: bool, spp: int):
+                      use_bvh: bool, antialias: bool, spp: int,
+                      qmc: bool = False, qmc_seed=0):
     """The ENTIRE progressive step as ONE compiled program.
 
     Driving fold_in → jitter → camera raygen → pool trace → accumulate as
@@ -79,10 +97,13 @@ def _step_whole_frame(scene: Scene, accum, key, step_idx, px, py, *,
     skey = jax.random.fold_in(key, step_idx)
     jit_key = jax.random.fold_in(skey, 0)  # chunk offset 0 (whole frame)
     jitter = (jax.random.uniform(jit_key, (px.shape[0], 2))
-              if antialias else None)
+              if antialias and not qmc else None)
     contrib, counts = _sample_chunk(scene, px, py, width, height, jit_key,
                                     channel, max_depth, rr_start, shadows,
-                                    leaf_size, use_bvh, jitter, None, spp=spp)
+                                    leaf_size, use_bvh, jitter, None, spp=spp,
+                                    qmc=qmc, sample_base=step_idx,
+                                    qmc_seed=qmc_seed,
+                                    qmc_antialias=antialias)
     return accum + contrib, counts
 
 
@@ -130,7 +151,7 @@ class PathTracer:
                  config: RaytracerConfig = DEFAULT_CONFIG,
                  spectral: bool = True, shadows: bool = True,
                  antialias: bool = True, seed: int = 0,
-                 samples_per_step: int = 1):
+                 samples_per_step: int = 1, sampler: str = "qmc"):
         self.scene = scene
         self.width = width
         self.height = height
@@ -142,6 +163,15 @@ class PathTracer:
         # larger pool; see _sample_chunk). >1 amortises sort/launch overhead
         # and tightens bounce-packet coherence.
         self.samples_per_step = max(int(samples_per_step), 1)
+        # "qmc" (default): Cranley-Patterson-rotated lattice sampling
+        # (ops/sampler.py) — lower MSE per spp than independent sampling,
+        # same cost, unbiased. "rng": the independent threefry stream
+        # (the reference's per-pixel LCG model, wavefront.rs:44-72).
+        if sampler not in ("qmc", "rng"):
+            raise ValueError(f"sampler must be 'qmc' or 'rng', got {sampler!r}")
+        self.sampler = sampler
+        self.qmc = sampler == "qmc"
+        self._qmc_seed = jnp.uint32(seed & 0xFFFFFFFF)
         self.key = jax.random.PRNGKey(seed)
         self.use_bvh = scene.bvh.num_nodes > 1
         self.accum = jnp.zeros((height * width, 3), jnp.float32)
@@ -234,7 +264,8 @@ class PathTracer:
                 width=self.width, height=self.height, channel=chan,
                 max_depth=md, rr_start=rr, shadows=self.shadows,
                 leaf_size=ls, use_bvh=self.use_bvh,
-                antialias=self.antialias, spp=self.samples_per_step)
+                antialias=self.antialias, spp=self.samples_per_step,
+                qmc=self.qmc, qmc_seed=self._qmc_seed)
             self.samples += self.samples_per_step
             self.perf.update_frame_count()
             return
@@ -247,7 +278,7 @@ class PathTracer:
                     if e - s < idx.shape[0] else None)
             jit_key = jax.random.fold_in(skey, s)
             jitter = (jax.random.uniform(jit_key, (idx.shape[0], 2))
-                      if self.antialias else None)
+                      if self.antialias and not self.qmc else None)
             # Spectral mode: ONE pool of RGB_CHANNEL rays that split to a
             # single wavelength only at dispersive glass (ops/wavefront.py
             # RGB_CHANNEL) — same dispersion as the reference's 3-dispatch
@@ -261,7 +292,13 @@ class PathTracer:
                                             self.height, jit_key, chan, md,
                                             rr, self.shadows, ls,
                                             self.use_bvh, jitter, live,
-                                            spp=self.samples_per_step)
+                                            spp=self.samples_per_step,
+                                            qmc=self.qmc,
+                                            sample_base=jnp.int32(
+                                                self.samples),
+                                            qmc_seed=self._qmc_seed,
+                                            qmc_antialias=self.antialias,
+                                            qmc_pid_base=jnp.int32(s))
             updates.append((s, e, contrib))
             self._last_counts = (counts if self._last_counts is None
                                  else self._last_counts + counts)

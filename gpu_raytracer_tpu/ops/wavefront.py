@@ -471,9 +471,37 @@ def _fused_pool_ok(scene: Scene, n: int, use_bvh: bool) -> bool:
             and _pallas_available() and fused_bounce_eligible(scene))
 
 
+def _pool_uniforms(key, depth, N, orig_lane, qmc, qmc_pid_base, sample_base,
+                   qmc_seed, qmc_spp):
+    """The per-depth [N, 7] uniform block, at the pool's CURRENT lane
+    order. Independent stream (default): threefry on (key, depth), drawn
+    by lane position — the coherence sort has already decorrelated lanes
+    from pixels. QMC stream: ops/sampler.py lattice uniforms addressed by
+    the ray's IDENTITY (pixel id + global sample index), derived
+    ARITHMETICALLY from orig_lane (which rides through every permute):
+    pid = qmc_pid_base + orig_lane % C, s = sample_base + orig_lane // C
+    for the chunk-major [spp, C] pool layout of
+    engine/pathtracer._sample_chunk. Chip A/B: an explicit pid[orig_lane]
+    gather here instead cost +38 ms/spp at 1024² — XLA per-lane gathers
+    run ~80M lanes/s on TPU (same wall the texture sampler hit), while
+    the mod/div are a shift when C is a power of two."""
+    if qmc:
+        from .sampler import qmc_uniforms
+        C = N // qmc_spp
+        pid = (jnp.asarray(qmc_pid_base).astype(jnp.uint32)
+               + (orig_lane % C).astype(jnp.uint32))
+        s = (jnp.asarray(sample_base).astype(jnp.uint32)
+             + (orig_lane // C).astype(jnp.uint32))
+        return qmc_uniforms(pid, s, depth, qmc_seed)
+    return jax.random.uniform(jax.random.fold_in(key, depth), (N, 7),
+                              jnp.float32)
+
+
 def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
                            max_depth: int, rr_start: int, shadows: bool,
-                           interpret: bool = False):
+                           interpret: bool = False, qmc: bool = False,
+                           qmc_pid_base=0, sample_base=0, qmc_seed=0,
+                           qmc_spp: int = 1):
     """Static Python loop over depths driving the fused bounce kernel
     (ops/pallas/bounce.py); the coherence sort stays in XLA between bounces.
     Same jax.random stream and formulas as the lax.while_loop body below.
@@ -504,8 +532,8 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
             perm = _sort_perm(scene, r.origin, r.direction, r.active)
             r, radiance, orig_lane = _permute_pool(r, radiance, orig_lane,
                                                    perm)
-        u = jax.random.uniform(jax.random.fold_in(key, depth), (N, 7),
-                               jnp.float32)
+        u = _pool_uniforms(key, depth, N, orig_lane, qmc, qmc_pid_base,
+                           sample_base, qmc_seed, qmc_spp)
         o, d, thr, med, chan, rt, bd, act, rad = pallas_bounce(
             scene, r.origin, r.direction, r.throughput, r.medium_ior,
             r.wavelength_channel, r.ray_type, r.bounce_depth, r.active, u,
@@ -536,11 +564,13 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
 
 
 @partial(jax.jit, static_argnames=("max_depth", "rr_start", "shadows",
-                                   "leaf_size", "use_bvh"))
+                                   "leaf_size", "use_bvh", "qmc", "qmc_spp"))
 def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
                     max_depth: int = 4, rr_start: int = 2,
                     shadows: bool = True, leaf_size: int = 4,
-                    use_bvh: bool = True):
+                    use_bvh: bool = True, qmc: bool = False,
+                    qmc_pid_base=0, sample_base=0, qmc_seed=0,
+                    qmc_spp: int = 1):
     """Trace a ray pool to termination → radiance [N,3] aligned with the pool.
 
     Per bounce (the reference's per-depth dispatch, compute.rs:443-466):
@@ -557,7 +587,10 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
 
     if _fused_pool_ok(scene, N, use_bvh):
         return _path_trace_pool_fused(scene, rays, key, max_depth, rr_start,
-                                      shadows)
+                                      shadows, qmc=qmc,
+                                      qmc_pid_base=qmc_pid_base,
+                                      sample_base=sample_base,
+                                      qmc_seed=qmc_seed, qmc_spp=qmc_spp)
 
     def cond(state):
         depth, r, radiance, counts, orig_lane = state
@@ -579,8 +612,8 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
         # the conditional round-trips the whole pool through HBM copies —
         # vs ~16ms for the sort itself).
         r, radiance, orig_lane = _coherence_sort(r, radiance, orig_lane)
-        k = jax.random.fold_in(key, depth)
-        u = jax.random.uniform(k, (N, 7), jnp.float32)
+        u = _pool_uniforms(key, depth, N, orig_lane, qmc, qmc_pid_base,
+                           sample_base, qmc_seed, qmc_spp)
         r, rad = xla_bounce(scene, r, u, shadows=shadows,
                             rr_enabled=max_depth >= rr_start,
                             rr_now=depth + 1 >= rr_start,
