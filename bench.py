@@ -320,6 +320,10 @@ def _run(result):
             f"64 spp in {64*spp_t:.1f}s")
         result["pathtrace_spp_per_s"] = round(spp_per_s, 3)
         result["pathtrace_64spp_s"] = round(64 * spp_t, 1)
+        # sampler provenance: qmc (the default) is chip-measured
+        # cost-neutral vs rng with 0.72x the 64-spp MSE (courtyard) —
+        # see ARCHITECTURE.md round-4 changes
+        result["pathtrace_sampler"] = pt.sampler
     except Exception as e:
         log(f"PATHTRACE BENCH FAILED: {type(e).__name__}: {e}")
         result["pathtrace_spp_per_s"] = 0.0

@@ -75,9 +75,16 @@ def cmd_pathtrace(args, config):
     from .utils.image import write_png
 
     scene = _load_scene(args, config)
-    pt = PathTracer(scene, args.width, args.height, config=config,
-                    spectral=args.spectral, shadows=not args.no_shadows,
-                    seed=args.seed, sampler=args.sampler)
+    if args.adaptive:
+        from .engine.adaptive import AdaptivePathTracer
+        pt = AdaptivePathTracer(scene, args.width, args.height,
+                                config=config, spectral=args.spectral,
+                                shadows=not args.no_shadows, seed=args.seed,
+                                tiles_per_step=args.adaptive)
+    else:
+        pt = PathTracer(scene, args.width, args.height, config=config,
+                        spectral=args.spectral, shadows=not args.no_shadows,
+                        seed=args.seed, sampler=args.sampler)
     if args.resume and os.path.exists(args.resume):
         pt.load_checkpoint(args.resume)
         print(f"resumed at {pt.samples} spp")
@@ -211,6 +218,10 @@ def main(argv=None):
     p.add_argument("--sampler", choices=("qmc", "rng"), default="qmc",
                    help="qmc: low-discrepancy lattice sampling (~2x lower "
                         "MSE per spp); rng: independent threefry stream")
+    p.add_argument("--adaptive", type=int, default=0, metavar="K",
+                   help="variance-guided sampling: each step refines the K "
+                        "highest-error 64x64 tiles (0 = uniform; --spp then "
+                        "counts steps, average spp = spp*K/tiles)")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
     add_config_args(p)
