@@ -154,6 +154,27 @@ class AdaptivePathTracer(PathTracer):
         self.counts = jnp.zeros_like(self.counts)
         self._steps = 0
 
+    def _n_total(self) -> "jnp.ndarray":
+        n = self.counts.astype(jnp.float32)
+        if self._count_base is not None:
+            n = n + self._count_base
+        return n
+
+    def set_camera(self, camera, temporal: bool = False) -> None:
+        """Temporal warp folds the reprojected history into the adaptive
+        accumulators: counts <- round(n0) and accum_sq <- n0 * mean_lum²
+        (the history's own variance is unknown, so it seeds at zero —
+        an underestimate the reserved round-robin sweep corrects)."""
+        super().set_camera(camera, temporal=temporal)
+        if temporal and self._count_base is not None:
+            n0 = self._count_base
+            self.counts = jnp.round(n0).astype(jnp.int32)
+            mean_lum = (self.accum.mean(axis=-1)
+                        / jnp.maximum(n0, 1.0))
+            self.accum_sq = n0 * mean_lum * mean_lum
+            self._count_base = None     # adaptive reads self.counts
+            self._steps = 0
+
     def step(self) -> None:
         from ..ops.wavefront import RGB_CHANNEL
 

@@ -128,6 +128,81 @@ def _gbuffer(scene: Scene, *, width: int, height: int, leaf_size: int,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "leaf_size",
+                                   "use_bvh"))
+def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
+                  clamp, *, width: int, height: int, leaf_size: int,
+                  use_bvh: bool):
+    """Temporal reprojection: seed a NEW camera's accumulator with the OLD
+    accumulation, as ONE compiled program → (accum0 [C,3], count0 [C]).
+
+    For every new pixel: trace its primary hit, reproject the hit point
+    into the old camera (the basis forward/right/true_up of
+    ops/camera_rays.generate_rays is mutually orthogonal even
+    unnormalised, so the inverse projection is three dot products),
+    fetch the old mean + old primary depth at the nearest old pixel, and
+    accept the history only where the old depth agrees with the point's
+    distance to the old camera (2% tolerance) — sky pixels reproject by
+    DIRECTION and require the old pixel to be a miss too. Accepted
+    history enters the accumulator as `mean * n0` with
+    n0 = min(old sample count, clamp): the clamp bounds the bias that
+    view-dependent shading (specular moved with the camera) can carry
+    into the new accumulation; disocclusions start from zero cleanly.
+
+    The reference restarts its progressive accumulation from scratch on
+    every camera move (trigger_recompute, /root/reference/src/
+    renderer.rs); reprojection is a TPU-side extension that keeps the
+    fly-through converged.
+    """
+    from ..ops.camera_rays import generate_rays, pixel_grid
+    from ..ops.linalg import cross, dot
+    from ..ops.trace import trace
+
+    H, W = height, width
+    n_safe = jnp.maximum(n_tot, 1.0)
+    mean_rm = (accum / n_safe[:, None])[inv_perm].reshape(H, W, 3)
+    n_rm = n_tot[inv_perm].reshape(H, W)
+
+    # old primary depth (camera rays under the OLD camera, same geometry)
+    pxg, pyg = pixel_grid(W, H)
+    o0, d0 = generate_rays(old_cam, W, H, pxg, pyg)
+    hit0 = trace(scene_new, o0, d0, leaf_size=leaf_size, use_bvh=use_bvh)
+    depth_rm = hit0.t.reshape(H, W)               # MISS_T on miss
+
+    # new primary hits (tile order, matching the accumulator rows)
+    o, d = generate_rays(scene_new.camera, W, H, px, py)
+    hit = trace(scene_new, o, d, leaf_size=leaf_size, use_bvh=use_bvh)
+    point = o + d * hit.t[:, None]
+    V = jnp.where(hit.hit[:, None], point - old_cam.position[None, :], d)
+
+    fwd = old_cam.direction
+    right = cross(fwd, old_cam.up)
+    true_up = cross(right, fwd)
+    af = dot(V, fwd[None, :]) / jnp.sum(fwd * fwd)
+    ar = dot(V, right[None, :]) / jnp.sum(right * right)
+    au = dot(V, true_up[None, :]) / jnp.sum(true_up * true_up)
+    front = af > 1e-6
+    af_s = jnp.where(front, af, 1.0)
+    aspect = jnp.float32(W) / jnp.float32(H)
+    fs = jnp.tan(old_cam.fov * jnp.float32(0.5) * jnp.pi / 180.0)
+    u = ((ar / af_s) / (aspect * fs) + 1.0) * 0.5
+    v = (1.0 - (au / af_s) / fs) * 0.5
+    ix = jnp.round(u * W - 0.5).astype(jnp.int32)
+    iy = jnp.round(v * H - 0.5).astype(jnp.int32)
+    inb = front & (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    flat = (jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1))
+
+    mean_f = mean_rm.reshape(-1, 3)[flat]
+    depth_f = depth_rm.reshape(-1)[flat]
+    n_f = n_rm.reshape(-1)[flat]
+    dist = jnp.sqrt(jnp.sum(V * V, axis=-1))
+    ok_hit = hit.hit & (jnp.abs(depth_f - dist) <= 0.02 * dist + 1e-3)
+    ok_miss = (~hit.hit) & (depth_f > 1e30)
+    valid = inb & (ok_hit | ok_miss)
+    n0 = jnp.where(valid, jnp.minimum(n_f, clamp), 0.0)
+    return mean_f * n0[:, None], n0
+
+
+@partial(jax.jit, static_argnames=("width", "height", "leaf_size",
                                    "use_bvh", "iterations"))
 def _denoise_whole(scene: Scene, accum, inv_perm, inv_samples, *,
                    width: int, height: int, leaf_size: int, use_bvh: bool,
@@ -176,6 +251,10 @@ class PathTracer:
         self.use_bvh = scene.bvh.num_nodes > 1
         self.accum = jnp.zeros((height * width, 3), jnp.float32)
         self.samples = 0
+        # temporal reprojection (set_camera(temporal=True)): per-pixel
+        # history weights seeded by _warp_history, None when uniform
+        self._count_base = None
+        self.temporal_clamp = 8.0
         self.perf = PerformanceState(config.performance_stats_interval,
                                      verbose=False)
         # Tile-major pixel order: rays in a traversal packet share a 64x64
@@ -199,14 +278,51 @@ class PathTracer:
         self._py = jnp.asarray(py)
         self._last_counts = None
 
-    def set_camera(self, camera) -> None:
+    def set_camera(self, camera, temporal: bool = False) -> None:
+        """Move the camera. temporal=False restarts accumulation (the
+        reference's trigger_recompute); temporal=True reprojects the
+        current accumulation into the new view (_warp_history) so the
+        fly-through keeps its converged history — depth-validated, with
+        per-pixel history clamped to `temporal_clamp` samples."""
+        if temporal and self._total_samples() > 0:
+            old_cam = self.scene.camera
+            self.scene = self.scene.with_camera(camera)
+            self._ensure_inv_perm()
+            self.accum, self._count_base = _warp_history(
+                self.scene, old_cam, self.accum, self._n_total(),
+                self._inv_perm, self._px, self._py,
+                jnp.float32(self.temporal_clamp),
+                width=self.width, height=self.height,
+                leaf_size=self.config.bvh_leaf_size, use_bvh=self.use_bvh)
+            self.samples = 0
+            return
         self.scene = self.scene.with_camera(camera)
         self.reset()
+
+    def _total_samples(self) -> int:
+        return self.samples + (0 if self._count_base is None else 1)
+
+    def _n_total(self) -> jnp.ndarray:
+        """Per-pixel total sample weight [C] f32 (history + new)."""
+        n = jnp.full((self.accum.shape[0],), jnp.float32(self.samples))
+        if self._count_base is not None:
+            n = n + self._count_base
+        return n
+
+    def _ensure_inv_perm(self) -> None:
+        if not hasattr(self, "_inv_perm"):
+            # tile-ray accumulator order -> row-major
+            order = (self._py_host.astype(np.int64) * self.width
+                     + self._px_host)
+            inv = np.empty(order.size, np.int32)
+            inv[order] = np.arange(order.size, dtype=np.int32)
+            self._inv_perm = jnp.asarray(inv)
 
     def reset(self) -> None:
         """Restart accumulation (the reference's trigger_recompute)."""
         self.accum = jnp.zeros_like(self.accum)
         self.samples = 0
+        self._count_base = None
 
     def _whole_frame_ok(self) -> bool:
         """True when the frame goes through in ONE pool on the Pallas path —
@@ -339,8 +455,12 @@ class PathTracer:
         return wc
 
     def image(self) -> np.ndarray:
-        n = max(self.samples, 1)
-        flat = np.asarray(self.accum / n)            # rows in tile-ray order
+        if self._count_base is None:
+            n = max(self.samples, 1)
+        else:   # reprojected history: per-pixel weights
+            n = np.maximum(np.asarray(self._count_base) + self.samples,
+                           1.0)[:, None]
+        flat = np.asarray(self.accum) / n            # rows in tile-ray order
         fb = np.zeros((self.height, self.width, 3), np.float32)
         fb[self._py_host, self._px_host] = flat
         return fb
@@ -365,14 +485,14 @@ class PathTracer:
         (ops/denoise.py): albedo-demodulated illumination smoothed along
         G-buffer edges, ONE compiled dispatch (G-buffer trace + reorder +
         filter). kw forwards the sigma_* knobs."""
-        if not hasattr(self, "_inv_perm"):
-            # tile-ray accumulator order -> row-major
-            order = self._py_host.astype(np.int64) * self.width + self._px_host
-            inv = np.empty(order.size, np.int32)
-            inv[order] = np.arange(order.size, dtype=np.int32)
-            self._inv_perm = jnp.asarray(inv)
+        self._ensure_inv_perm()
+        if self._count_base is None:
+            inv_n = jnp.float32(1.0 / max(self.samples, 1))
+        else:   # reprojected history: per-pixel weights, broadcast [C,1]
+            inv_n = (1.0 / jnp.maximum(self._count_base + self.samples,
+                                       1.0))[:, None]
         out = _denoise_whole(self.scene, self.accum, self._inv_perm,
-                             jnp.float32(1.0 / max(self.samples, 1)),
+                             inv_n,
                              width=self.width, height=self.height,
                              leaf_size=self.config.bvh_leaf_size,
                              use_bvh=self.use_bvh, iterations=iterations,

@@ -80,6 +80,11 @@ class Viewer:
         # every camera move stay smooth instead of speckled.
         self.denoise = True
         self.denoise_until = 32
+        # Temporal reprojection ('t' key): camera moves WARP the path-trace
+        # accumulation into the new view (depth-validated, history clamped
+        # to temporal_clamp spp — engine/pathtracer._warp_history) instead
+        # of restarting it, so the fly-through keeps its convergence.
+        self.temporal = True
         # Tile pixel template in 64x64-subtile order: 128x128 progressive
         # tiles = two coherent 8192-lane traversal packets per dispatch, so
         # each tile rides the fused Pallas path at full packet occupancy.
@@ -138,6 +143,9 @@ class Viewer:
         elif key == "n":
             self.denoise = not self.denoise
             return
+        elif key == "t":
+            self.temporal = not self.temporal
+            return
         elif key == "l":
             self.load_gltf("model.gltf")
             return
@@ -156,7 +164,8 @@ class Viewer:
         self.scene = self.scene.with_camera(self.controller.camera())
         self.renderer.scene = self.scene
         if self._pt is not None:
-            self._pt.set_camera(self.scene.camera)  # restart accumulation
+            # restart accumulation — or warp it into the new view
+            self._pt.set_camera(self.scene.camera, temporal=self.temporal)
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
 

@@ -61,10 +61,13 @@ def _alphas_q(d: int) -> np.ndarray:
 # 7 dims per bounce (ops/wavefront.py u layout: diffuse/fuzz xy, fuzz z,
 # fresnel, roulette, channel split, light pick) and a 2-dim pair for the
 # pixel AA jitter (R_2 — the plastic-constant sequence, the best-known
-# additive recurrence in 2D).
+# additive recurrence in 2D). Kept as NUMPY arrays: this module is
+# imported lazily from inside jitted bodies, and a module-level
+# jnp.asarray under an active trace becomes a leaked tracer constant
+# (measured: uint32[2] DynamicJaxprTracer escaping the while_loop trace).
 N_DIMS = 7
-_ALPHA7_Q = jnp.asarray(_alphas_q(N_DIMS))
-_ALPHA2_Q = jnp.asarray(_alphas_q(2))
+_ALPHA7_Q = _alphas_q(N_DIMS)
+_ALPHA2_Q = _alphas_q(2)
 # hash salt tag for the jitter "depth" so it never collides with a bounce
 JITTER_TAG = np.uint32(0xA11A50)
 
