@@ -21,6 +21,11 @@ combined perf + correctness record:
                                 real-Mosaic output (the on-TPU correctness
                                 check; CPU tests only exercise interpret mode)
   * parity_deferred_vs_xla    — same for the two-phase textured kernel
+                                (+ _mean). Expected ≲5e-2 max / ~1e-3 mean:
+                                Mosaic-vs-XLA transcendental rounding moves
+                                the nearest-mip LOD boundary ~2e-4 relative,
+                                flipping isolated checker pixels; rounds ≤3
+                                probed a sky-only corner and printed 0.0
   * gltf_load_s / gltf_parity_vs_procedural — BASELINE config 4 through the
                                 ACTUAL loader: the courtyard exported as a
                                 .glb, ingested by scene_from_gltf at scale,
@@ -179,12 +184,15 @@ def main():
         "pathtrace_64spp_s": 0.0,
         "viewer_fps_1080p": 0.0,
         "refit_fps_1080p": 0.0,
+        "pathtrace_fly_fps": 0.0,
+        "pathtrace_present_ms": 0.0,
         "textured_mrays_per_s": 0.0,
         "pathtrace_textured_spp_per_s": 0.0,
         "gltf_load_s": 0.0,
         "gltf_parity_vs_procedural": -1.0,
         "parity_fused_vs_xla": -1.0,
         "parity_deferred_vs_xla": -1.0,
+        "parity_deferred_vs_xla_mean": -1.0,
         "error": "",
     }
     emitted = []
@@ -379,6 +387,48 @@ def _run(result):
         result["refit_fps_1080p"] = round(1.0 / rt, 1)
         log(f"refit loop (device LBVH rebuild + frame): {rt*1e3:.1f}ms -> "
             f"{result['refit_fps_1080p']} FPS")
+
+        # ---- 3b. path-traced fly-through at 1024² (round-4 extension):
+        # 1 spp/frame + temporal reprojection of the accumulation across
+        # camera moves + à-trous preview — the full interactive quality
+        # stack in one number (engine/pathtracer._warp_history) ----
+        vp = Viewer(scene, PTRES, PTRES, config=config, shadows=True,
+                    verbose=False)
+        vp.handle_key("p")              # path-trace mode (temporal+denoise)
+        t0 = time.time()
+        vp.run_compute()                # step+denoise compile
+        _ = vp.framebuffer_u8
+        vp.handle_key("d")
+        vp.run_compute()                # warp (2-trace variant) compile
+        _ = vp.framebuffer_u8
+        vp.handle_key("a")
+        vp.run_compute()                # warp (cached-gbuffer variant)
+        _ = vp.framebuffer_u8
+        log(f"pathtrace-fly compile+first frames: {time.time()-t0:.1f}s")
+        PFK = 3 if SMOKE else 8
+        fts = []
+        for i in range(PFK):
+            t0 = time.perf_counter()
+            vp.handle_key("d" if i % 2 == 0 else "a")
+            vp.run_compute()            # warp + 1 spp + denoise dispatch
+            from gpu_raytracer_tpu.engine.perf import block_on
+            block_on(vp._fb_dev)        # device frame ready (present is
+            fts.append(time.perf_counter() - t0)   # measured separately)
+        # median-of-frames: each frame fully syncs on device, so one
+        # transient pool stall must not poison the record. Compute cadence
+        # (like viewer_fps_1080p): the u8 present readback is a dev-tunnel
+        # artifact (~10 MB/s RPC link) logged separately below.
+        pf = max(sorted(fts)[PFK // 2] - rpc_lat, 1e-4)
+        result["pathtrace_fly_fps"] = round(1.0 / pf, 1)
+        log(f"pathtrace fly-through (warp + 1 spp + denoise, {PTRES}²): "
+            f"{pf*1e3:.0f}ms/frame -> {result['pathtrace_fly_fps']} FPS "
+            f"(frames: {', '.join(f'{t*1e3:.0f}' for t in sorted(fts))} ms)")
+        t0 = time.perf_counter()
+        _ = vp.framebuffer_u8           # device-quantised u8 readback
+        pp = time.perf_counter() - t0
+        result["pathtrace_present_ms"] = round(pp * 1e3, 1)
+        log(f"pathtrace u8 present readback ({PTRES}²): {pp*1e3:.0f}ms "
+            f"(tunnel-bound; 4x smaller than the f32 fetch)")
     except Exception as e:
         log(f"VIEWER BENCH FAILED: {type(e).__name__}: {e}")
         result["viewer_fps_1080p"] = 0.0
@@ -504,8 +554,15 @@ def _run(result):
             pallas_render_deferred, pallas_render_primary)
         from gpu_raytracer_tpu.ops.packet_trace import tiled_pixel_order
 
-        px, py = tiled_pixel_order(128, 64, 64)  # one 8192-ray packet
-        px, py = jnp.asarray(px), jnp.asarray(py)
+        # one 8192-ray packet, CENTRED on the frame: the top-left corner is
+        # pure sky at 1080p, which made earlier rounds' deferred parity a
+        # vacuous 0.0 — the centre sees lit, textured, mip-mapped content.
+        # Expectation: fused ~1e-6; deferred mean ~1e-3 with isolated ~4e-2
+        # pixels where a nearest-mip LEVEL flips on checker content (Mosaic
+        # VPU vs XLA transcendental rounding shifts the LOD boundary by
+        # ~2e-4 relative — see ARCHITECTURE.md round-4 notes).
+        px, py = tiled_pixel_order(128, 64, 64)
+        px, py = jnp.asarray(px) + (W - 128) // 2, jnp.asarray(py) + (H - 64) // 2
         ref = np.asarray(render_chunk(scene, px, py, W, H, shadows=True,
                                       use_bvh=True, leaf_size=8))
         got = np.asarray(pallas_render_primary(scene, px, py, W, H,
@@ -518,9 +575,12 @@ def _run(result):
                                            leaf_size=8))
             gotT = np.asarray(pallas_render_deferred(tex_scene, px, py, W, H,
                                                      shadows=True))
-            result["parity_deferred_vs_xla"] = float(np.abs(gotT - refT).max())
-            log(f"on-TPU parity: deferred "
-                f"{result['parity_deferred_vs_xla']:.2e}")
+            dT = np.abs(gotT - refT)
+            result["parity_deferred_vs_xla"] = float(dT.max())
+            result["parity_deferred_vs_xla_mean"] = float(dT.mean())
+            log(f"on-TPU parity: deferred max "
+                f"{result['parity_deferred_vs_xla']:.2e} / mean "
+                f"{result['parity_deferred_vs_xla_mean']:.2e}")
     except Exception as e:
         log(f"PARITY CHECK FAILED: {type(e).__name__}: {e}")
         pass  # parity keys pre-seeded at -1.0

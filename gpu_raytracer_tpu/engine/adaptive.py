@@ -201,24 +201,11 @@ class AdaptivePathTracer(PathTracer):
         fb[self._py_host, self._px_host] = flat
         return fb
 
-    def denoised_image(self, iterations: int = 4, **kw) -> np.ndarray:
-        # the à-trous jit broadcasts (accum * inv_samples): a [C,1]
+    def _inv_n(self):
+        # the à-trous/image jits broadcast (accum * inv_samples): a [C,1]
         # per-pixel inverse count works in place of the uniform scalar
-        if not hasattr(self, "_inv_perm"):
-            order = (self._py_host.astype(np.int64) * self.width
-                     + self._px_host)
-            inv = np.empty(order.size, np.int32)
-            inv[order] = np.arange(order.size, dtype=np.int32)
-            self._inv_perm = jnp.asarray(inv)
-        from .pathtracer import _denoise_whole
-        inv_n = (1.0 / jnp.maximum(self.counts.astype(jnp.float32), 1.0)
-                 )[:, None]
-        out = _denoise_whole(self.scene, self.accum, self._inv_perm, inv_n,
-                             width=self.width, height=self.height,
-                             leaf_size=self.config.bvh_leaf_size,
-                             use_bvh=self.use_bvh, iterations=iterations,
-                             **kw)
-        return np.asarray(out)
+        return (1.0 / jnp.maximum(self.counts.astype(jnp.float32), 1.0)
+                )[:, None]
 
     def save_checkpoint(self, path: str) -> None:
         np.savez_compressed(

@@ -130,10 +130,19 @@ def _gbuffer(scene: Scene, *, width: int, height: int, leaf_size: int,
 @partial(jax.jit, static_argnames=("width", "height", "leaf_size",
                                    "use_bvh"))
 def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
-                  clamp, *, width: int, height: int, leaf_size: int,
-                  use_bvh: bool):
+                  clamp, jitter_key, old_depth, *, width: int, height: int,
+                  leaf_size: int, use_bvh: bool):
     """Temporal reprojection: seed a NEW camera's accumulator with the OLD
-    accumulation, as ONE compiled program → (accum0 [C,3], count0 [C]).
+    accumulation, as ONE compiled program → (accum0 [C,3], count0 [C],
+    gbuf) where gbuf = (normal [H,W,3], depth [H,W], albedo [H,W,3]) is
+    the NEW camera's primary G-buffer (row-major — the warp already traced
+    those rays, so the caller caches it for the denoiser and feeds its
+    depth plane back as `old_depth` on the NEXT warp, making every
+    steady-state fly-frame a single primary trace).
+
+    old_depth: the OLD camera's primary depth [H,W] (row-major) from the
+    previous warp/G-buffer — pass None on the first warp after a restart
+    and the program traces it (two traces instead of one).
 
     For every new pixel: trace its primary hit, reproject the hit point
     into the old camera (the basis forward/right/true_up of
@@ -155,22 +164,37 @@ def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
     """
     from ..ops.camera_rays import generate_rays, pixel_grid
     from ..ops.linalg import cross, dot
+    from ..ops.shading import material_textures
     from ..ops.trace import trace
 
     H, W = height, width
-    n_safe = jnp.maximum(n_tot, 1.0)
-    mean_rm = (accum / n_safe[:, None])[inv_perm].reshape(H, W, 3)
-    n_rm = n_tot[inv_perm].reshape(H, W)
 
-    # old primary depth (camera rays under the OLD camera, same geometry)
-    pxg, pyg = pixel_grid(W, H)
-    o0, d0 = generate_rays(old_cam, W, H, pxg, pyg)
-    hit0 = trace(scene_new, o0, d0, leaf_size=leaf_size, use_bvh=use_bvh)
-    depth_rm = hit0.t.reshape(H, W)               # MISS_T on miss
+    if old_depth is None:
+        # old primary depth (camera rays under the OLD camera, same
+        # geometry) — only needed when the previous frame left no G-buffer
+        pxg, pyg = pixel_grid(W, H)
+        o0, d0 = generate_rays(old_cam, W, H, pxg, pyg)
+        hit0 = trace(scene_new, o0, d0, leaf_size=leaf_size, use_bvh=use_bvh)
+        depth_rm = hit0.t.reshape(H, W)           # MISS_T on miss
+    else:
+        depth_rm = old_depth
 
     # new primary hits (tile order, matching the accumulator rows)
     o, d = generate_rays(scene_new.camera, W, H, px, py)
     hit = trace(scene_new, o, d, leaf_size=leaf_size, use_bvh=use_bvh)
+    # the NEW camera's G-buffer falls out of this trace for free
+    # (row-major; same semantics as _gbuffer). XLA row gathers run at
+    # ~80M rows/s on TPU (the pid-gather wall, see ARCHITECTURE.md), so
+    # everything sharing the inv_perm reorder is PACKED into one [C,7]
+    # matrix and permuted with a single gather.
+    g_mid = jnp.clip(hit.material_id, 0, None)
+    g_alb, _, _, _ = material_textures(scene_new, g_mid, hit.uv)
+    g_alb = jnp.where(hit.hit[:, None], g_alb, 1.0)
+    gpack = jnp.concatenate([hit.normal, hit.t[:, None], g_alb],
+                            axis=1)[inv_perm]
+    gbuf = (gpack[:, 0:3].reshape(H, W, 3),
+            gpack[:, 3].reshape(H, W),
+            gpack[:, 4:7].reshape(H, W, 3))
     point = o + d * hit.t[:, None]
     V = jnp.where(hit.hit[:, None], point - old_cam.position[None, :], d)
 
@@ -186,37 +210,71 @@ def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
     fs = jnp.tan(old_cam.fov * jnp.float32(0.5) * jnp.pi / 180.0)
     u = ((ar / af_s) / (aspect * fs) + 1.0) * 0.5
     v = (1.0 - (au / af_s) / fs) * 0.5
-    ix = jnp.round(u * W - 0.5).astype(jnp.int32)
-    iy = jnp.round(v * H - 0.5).astype(jnp.int32)
+    # stochastic-bilinear history fetch: jitter the projected position by
+    # ±0.5 px before rounding — ONE gather whose expectation over warps
+    # is the bilinear interpolation (sub-pixel pans stop snapping to the
+    # nearest old pixel), and the depth test validates the ACTUAL
+    # neighbour fetched, so edges reject exactly as in the nearest case
+    jxy = jax.random.uniform(jitter_key, (u.shape[0], 2)) - 0.5
+    ix = jnp.round(u * W - 0.5 + jxy[:, 0]).astype(jnp.int32)
+    iy = jnp.round(v * H - 0.5 + jxy[:, 1]).astype(jnp.int32)
     inb = front & (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
     flat = (jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1))
 
-    mean_f = mean_rm.reshape(-1, 3)[flat]
+    # history fetch: the accumulator lives in TILE order, the projected
+    # position is a ROW-MAJOR index — compose the two permutations
+    # (accum_rm[flat] == accum[inv_perm[flat]]) so the whole fetch is one
+    # cheap int gather + one packed [C,4] row gather, instead of
+    # reordering the full accumulation to row-major first
+    src = inv_perm[flat]
+    hist = jnp.concatenate([accum, n_tot[:, None]], axis=1)[src]
+    n_f = hist[:, 3]
+    mean_f = hist[:, 0:3] / jnp.maximum(n_f, 1.0)[:, None]
     depth_f = depth_rm.reshape(-1)[flat]
-    n_f = n_rm.reshape(-1)[flat]
     dist = jnp.sqrt(jnp.sum(V * V, axis=-1))
     ok_hit = hit.hit & (jnp.abs(depth_f - dist) <= 0.02 * dist + 1e-3)
     ok_miss = (~hit.hit) & (depth_f > 1e30)
     valid = inb & (ok_hit | ok_miss)
     n0 = jnp.where(valid, jnp.minimum(n_f, clamp), 0.0)
-    return mean_f * n0[:, None], n0
+    return mean_f * n0[:, None], n0, gbuf
 
 
-@partial(jax.jit, static_argnames=("width", "height", "leaf_size",
-                                   "use_bvh", "iterations"))
-def _denoise_whole(scene: Scene, accum, inv_perm, inv_samples, *,
-                   width: int, height: int, leaf_size: int, use_bvh: bool,
-                   iterations: int, **kw):
-    """G-buffer trace + accumulator reorder + à-trous filter as ONE
-    compiled program (the eager version spent ~1.5 s/image in per-op
-    tunnel dispatch RPCs at 256²)."""
+@partial(jax.jit, static_argnames=("width", "height", "iterations",
+                                   "to_u8"))
+def _denoise_whole(accum, inv_perm, inv_samples, gbuf, *,
+                   width: int, height: int, iterations: int,
+                   to_u8: bool = False, **kw):
+    """Accumulator reorder + à-trous filter as ONE compiled program (the
+    eager version spent ~1.5 s/image in per-op tunnel dispatch RPCs at
+    256²). gbuf = (normal, depth, albedo) from PathTracer.gbuffer() — a
+    device-cached trace, so repeated denoises of a converging frame pay
+    zero primary traces. to_u8=True emits the display-ready [H,W,3] u8
+    frame (a quarter of the f32 readback bytes through the tunnel)."""
     from ..ops.denoise import atrous_denoise
 
     img = (accum * inv_samples)[inv_perm].reshape(height, width, 3)
-    normal, depth, albedo = _gbuffer(scene, width=width, height=height,
-                                     leaf_size=leaf_size, use_bvh=use_bvh)
-    return atrous_denoise(img, normal, depth, albedo,
-                          iterations=iterations, **kw)
+    normal, depth, albedo = gbuf
+    out = atrous_denoise(img, normal, depth, albedo,
+                         iterations=iterations, **kw)
+    if to_u8:
+        out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return out
+
+
+@jax.jit
+def _to_u8(img):
+    """Device-side display quantisation ([H,W,3] f32 0..1 → u8)."""
+    return (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "to_u8"))
+def _image_whole(accum, inv_perm, inv_samples, *, width: int, height: int,
+                 to_u8: bool = False):
+    """Accumulator → device [H,W,3] frame (mean, row-major), optionally u8."""
+    out = (accum * inv_samples)[inv_perm].reshape(height, width, 3)
+    if to_u8:
+        out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return out
 
 
 class PathTracer:
@@ -277,6 +335,9 @@ class PathTracer:
         self._px = jnp.asarray(px)
         self._py = jnp.asarray(py)
         self._last_counts = None
+        # primary-hit G-buffer cache (device (normal, depth, albedo)) —
+        # valid for the CURRENT scene+camera; reset()/set_camera refresh it
+        self._gbuf = None
 
     def set_camera(self, camera, temporal: bool = False) -> None:
         """Move the camera. temporal=False restarts accumulation (the
@@ -288,10 +349,17 @@ class PathTracer:
             old_cam = self.scene.camera
             self.scene = self.scene.with_camera(camera)
             self._ensure_inv_perm()
-            self.accum, self._count_base = _warp_history(
+            self._warp_no = getattr(self, "_warp_no", 0) + 1
+            jkey = jax.random.fold_in(jax.random.fold_in(self.key, 0x3A97),
+                                      self._warp_no)
+            # the previous frame's G-buffer depth IS the old-camera primary
+            # depth the warp validates against — feeding it back makes the
+            # steady-state warp a single primary trace
+            old_depth = self._gbuf[1] if self._gbuf is not None else None
+            self.accum, self._count_base, self._gbuf = _warp_history(
                 self.scene, old_cam, self.accum, self._n_total(),
                 self._inv_perm, self._px, self._py,
-                jnp.float32(self.temporal_clamp),
+                jnp.float32(self.temporal_clamp), jkey, old_depth,
                 width=self.width, height=self.height,
                 leaf_size=self.config.bvh_leaf_size, use_bvh=self.use_bvh)
             self.samples = 0
@@ -323,6 +391,7 @@ class PathTracer:
         self.accum = jnp.zeros_like(self.accum)
         self.samples = 0
         self._count_base = None
+        self._gbuf = None    # camera and/or scene changed
 
     def _whole_frame_ok(self) -> bool:
         """True when the frame goes through in ONE pool on the Pallas path —
@@ -471,33 +540,49 @@ class PathTracer:
     # filter design notes.
 
     def gbuffer(self):
-        """One primary-hit G-buffer pass: (normal [H,W,3] — exactly 0 on
-        miss, depth [H,W] ray t, albedo [H,W,3] — 1 on miss). Traced
-        row-major through the SAME trace stack as the samples (pixel
-        centres, no jitter) so edges line up with the accumulated image;
-        deterministic, so one pass serves any number of spp."""
-        return _gbuffer(self.scene, width=self.width, height=self.height,
-                        leaf_size=self.config.bvh_leaf_size,
-                        use_bvh=self.use_bvh)
+        """Primary-hit G-buffer: (normal [H,W,3] — exactly 0 on miss,
+        depth [H,W] ray t, albedo [H,W,3] — 1 on miss). Traced row-major
+        through the SAME trace stack as the samples (pixel centres, no
+        jitter) so edges line up with the accumulated image;
+        deterministic, so one pass serves any number of spp — cached on
+        device until the camera or scene changes (and produced as a
+        byproduct of the temporal warp, which traces these rays anyway)."""
+        if self._gbuf is None:
+            self._gbuf = _gbuffer(self.scene, width=self.width,
+                                  height=self.height,
+                                  leaf_size=self.config.bvh_leaf_size,
+                                  use_bvh=self.use_bvh)
+        return self._gbuf
 
-    def denoised_image(self, iterations: int = 4, **kw) -> np.ndarray:
+    def _inv_n(self):
+        if self._count_base is None:
+            return jnp.float32(1.0 / max(self.samples, 1))
+        # reprojected history: per-pixel weights, broadcast [C,1]
+        return (1.0 / jnp.maximum(self._count_base + self.samples,
+                                  1.0))[:, None]
+
+    def denoised_frame(self, iterations: int = 4, u8: bool = False, **kw):
         """image() filtered by the edge-avoiding à-trous pass
         (ops/denoise.py): albedo-demodulated illumination smoothed along
-        G-buffer edges, ONE compiled dispatch (G-buffer trace + reorder +
-        filter). kw forwards the sigma_* knobs."""
+        G-buffer edges — a DEVICE [H,W,3] array (f32, or display-ready u8
+        with u8=True: a quarter of the readback bytes). One compiled
+        dispatch over the cached G-buffer. kw forwards the sigma_* knobs."""
         self._ensure_inv_perm()
-        if self._count_base is None:
-            inv_n = jnp.float32(1.0 / max(self.samples, 1))
-        else:   # reprojected history: per-pixel weights, broadcast [C,1]
-            inv_n = (1.0 / jnp.maximum(self._count_base + self.samples,
-                                       1.0))[:, None]
-        out = _denoise_whole(self.scene, self.accum, self._inv_perm,
-                             inv_n,
-                             width=self.width, height=self.height,
-                             leaf_size=self.config.bvh_leaf_size,
-                             use_bvh=self.use_bvh, iterations=iterations,
-                             **kw)
-        return np.asarray(out)
+        return _denoise_whole(self.accum, self._inv_perm, self._inv_n(),
+                              self.gbuffer(),
+                              width=self.width, height=self.height,
+                              iterations=iterations, to_u8=u8, **kw)
+
+    def denoised_image(self, iterations: int = 4, **kw) -> np.ndarray:
+        """denoised_frame() fetched to the host (f32 [H,W,3])."""
+        return np.asarray(self.denoised_frame(iterations=iterations, **kw))
+
+    def image_device(self, u8: bool = False):
+        """image() staying on device: accumulator mean, row-major [H,W,3]
+        (f32, or display-ready u8 with u8=True)."""
+        self._ensure_inv_perm()
+        return _image_whole(self.accum, self._inv_perm, self._inv_n(),
+                            width=self.width, height=self.height, to_u8=u8)
 
     # ---- checkpoint / resume (an addition: the reference has none —
     # SURVEY.md §5 "Checkpoint/resume: none"; a recompute restarts from

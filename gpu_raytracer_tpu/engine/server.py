@@ -179,7 +179,8 @@ class ViewerServer:
             with self._lock:
                 self.viewer.run_compute()
                 self.viewer.perf.update_frame_count()
-                frame = self.viewer.framebuffer
+                # u8 readback: quantised on device for path-trace frames
+                frame = self.viewer.framebuffer_u8
             png = encode_png(frame, level=1)    # speed over size
             dt = time.perf_counter() - t0
             self._frame_ms = dt * 1e3

@@ -59,6 +59,7 @@ class Viewer:
         self._fb_host = np.zeros((height, width, 3), np.float32)
         self._fb_dev = None
         self._fb_host_dirty = False
+        self._fb_rowmajor = False   # True: _fb_dev is a row-major pt frame
         self.should_quit = False
         # Temporal NEE refinement for >MAX_LIGHTS scenes: the fused kernels
         # estimate the light sum with ONE sampled light per pixel, so a
@@ -285,15 +286,17 @@ class Viewer:
             with Timer() as timer:
                 self._pt.step()
             self.timing.record_tile(timer.ms)
+            # present stays ON DEVICE (row-major [H,W,3] f32) — the host
+            # copy materialises lazily through `framebuffer` /
+            # `framebuffer_u8`, so step+denoise dispatch asynchronously
+            # and presenters that want u8 fetch a quarter of the bytes
             if self.denoise and self._pt.samples < self.denoise_until:
-                fb = self._pt.denoised_image()
-                # denoised_image returns a read-only device-array view;
-                # _fb_host must stay writable (the whitted tile path mutates
-                # it in place after a 'p' toggle back).
-                self._fb_host = fb if fb.flags.writeable else fb.copy()
+                self._fb_dev = self._pt.denoised_frame()
             else:
-                self._fb_host = self._pt.image()
-            self._fb_dev = None
+                self._fb_dev = self._pt.image_device()
+            self._fb_rowmajor = True
+            self._fb_host_dirty = True
+            self._nee_samples = 0   # stale whitted frame: no NEE refining
             return 1
         tiles = self.progressive.next_tiles()
         if self._whole_frame:
@@ -304,6 +307,7 @@ class Viewer:
                     self._fb_dev = self.renderer.render_device()
                     if self.sync_timing:
                         block_on(self._fb_dev)   # completion fence (opt-in)
+                self._fb_rowmajor = False
                 self._fb_host_dirty = True
                 self._nee_samples = 1
                 self.timing.record_tile(timer.ms)
@@ -360,9 +364,31 @@ class Viewer:
         from compute). Cached until the next whole-frame compute; the device
         frame is kept so idle-frame NEE refinement can keep accumulating."""
         if self._fb_dev is not None and self._fb_host_dirty:
-            self._fb_host = self.renderer._to_image(np.asarray(self._fb_dev))
+            if getattr(self, "_fb_rowmajor", False):
+                # path-trace frames are already row-major [H,W,3]
+                fb = np.asarray(self._fb_dev)
+                # keep _fb_host writable (the whitted tile path mutates it
+                # in place after a 'p' toggle back)
+                self._fb_host = fb if fb.flags.writeable else fb.copy()
+            else:
+                self._fb_host = self.renderer._to_image(
+                    np.asarray(self._fb_dev))
             self._fb_host_dirty = False
         return self._fb_host
+
+    @property
+    def framebuffer_u8(self) -> np.ndarray:
+        """Display-ready [H,W,3] u8 frame. For device-resident path-trace
+        frames the clip+quantise runs ON DEVICE and the readback is u8 —
+        a quarter of the f32 bytes through the host tunnel (the same trick
+        as Renderer.render_u8); otherwise it quantises the f32 host frame
+        (bit-identical either way)."""
+        if (self._fb_dev is not None and self._fb_host_dirty
+                and getattr(self, "_fb_rowmajor", False)):
+            from .pathtracer import _to_u8
+            return np.asarray(_to_u8(self._fb_dev))
+        fb = self.framebuffer
+        return (np.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
     def frame(self) -> np.ndarray:
         """One event-loop turn: compute + present (device-resident)."""

@@ -44,10 +44,14 @@ def window_available(tk=None) -> bool:
 
 
 def _ppm_bytes(fb: np.ndarray) -> bytes:
-    """[H,W,3] float frame (0..1) → binary PPM (P6) — the one raster format
-    Tk's stdlib PhotoImage ingests without PIL. Quantisation matches the
-    device u8 present path (engine/renderer.py::render_u8)."""
-    u8 = (np.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    """[H,W,3] frame (f32 0..1, or already-quantised u8) → binary PPM (P6)
+    — the one raster format Tk's stdlib PhotoImage ingests without PIL.
+    Quantisation matches the device u8 present path
+    (engine/renderer.py::render_u8)."""
+    if fb.dtype == np.uint8:
+        u8 = fb
+    else:
+        u8 = (np.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     h, w = u8.shape[:2]
     return b"P6 %d %d 255\n" % (w, h) + u8.tobytes()
 
@@ -146,7 +150,9 @@ class NativeWindow:
             self.root.after(1, self.tick)     # MainEventsCleared → redraw
 
     def _present(self) -> None:
-        fb = self.viewer.framebuffer
+        # u8 present: device-quantised for path-trace frames (a quarter of
+        # the f32 readback bytes), host-quantised otherwise
+        fb = self.viewer.framebuffer_u8
         self._photo = self._tk.PhotoImage(data=_ppm_bytes(fb))
         self.label.configure(image=self._photo)
 

@@ -209,3 +209,22 @@ def test_many_light_viewer_temporal_refinement():
     v.handle_key("w")
     v.run_compute()
     assert v._nee_samples == 1
+
+
+def test_framebuffer_u8_matches_quantised_f32(default_scene):
+    """framebuffer_u8 must equal the host-quantised f32 framebuffer in BOTH
+    modes: device-quantised path-trace frames (the 4x-smaller readback) and
+    host-quantised whitted frames."""
+    v = Viewer(default_scene, 32, 32, shadows=False, verbose=False)
+    v.run_compute()                                   # whitted frame
+    want = (np.clip(v.framebuffer, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    got = v.framebuffer_u8
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+    v.handle_key("p")                                 # path-trace frame
+    v.run_compute()
+    got = v.framebuffer_u8                            # device-side quantise
+    want = (np.clip(v.framebuffer, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
