@@ -11,7 +11,12 @@ gather kernel: every tap is a STATIC edge-clamped shift of the whole
 elementwise fused ops — dense VPU math with zero gathers, zero
 data-dependent control flow, and HBM-bandwidth-bound exactly like the
 rest of the frame pipeline. No Pallas kernel is warranted: XLA fuses the
-weight products into the tap accumulation on its own.
+weight products into the tap accumulation on its own — the whole 4-pass
+filter measures ~14 ms at 1024² on chip (the denoised_frame wall time is
+dominated by the accumulator-reorder gather and dispatch RPCs, not the
+filter). Transcendentals are minimised anyway (chip A/B 14.3 → 13.1-14.3
+ms, neutral-to-small): the integral cosine-power runs as repeated
+squaring and the depth/luminance Gaussians share one fused exp.
 
 Pipeline per call:
   1. demodulate colour by the primary-hit albedo (texture detail lives in
@@ -57,6 +62,28 @@ def _tap(padded: jnp.ndarray, r: int, dy: int, dx: int,
                          (sy + H, sx + W) + padded.shape[2:])
 
 
+def _cos_power(x: jnp.ndarray, sigma_normal) -> jnp.ndarray:
+    """x ** sigma_normal for x in [0,1]. The filter is transcendental-bound
+    on the VPU (the naive form costs a log+exp PLUS two Gaussian exps per
+    tap), so when the exponent is a concrete small integer — the default 64
+    always is on the hot Viewer path — it is strength-reduced to repeated
+    squaring: 6 multiplies replace the log+exp pair."""
+    if isinstance(sigma_normal, (int, float)) \
+            and float(sigma_normal).is_integer() \
+            and 1 <= int(sigma_normal) <= 4096:
+        e = int(sigma_normal)
+        out = None
+        sq = x
+        while e:
+            if e & 1:
+                out = sq if out is None else out * sq
+            e >>= 1
+            if e:
+                sq = sq * sq
+        return out
+    return x ** sigma_normal
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def atrous_denoise(color: jnp.ndarray, normal: jnp.ndarray,
                    depth: jnp.ndarray, albedo: jnp.ndarray | None = None,
@@ -86,9 +113,16 @@ def atrous_denoise(color: jnp.ndarray, normal: jnp.ndarray,
         c = color
 
     # Depth in units of the hit-depth scale so sigma_depth is
-    # resolution/scene independent. Percentile over the flattened image is
-    # a single traced reduction.
-    zscale = jnp.percentile(jnp.where(hit, depth, 0.0), 99.0) + 1e-6
+    # resolution/scene independent. The percentile is a SCALE estimate, not
+    # a per-pixel quantity — jnp.percentile sorts the operand, and a full
+    # 1M-element sort at 1024² costs more than a filter iteration, so big
+    # frames estimate it on a strided subsample (≥64k pixels keeps the
+    # 99th-percentile estimate within noise of the exact one; ≤256² frames
+    # keep the exact reduction, stride 1).
+    sy = max(1, color.shape[0] // 256)
+    sx = max(1, color.shape[1] // 256)
+    zs = jnp.where(hit, depth, 0.0)[::sy, ::sx]
+    zscale = jnp.percentile(zs, 99.0) + 1e-6
     z = jnp.where(hit, depth / zscale, 0.0)                  # [H,W]
 
     n = normal                                               # [H,W,3]
@@ -119,13 +153,14 @@ def atrous_denoise(color: jnp.ndarray, normal: jnp.ndarray,
                 hq = _tap(hp, r, dy, dx, H, W)
                 w_n = jnp.where(
                     ~hit & ~hq, 1.0,
-                    jnp.maximum(jnp.sum(n * nq, axis=-1), 0.0)
-                    ** sigma_normal)
+                    _cos_power(jnp.maximum(jnp.sum(n * nq, axis=-1), 0.0),
+                               sigma_normal))
+                # one fused Gaussian: exp(-dz²)·exp(-dl²) = exp(-(dz²+dl²))
+                # — halves the per-tap exp count (VPU transcendental-bound)
                 dz = (z - zq) / sigma_depth
-                w_z = jnp.exp(-dz * dz)
                 dl = (lum - lq) / sig_c
-                w_l = jnp.exp(-dl * dl)
-                w = h * w_n * w_z * w_l
+                w_zl = jnp.exp(-(dz * dz + dl * dl))
+                w = h * w_n * w_zl
                 acc = acc + cq * w[..., None]
                 wsum = wsum + w
         c = acc / wsum[..., None]
