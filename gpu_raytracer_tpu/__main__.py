@@ -106,6 +106,11 @@ def cmd_fly(args, config):
     scene = _load_scene(args, config)
     v = Viewer(scene, args.width, args.height, config=config,
                shadows=args.shadows)
+    if args.pathtrace:
+        # the full interactive quality stack: wavefront path tracing with
+        # temporal reprojection across the scripted camera moves and the
+        # a-trous denoised preview while each stop's accumulation is young
+        v.handle_key("p")
     os.makedirs(args.output, exist_ok=True)
     script = []
     for tok in args.script.split():
@@ -233,6 +238,11 @@ def main(argv=None):
                    help="space-separated keys (w/a/s/d/space/l) and mouse:dx,dy")
     p.add_argument("--frames-per-step", type=int, default=1)
     p.add_argument("--shadows", action="store_true")
+    p.add_argument("--pathtrace", action="store_true",
+                   help="path-traced fly-through: temporal reprojection "
+                        "carries the accumulation across camera moves, "
+                        "frames-per-step = spp added at each stop, young "
+                        "frames present denoised")
     add_config_args(p)
     p.set_defaults(fn=cmd_fly)
 

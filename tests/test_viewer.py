@@ -228,3 +228,35 @@ def test_framebuffer_u8_matches_quantised_f32(default_scene):
     want = (np.clip(v.framebuffer, 0, 1) * 255.0 + 0.5).astype(np.uint8)
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+def test_pathtrace_fly_through_keeps_history(default_scene):
+    """fly_through in path-trace mode: every scripted camera move warps the
+    accumulation (temporal default) instead of restarting it, and frames
+    come out finite through the denoised-preview present path."""
+    v = _viewer(default_scene, 32, 32)
+    v.handle_key("p")
+    for _ in range(3):
+        v.frame()                       # build some history at the start
+    assert v._pt.samples == 3
+    frames = v.fly_through([("key", "w"), ("mouse", 15.0, 0.0)],
+                           frames_per_step=1)
+    assert len(frames) == 2
+    for f in frames:
+        assert np.isfinite(f).all()
+    # the move warped history rather than zeroing it: reprojected counts
+    # survive in _count_base while per-step samples restarted at 1
+    assert v._pt._count_base is not None
+    assert float(np.asarray(v._pt._count_base).max()) > 0.0
+    assert v._pt.samples == 1
+
+
+def test_cli_fly_pathtrace(tmp_path, default_scene):
+    from gpu_raytracer_tpu.__main__ import main
+
+    out = str(tmp_path / "frames")
+    main(["fly", "--demo", "--pathtrace", "--width", "32", "--height", "32",
+          "--script", "w mouse:10,0", "-o", out])
+    import os
+    files = sorted(os.listdir(out))
+    assert files == ["frame_0000.png", "frame_0001.png"]
