@@ -23,6 +23,8 @@ from __future__ import annotations
 import json
 import threading
 import time
+
+import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -166,10 +168,12 @@ class ViewerServer:
         every connected /stream client. Parks while no client is connected."""
         min_dt = 1.0 / self.max_fps
         last = None
+        pending = None      # device u8 handle of the PREVIOUS frame
         while not self.viewer.should_quit:
             with self._cond:
                 if self._clients == 0:
                     last = None                 # rate window restarts
+                    pending = None              # pipeline restarts too
                     self._cond.wait(timeout=0.25)
                     continue
             t0 = time.perf_counter()
@@ -179,8 +183,15 @@ class ViewerServer:
             with self._lock:
                 self.viewer.run_compute()
                 self.viewer.perf.update_frame_count()
-                # u8 readback: quantised on device for path-trace frames
-                frame = self.viewer.framebuffer_u8
+                # device u8 handle — quantise dispatched, NOT fetched
+                nxt = self.viewer.present_frame()
+            # one-frame pipelined present: materialise the PREVIOUS
+            # frame's handle while this one computes on device (the
+            # swapchain analogue; host-path handles are already ndarrays
+            # and fetch as a no-op). The first loop after a connect has
+            # nothing older to show — it presents its own frame.
+            frame = np.asarray(pending if pending is not None else nxt)
+            pending = nxt
             png = encode_png(frame, level=1)    # speed over size
             dt = time.perf_counter() - t0
             self._frame_ms = dt * 1e3

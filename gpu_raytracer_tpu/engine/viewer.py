@@ -383,10 +383,22 @@ class Viewer:
         a quarter of the f32 bytes through the host tunnel (the same trick
         as Renderer.render_u8); otherwise it quantises the f32 host frame
         (bit-identical either way)."""
+        return np.asarray(self.present_frame())
+
+    def present_frame(self):
+        """The current frame's display-ready [H,W,3] u8 image WITHOUT
+        forcing a device→host fetch: device-resident path-trace frames
+        return the device u8 array (quantise dispatched, not read back),
+        everything else returns a host ndarray. Presenters that pipeline
+        (server/window) hold this handle and materialise it with
+        np.asarray one frame later, so the readback of frame N-1 overlaps
+        frame N's device compute — the swapchain-present analogue (XLA
+        arrays are immutable; the handle stays valid across later frames).
+        """
         if (self._fb_dev is not None and self._fb_host_dirty
                 and getattr(self, "_fb_rowmajor", False)):
             from .pathtracer import _to_u8
-            return np.asarray(_to_u8(self._fb_dev))
+            return _to_u8(self._fb_dev)
         fb = self.framebuffer
         return (np.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 

@@ -83,6 +83,7 @@ class NativeWindow:
         self._last_present = 0.0
         self._drag_last = None
         self._photo = None  # keep a ref: Tk drops images that get GC'd
+        self._pending = None  # previous tick's device u8 present handle
 
         self.root = tk.Tk()
         self.root.title(title)
@@ -151,8 +152,12 @@ class NativeWindow:
 
     def _present(self) -> None:
         # u8 present: device-quantised for path-trace frames (a quarter of
-        # the f32 readback bytes), host-quantised otherwise
-        fb = self.viewer.framebuffer_u8
+        # the f32 readback bytes), host-quantised otherwise — pipelined one
+        # frame deep: materialise the PREVIOUS tick's device handle while
+        # this tick's frame computes (Viewer.present_frame)
+        nxt = self.viewer.present_frame()
+        fb = np.asarray(self._pending if self._pending is not None else nxt)
+        self._pending = nxt
         self._photo = self._tk.PhotoImage(data=_ppm_bytes(fb))
         self.label.configure(image=self._photo)
 

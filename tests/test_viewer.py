@@ -260,3 +260,28 @@ def test_cli_fly_pathtrace(tmp_path, default_scene):
     import os
     files = sorted(os.listdir(out))
     assert files == ["frame_0000.png", "frame_0001.png"]
+
+
+def test_present_frame_pipelining_semantics(default_scene):
+    """present_frame: device u8 handle for path-trace frames (no fetch),
+    host u8 ndarray for whitted frames; materialised values match
+    framebuffer_u8 exactly, and an old handle stays valid (immutable)
+    after the viewer renders further frames."""
+    import jax
+
+    v = Viewer(default_scene, 32, 32, shadows=False, verbose=False)
+    v.run_compute()                               # whitted: host path
+    h0 = v.present_frame()
+    assert isinstance(h0, np.ndarray) and h0.dtype == np.uint8
+
+    v.handle_key("p")
+    v.run_compute()                               # path-trace: device path
+    h1 = v.present_frame()
+    assert isinstance(h1, jax.Array)
+    want1 = v.framebuffer_u8
+    v.run_compute()                               # advance one frame
+    h2 = v.present_frame()
+    # the old handle still materialises to ITS frame, not the new one
+    np.testing.assert_array_equal(np.asarray(h1), want1)
+    assert not np.array_equal(np.asarray(h2), want1) or v._pt.samples == 1
+    np.testing.assert_array_equal(np.asarray(h2), v.framebuffer_u8)
