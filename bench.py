@@ -186,6 +186,7 @@ def main():
         "refit_fps_1080p": 0.0,
         "pathtrace_fly_fps": 0.0,
         "pathtrace_present_ms": 0.0,
+        "pathtrace_stream_fps": 0.0,
         "textured_mrays_per_s": 0.0,
         "pathtrace_textured_spp_per_s": 0.0,
         "gltf_load_s": 0.0,
@@ -429,6 +430,26 @@ def _run(result):
         result["pathtrace_present_ms"] = round(pp * 1e3, 1)
         log(f"pathtrace u8 present readback ({PTRES}²): {pp*1e3:.0f}ms "
             f"(tunnel-bound; 4x smaller than the f32 fetch)")
+
+        # ---- 3c. pipelined STREAM cadence (the server/window present
+        # path): frame N-1's u8 readback overlaps frame N's compute
+        # (Viewer.present_frame double-buffering) — fully presented frames,
+        # not just compute cadence ----
+        pending = None
+        sts = []
+        for i in range(PFK):
+            t0 = time.perf_counter()
+            vp.handle_key("d" if i % 2 == 0 else "a")
+            vp.run_compute()
+            nxt = vp.present_frame()
+            _ = np.asarray(pending if pending is not None else nxt)
+            pending = nxt
+            sts.append(time.perf_counter() - t0)
+        sf = max(sorted(sts)[PFK // 2], 1e-4)
+        result["pathtrace_stream_fps"] = round(1.0 / sf, 1)
+        log(f"pathtrace PRESENTED stream, pipelined ({PTRES}²): "
+            f"{sf*1e3:.0f}ms/frame -> {result['pathtrace_stream_fps']} FPS "
+            f"(frames: {', '.join(f'{t*1e3:.0f}' for t in sorted(sts))} ms)")
     except Exception as e:
         log(f"VIEWER BENCH FAILED: {type(e).__name__}: {e}")
         result["viewer_fps_1080p"] = 0.0
