@@ -130,19 +130,27 @@ def _gbuffer(scene: Scene, *, width: int, height: int, leaf_size: int,
 @partial(jax.jit, static_argnames=("width", "height", "leaf_size",
                                    "use_bvh"))
 def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
-                  clamp, jitter_key, old_depth, *, width: int, height: int,
-                  leaf_size: int, use_bvh: bool):
+                  clamp, jitter_key, old_depth, old_depth_tile, *,
+                  width: int, height: int, leaf_size: int, use_bvh: bool):
     """Temporal reprojection: seed a NEW camera's accumulator with the OLD
     accumulation, as ONE compiled program → (accum0 [C,3], count0 [C],
-    gbuf) where gbuf = (normal [H,W,3], depth [H,W], albedo [H,W,3]) is
-    the NEW camera's primary G-buffer (row-major — the warp already traced
-    those rays, so the caller caches it for the denoiser and feeds its
-    depth plane back as `old_depth` on the NEXT warp, making every
-    steady-state fly-frame a single primary trace).
+    gbuf, depth_tile) where gbuf = (normal [H,W,3], depth [H,W],
+    albedo [H,W,3]) is the NEW camera's primary G-buffer (row-major — the
+    warp already traced those rays, so the caller caches it for the
+    denoiser) and depth_tile is the same primary depth in ACCUMULATOR
+    (tile) order — feeding it back as `old_depth_tile` on the NEXT warp
+    makes every steady-state fly-frame a single primary trace AND lets
+    the history fetch pack the old depth into the one [C,5] row gather
+    (XLA gathers are row-count-bound at ~80M rows/s, so a fifth packed
+    column is free while a separate [C] depth gather is a whole extra
+    gather pass).
 
-    old_depth: the OLD camera's primary depth [H,W] (row-major) from the
-    previous warp/G-buffer — pass None on the first warp after a restart
-    and the program traces it (two traces instead of one).
+    old_depth_tile: the OLD camera's primary depth [C] in tile order from
+    the previous warp (preferred — zero extra gathers). old_depth: the
+    same depth as the row-major [H,W] G-buffer plane (used when only the
+    cached G-buffer exists; costs one extra [C] gather to reorder). Pass
+    both as None on the first warp after a restart and the program traces
+    the old depth itself (two traces instead of one).
 
     For every new pixel: trace its primary hit, reproject the hit point
     into the old camera (the basis forward/right/true_up of
@@ -162,22 +170,28 @@ def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
     renderer.rs); reprojection is a TPU-side extension that keeps the
     fly-through converged.
     """
-    from ..ops.camera_rays import generate_rays, pixel_grid
+    from ..ops.camera_rays import generate_rays
     from ..ops.linalg import cross, dot
     from ..ops.shading import material_textures
     from ..ops.trace import trace
 
     H, W = height, width
 
-    if old_depth is None:
-        # old primary depth (camera rays under the OLD camera, same
-        # geometry) — only needed when the previous frame left no G-buffer
-        pxg, pyg = pixel_grid(W, H)
-        o0, d0 = generate_rays(old_cam, W, H, pxg, pyg)
-        hit0 = trace(scene_new, o0, d0, leaf_size=leaf_size, use_bvh=use_bvh)
-        depth_rm = hit0.t.reshape(H, W)           # MISS_T on miss
+    if old_depth_tile is not None:
+        depth_tile = old_depth_tile
+    elif old_depth is not None:
+        # only the row-major G-buffer plane exists (e.g. gbuffer() filled
+        # the cache outside a warp) — reorder it to tile order once
+        depth_tile = old_depth.reshape(-1)[py * W + px]
     else:
-        depth_rm = old_depth
+        # old primary depth (camera rays under the OLD camera, same
+        # geometry) — only needed when the previous frame left no G-buffer.
+        # Traced directly in TILE order: these rays share traversal packets
+        # with the accumulator layout anyway, and tile order is what the
+        # history fetch needs.
+        o0, d0 = generate_rays(old_cam, W, H, px, py)
+        hit0 = trace(scene_new, o0, d0, leaf_size=leaf_size, use_bvh=use_bvh)
+        depth_tile = hit0.t                       # MISS_T on miss
 
     # new primary hits (tile order, matching the accumulator rows)
     o, d = generate_rays(scene_new.camera, W, H, px, py)
@@ -224,19 +238,22 @@ def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
     # history fetch: the accumulator lives in TILE order, the projected
     # position is a ROW-MAJOR index — compose the two permutations
     # (accum_rm[flat] == accum[inv_perm[flat]]) so the whole fetch is one
-    # cheap int gather + one packed [C,4] row gather, instead of
-    # reordering the full accumulation to row-major first
+    # cheap int gather + one packed [C,5] row gather (mean, count AND old
+    # depth — the same relation holds per column), instead of reordering
+    # the full accumulation to row-major first or paying a separate
+    # depth gather
     src = inv_perm[flat]
-    hist = jnp.concatenate([accum, n_tot[:, None]], axis=1)[src]
+    hist = jnp.concatenate([accum, n_tot[:, None], depth_tile[:, None]],
+                           axis=1)[src]
     n_f = hist[:, 3]
     mean_f = hist[:, 0:3] / jnp.maximum(n_f, 1.0)[:, None]
-    depth_f = depth_rm.reshape(-1)[flat]
+    depth_f = hist[:, 4]
     dist = jnp.sqrt(jnp.sum(V * V, axis=-1))
     ok_hit = hit.hit & (jnp.abs(depth_f - dist) <= 0.02 * dist + 1e-3)
     ok_miss = (~hit.hit) & (depth_f > 1e30)
     valid = inb & (ok_hit | ok_miss)
     n0 = jnp.where(valid, jnp.minimum(n_f, clamp), 0.0)
-    return mean_f * n0[:, None], n0, gbuf
+    return mean_f * n0[:, None], n0, gbuf, hit.t
 
 
 @partial(jax.jit, static_argnames=("width", "height", "iterations",
@@ -336,8 +353,12 @@ class PathTracer:
         self._py = jnp.asarray(py)
         self._last_counts = None
         # primary-hit G-buffer cache (device (normal, depth, albedo)) —
-        # valid for the CURRENT scene+camera; reset()/set_camera refresh it
+        # valid for the CURRENT scene+camera; reset()/set_camera refresh it.
+        # _depth_tile: the same primary depth in accumulator (tile) order,
+        # produced only by warps — lets the next warp's history fetch pack
+        # the old depth into its single [C,5] gather (see _warp_history)
         self._gbuf = None
+        self._depth_tile = None
 
     def set_camera(self, camera, temporal: bool = False) -> None:
         """Move the camera. temporal=False restarts accumulation (the
@@ -356,10 +377,13 @@ class PathTracer:
             # depth the warp validates against — feeding it back makes the
             # steady-state warp a single primary trace
             old_depth = self._gbuf[1] if self._gbuf is not None else None
-            self.accum, self._count_base, self._gbuf = _warp_history(
+            old_depth_tile = self._depth_tile
+            (self.accum, self._count_base, self._gbuf,
+             self._depth_tile) = _warp_history(
                 self.scene, old_cam, self.accum, self._n_total(),
                 self._inv_perm, self._px, self._py,
                 jnp.float32(self.temporal_clamp), jkey, old_depth,
+                old_depth_tile,
                 width=self.width, height=self.height,
                 leaf_size=self.config.bvh_leaf_size, use_bvh=self.use_bvh)
             self.samples = 0
@@ -392,6 +416,7 @@ class PathTracer:
         self.samples = 0
         self._count_base = None
         self._gbuf = None    # camera and/or scene changed
+        self._depth_tile = None
 
     def _whole_frame_ok(self) -> bool:
         """True when the frame goes through in ONE pool on the Pallas path —

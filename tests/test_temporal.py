@@ -141,13 +141,16 @@ def test_adaptive_temporal_warp(default_scene):
 
 
 def test_cached_gbuffer_warp_matches_retrace(default_scene):
-    """The steady-state warp feeds the PREVIOUS warp's G-buffer depth back
-    as the old-camera depth instead of retracing it. Both variants must be
-    bit-equal: the cached plane IS the same trace's output."""
+    """The steady-state warp feeds the PREVIOUS warp's depth back as the
+    old-camera depth instead of retracing it — preferentially in tile
+    order (packed straight into the [C,5] history gather), falling back
+    to a reorder of the row-major G-buffer plane, falling back to a full
+    retrace. All three variants must be bit-equal: the cached planes ARE
+    the same trace's output, just routed differently."""
     import jax.numpy as jnp
     from gpu_raytracer_tpu.models.camera import Camera
 
-    def two_warps(clear_cache):
+    def two_warps(mode):
         pt = _pt(default_scene, spp=3)
         cam = pt.scene.camera
         m1 = Camera(position=cam.position + jnp.asarray([0.05, 0.0, 0.0]),
@@ -156,16 +159,23 @@ def test_cached_gbuffer_warp_matches_retrace(default_scene):
                     direction=cam.direction, up=cam.up, fov=cam.fov)
         pt.set_camera(m1, temporal=True)     # first warp: traces old depth
         assert pt._gbuf is not None          # ...and leaves the G-buffer
+        assert pt._depth_tile is not None    # ...and its tile-order depth
         pt.step()
-        if clear_cache:
-            pt._gbuf = None                  # force the retrace variant
+        if mode == "rowmajor":
+            pt._depth_tile = None            # force the G-buffer reorder
+        elif mode == "retrace":
+            pt._gbuf = None                  # force the full retrace
+            pt._depth_tile = None
         pt.set_camera(m2, temporal=True)
         return np.asarray(pt.accum), np.asarray(pt._count_base)
 
-    a_cached, n_cached = two_warps(clear_cache=False)
-    a_trace, n_trace = two_warps(clear_cache=True)
-    np.testing.assert_array_equal(n_cached, n_trace)
-    np.testing.assert_array_equal(a_cached, a_trace)
+    a_tile, n_tile = two_warps("tile")
+    a_rm, n_rm = two_warps("rowmajor")
+    a_trace, n_trace = two_warps("retrace")
+    np.testing.assert_array_equal(n_tile, n_rm)
+    np.testing.assert_array_equal(a_tile, a_rm)
+    np.testing.assert_array_equal(n_tile, n_trace)
+    np.testing.assert_array_equal(a_tile, a_trace)
 
 
 def test_gbuffer_cache_matches_fresh_trace(default_scene):
