@@ -134,16 +134,16 @@ def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
                   width: int, height: int, leaf_size: int, use_bvh: bool):
     """Temporal reprojection: seed a NEW camera's accumulator with the OLD
     accumulation, as ONE compiled program → (accum0 [C,3], count0 [C],
-    gbuf, depth_tile) where gbuf = (normal [H,W,3], depth [H,W],
-    albedo [H,W,3]) is the NEW camera's primary G-buffer (row-major — the
-    warp already traced those rays, so the caller caches it for the
-    denoiser) and depth_tile is the same primary depth in ACCUMULATOR
-    (tile) order — feeding it back as `old_depth_tile` on the NEXT warp
-    makes every steady-state fly-frame a single primary trace AND lets
-    the history fetch pack the old depth into the one [C,5] row gather
-    (XLA gathers are row-count-bound at ~80M rows/s, so a fifth packed
-    column is free while a separate [C] depth gather is a whole extra
-    gather pass).
+    gbuf_tile) where gbuf_tile = (normal [C,3], depth [C], albedo [C,3])
+    is the NEW camera's primary G-buffer in ACCUMULATOR (tile) order —
+    the warp already traced those rays, so the caller caches it for the
+    denoiser (whose single packed reorder gather absorbs the tile→row-
+    major permute for free: XLA row gathers are row-count-bound at
+    ~80M rows/s, so extra packed columns cost nothing while a separate
+    permute here is a whole extra 1M-row gather pass). Feeding the depth
+    plane back as `old_depth_tile` on the NEXT warp makes every
+    steady-state fly-frame a single primary trace AND lets the history
+    fetch pack the old depth into its one [C,5] row gather.
 
     old_depth_tile: the OLD camera's primary depth [C] in tile order from
     the previous warp (preferred — zero extra gathers). old_depth: the
@@ -196,19 +196,13 @@ def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
     # new primary hits (tile order, matching the accumulator rows)
     o, d = generate_rays(scene_new.camera, W, H, px, py)
     hit = trace(scene_new, o, d, leaf_size=leaf_size, use_bvh=use_bvh)
-    # the NEW camera's G-buffer falls out of this trace for free
-    # (row-major; same semantics as _gbuffer). XLA row gathers run at
-    # ~80M rows/s on TPU (the pid-gather wall, see ARCHITECTURE.md), so
-    # everything sharing the inv_perm reorder is PACKED into one [C,7]
-    # matrix and permuted with a single gather.
+    # the NEW camera's G-buffer falls out of this trace for free — kept
+    # in TILE order (no permute here at all; the denoiser's packed
+    # reorder or PathTracer.gbuffer() materialises row-major on demand)
     g_mid = jnp.clip(hit.material_id, 0, None)
     g_alb, _, _, _ = material_textures(scene_new, g_mid, hit.uv)
     g_alb = jnp.where(hit.hit[:, None], g_alb, 1.0)
-    gpack = jnp.concatenate([hit.normal, hit.t[:, None], g_alb],
-                            axis=1)[inv_perm]
-    gbuf = (gpack[:, 0:3].reshape(H, W, 3),
-            gpack[:, 3].reshape(H, W),
-            gpack[:, 4:7].reshape(H, W, 3))
+    gbuf_tile = (hit.normal, hit.t, g_alb)
     point = o + d * hit.t[:, None]
     V = jnp.where(hit.hit[:, None], point - old_cam.position[None, :], d)
 
@@ -253,7 +247,7 @@ def _warp_history(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
     ok_miss = (~hit.hit) & (depth_f > 1e30)
     valid = inb & (ok_hit | ok_miss)
     n0 = jnp.where(valid, jnp.minimum(n_f, clamp), 0.0)
-    return mean_f * n0[:, None], n0, gbuf, hit.t
+    return mean_f * n0[:, None], n0, gbuf_tile
 
 
 @partial(jax.jit, static_argnames=("width", "height", "iterations",
@@ -276,6 +270,25 @@ def _denoise_whole(accum, inv_perm, inv_samples, gbuf, *,
     if to_u8:
         out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     return out
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _gbuf_rowmajor(gbuf_tile, inv_perm, *, width: int, height: int):
+    """Materialise the row-major (normal [H,W,3], depth [H,W],
+    albedo [H,W,3]) planes from a tile-ordered G-buffer — one packed
+    [C,7] gather, paid lazily on the first gbuffer() consumer (and then
+    cached), so warp-only frames — e.g. the temporal Viewer with the
+    denoiser toggled off — never pay it at all. (Measured dead end:
+    folding the G-buffer reorder INTO the denoiser as one packed [C,10]
+    gather is WORSE than this [C,7] + the denoiser's own [C,3] — chip
+    isolated-route medians 66-74 vs 58-60 ms at 1024²; the ~80M rows/s
+    row-gather wall stops being row-count-bound by ~7-10 f32 columns.)"""
+    normal, depth, albedo = gbuf_tile
+    pack = jnp.concatenate([normal, depth[:, None], albedo],
+                           axis=1)[inv_perm]
+    return (pack[:, 0:3].reshape(height, width, 3),
+            pack[:, 3].reshape(height, width),
+            pack[:, 4:7].reshape(height, width, 3))
 
 
 @jax.jit
@@ -352,13 +365,14 @@ class PathTracer:
         self._px = jnp.asarray(px)
         self._py = jnp.asarray(py)
         self._last_counts = None
-        # primary-hit G-buffer cache (device (normal, depth, albedo)) —
-        # valid for the CURRENT scene+camera; reset()/set_camera refresh it.
-        # _depth_tile: the same primary depth in accumulator (tile) order,
-        # produced only by warps — lets the next warp's history fetch pack
-        # the old depth into its single [C,5] gather (see _warp_history)
+        # primary-hit G-buffer cache — valid for the CURRENT scene+camera;
+        # reset()/set_camera refresh it. _gbuf_tile: accumulator (tile)
+        # order (normal [C,3], depth [C], albedo [C,3]), the warp's native
+        # output — its depth feeds the next warp's packed history gather
+        # and the denoiser reorders it inside its own single gather.
+        # _gbuf: row-major planes, materialised lazily by gbuffer().
         self._gbuf = None
-        self._depth_tile = None
+        self._gbuf_tile = None
 
     def set_camera(self, camera, temporal: bool = False) -> None:
         """Move the camera. temporal=False restarts accumulation (the
@@ -377,15 +391,17 @@ class PathTracer:
             # depth the warp validates against — feeding it back makes the
             # steady-state warp a single primary trace
             old_depth = self._gbuf[1] if self._gbuf is not None else None
-            old_depth_tile = self._depth_tile
-            (self.accum, self._count_base, self._gbuf,
-             self._depth_tile) = _warp_history(
+            old_depth_tile = (self._gbuf_tile[1]
+                              if self._gbuf_tile is not None else None)
+            (self.accum, self._count_base,
+             self._gbuf_tile) = _warp_history(
                 self.scene, old_cam, self.accum, self._n_total(),
                 self._inv_perm, self._px, self._py,
                 jnp.float32(self.temporal_clamp), jkey, old_depth,
                 old_depth_tile,
                 width=self.width, height=self.height,
                 leaf_size=self.config.bvh_leaf_size, use_bvh=self.use_bvh)
+            self._gbuf = None   # row-major planes now stale (old camera)
             self.samples = 0
             return
         self.scene = self.scene.with_camera(camera)
@@ -416,7 +432,7 @@ class PathTracer:
         self.samples = 0
         self._count_base = None
         self._gbuf = None    # camera and/or scene changed
-        self._depth_tile = None
+        self._gbuf_tile = None
 
     def _whole_frame_ok(self) -> bool:
         """True when the frame goes through in ONE pool on the Pallas path —
@@ -573,10 +589,18 @@ class PathTracer:
         device until the camera or scene changes (and produced as a
         byproduct of the temporal warp, which traces these rays anyway)."""
         if self._gbuf is None:
-            self._gbuf = _gbuffer(self.scene, width=self.width,
-                                  height=self.height,
-                                  leaf_size=self.config.bvh_leaf_size,
-                                  use_bvh=self.use_bvh)
+            if self._gbuf_tile is not None:
+                # the warp left the same trace's planes in tile order —
+                # one packed permute instead of a fresh primary trace
+                self._ensure_inv_perm()
+                self._gbuf = _gbuf_rowmajor(self._gbuf_tile, self._inv_perm,
+                                            width=self.width,
+                                            height=self.height)
+            else:
+                self._gbuf = _gbuffer(self.scene, width=self.width,
+                                      height=self.height,
+                                      leaf_size=self.config.bvh_leaf_size,
+                                      use_bvh=self.use_bvh)
         return self._gbuf
 
     def _inv_n(self):
@@ -591,7 +615,11 @@ class PathTracer:
         (ops/denoise.py): albedo-demodulated illumination smoothed along
         G-buffer edges — a DEVICE [H,W,3] array (f32, or display-ready u8
         with u8=True: a quarter of the readback bytes). One compiled
-        dispatch over the cached G-buffer. kw forwards the sigma_* knobs."""
+        dispatch over the cached G-buffer. kw forwards the sigma_* knobs.
+        After a temporal warp the first denoise materialises the warp's
+        tile-ordered G-buffer row-major (one [C,7] gather, then cached —
+        see _gbuf_rowmajor for why it does NOT ride the denoiser's own
+        gather)."""
         self._ensure_inv_perm()
         return _denoise_whole(self.accum, self._inv_perm, self._inv_n(),
                               self.gbuffer(),

@@ -158,14 +158,14 @@ def test_cached_gbuffer_warp_matches_retrace(default_scene):
         m2 = Camera(position=cam.position + jnp.asarray([0.05, 0.05, 0.0]),
                     direction=cam.direction, up=cam.up, fov=cam.fov)
         pt.set_camera(m1, temporal=True)     # first warp: traces old depth
-        assert pt._gbuf is not None          # ...and leaves the G-buffer
-        assert pt._depth_tile is not None    # ...and its tile-order depth
+        assert pt._gbuf_tile is not None     # ...and leaves the G-buffer
         pt.step()
         if mode == "rowmajor":
-            pt._depth_tile = None            # force the G-buffer reorder
+            pt.gbuffer()                     # materialise row-major planes
+            pt._gbuf_tile = None             # ...then force their reorder
         elif mode == "retrace":
             pt._gbuf = None                  # force the full retrace
-            pt._depth_tile = None
+            pt._gbuf_tile = None
         pt.set_camera(m2, temporal=True)
         return np.asarray(pt.accum), np.asarray(pt._count_base)
 
@@ -191,6 +191,28 @@ def test_gbuffer_cache_matches_fresh_trace(default_scene):
     pt.set_camera(moved, temporal=True)
     cached = [np.asarray(x) for x in pt.gbuffer()]
     pt._gbuf = None
+    pt._gbuf_tile = None
     fresh = [np.asarray(x) for x in pt.gbuffer()]
     for c, f in zip(cached, fresh):
         np.testing.assert_array_equal(c, f)
+
+def test_denoise_after_warp_matches_fresh_gbuffer(default_scene):
+    """After a warp, denoised_frame lazily materialises the warp's
+    tile-ordered G-buffer; the frame must be bit-equal to denoising with
+    a from-scratch traced G-buffer (same scene+camera)."""
+    import jax.numpy as jnp
+    from gpu_raytracer_tpu.models.camera import Camera
+
+    pt = _pt(default_scene, spp=2)
+    cam = pt.scene.camera
+    moved = Camera(position=cam.position + jnp.asarray([0.03, 0.0, 0.0]),
+                   direction=cam.direction, up=cam.up, fov=cam.fov)
+    pt.set_camera(moved, temporal=True)
+    pt.step()
+    assert pt._gbuf_tile is not None and pt._gbuf is None
+    lazy = np.asarray(pt.denoised_frame(iterations=2))
+    assert pt._gbuf is not None          # materialised once, then cached
+    pt._gbuf = None
+    pt._gbuf_tile = None                 # force the fresh-trace route
+    fresh = np.asarray(pt.denoised_frame(iterations=2))
+    np.testing.assert_array_equal(lazy, fresh)
