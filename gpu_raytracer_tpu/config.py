@@ -51,6 +51,15 @@ class RaytracerConfig:
     # same-pixel bounce rays into denser traversal packets
     # (engine/pathtracer.py::_sample_chunk).
     pathtrace_samples_per_step: int = 1
+    # Bounce texture-LOD bias (ray-cone style): depth-d wavefront pools
+    # sample the mip pyramid at level bias*d (clamped per texture; depth 0 —
+    # directly visible surfaces — always samples level 0 / full sharpness).
+    # Incoherent secondary-bounce tap groups then land inside the coarse-mip
+    # rows, so the fused bounce kernel's windowed texture fetch fits where
+    # level-0 taps straddled (full-atlas matmul), and the prefiltered texel
+    # is the physically better estimate for a widened secondary ray cone.
+    # 0.0 = off (level-0 everywhere, the pre-round-4 behavior).
+    bounce_lod_bias: float = 0.0
     # Texture mip pyramid: max levels built at scene load (1 = off). With
     # mips on, the atlas is clamped to the fused kernels' VMEM row budget by
     # dropping the finest level of every texture until it fits, and samplers

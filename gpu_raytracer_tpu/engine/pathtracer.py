@@ -30,7 +30,7 @@ from functools import partial
 def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                   max_depth, rr_start, shadows, leaf_size, use_bvh, jitter,
                   live=None, spp=1, qmc=False, sample_base=0, qmc_seed=0,
-                  qmc_antialias=False, qmc_pid_base=0):
+                  qmc_antialias=False, qmc_pid_base=0, tex_lod_bias=0.0):
     """Trace `spp` independent samples of every pixel in ONE wavefront pool.
 
     The samples are laid out chunk-major (sample s of pixel i at lane
@@ -69,7 +69,8 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
                                       leaf_size=leaf_size, use_bvh=use_bvh,
                                       qmc=qmc, qmc_pid_base=qmc_pid_base,
                                       sample_base=sample_base,
-                                      qmc_seed=qmc_seed, qmc_spp=spp)
+                                      qmc_seed=qmc_seed, qmc_spp=spp,
+                                      tex_lod_bias=tex_lod_bias)
     if spp > 1:
         contrib = contrib.reshape(spp, -1, 3).sum(axis=0)
     return contrib, counts
@@ -78,13 +79,14 @@ def _sample_chunk(scene: Scene, px, py, width, height, key, channel,
 @partial(jax.jit,
          static_argnames=("width", "height", "channel", "max_depth",
                           "rr_start", "shadows", "leaf_size", "use_bvh",
-                          "antialias", "spp", "qmc"),
+                          "antialias", "spp", "qmc", "tex_lod_bias"),
          donate_argnums=(1,))
 def _step_whole_frame(scene: Scene, accum, key, step_idx, px, py, *,
                       width: int, height: int, channel: int, max_depth: int,
                       rr_start: int, shadows: bool, leaf_size: int,
                       use_bvh: bool, antialias: bool, spp: int,
-                      qmc: bool = False, qmc_seed=0):
+                      qmc: bool = False, qmc_seed=0,
+                      tex_lod_bias: float = 0.0):
     """The ENTIRE progressive step as ONE compiled program.
 
     Driving fold_in → jitter → camera raygen → pool trace → accumulate as
@@ -103,7 +105,8 @@ def _step_whole_frame(scene: Scene, accum, key, step_idx, px, py, *,
                                     leaf_size, use_bvh, jitter, None, spp=spp,
                                     qmc=qmc, sample_base=step_idx,
                                     qmc_seed=qmc_seed,
-                                    qmc_antialias=antialias)
+                                    qmc_antialias=antialias,
+                                    tex_lod_bias=tex_lod_bias)
     return accum + contrib, counts
 
 
@@ -491,7 +494,8 @@ class PathTracer:
                 max_depth=md, rr_start=rr, shadows=self.shadows,
                 leaf_size=ls, use_bvh=self.use_bvh,
                 antialias=self.antialias, spp=self.samples_per_step,
-                qmc=self.qmc, qmc_seed=self._qmc_seed)
+                qmc=self.qmc, qmc_seed=self._qmc_seed,
+                tex_lod_bias=self.config.bounce_lod_bias)
             self.samples += self.samples_per_step
             self.perf.update_frame_count()
             return
@@ -524,7 +528,9 @@ class PathTracer:
                                                 self.samples),
                                             qmc_seed=self._qmc_seed,
                                             qmc_antialias=self.antialias,
-                                            qmc_pid_base=jnp.int32(s))
+                                            qmc_pid_base=jnp.int32(s),
+                                            tex_lod_bias=(
+                                                self.config.bounce_lod_bias))
             updates.append((s, e, contrib))
             self._last_counts = (counts if self._last_counts is None
                                  else self._last_counts + counts)

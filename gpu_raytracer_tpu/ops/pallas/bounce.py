@@ -86,7 +86,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
             max_iters, n_mats, n_lights, n_spheres, slots, shadows, do_rr,
             light_sample, wide=False, textured=False, mats_pad=0,
             rows_pad=0, present=(), per_row=4, unroll=1,
-            last=False, order_mode=0, shadow_order=0, bvh_w=4):
+            last=False, order_mode=0, shadow_order=0, bvh_w=4,
+            tex_lod=0.0, n_levels=1):
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
     thr_r, thr_g, thr_b = thr_ref[0, 0], thr_ref[0, 1], thr_ref[0, 2]
@@ -146,7 +147,8 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
         (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, metal, rough, iorv,
          trans, occ) = sample_materials_tiles(
             planes_ref, mtable_ref, uvx, uvy, mat_id, n_mats=n_mats,
-            mats_pad=mats_pad, rows_pad=rows_pad, present=present)
+            mats_pad=mats_pad, rows_pad=rows_pad, present=present,
+            fixed_lod=tex_lod, n_levels=n_levels)
     else:
         occ = None
         alb_r = jnp.zeros(tile, jnp.float32)
@@ -402,7 +404,7 @@ def _kernel(node_ref, tri_ref, mat_ref, light_ref, sph_ref,
 @partial(jax.jit, static_argnames=("shadows", "do_rr", "packet_size",
                                    "interpret", "light_sample", "quad_row",
                                    "trav_unroll", "last",
-                                   "order_mode", "shadow_order"))
+                                   "order_mode", "shadow_order", "tex_lod"))
 def pallas_bounce(
     scene: Scene,
     origin: jnp.ndarray,      # [N,3]
@@ -424,6 +426,7 @@ def pallas_bounce(
     last: bool = False,
     order_mode: int = 0,
     shadow_order: int = 0,
+    tex_lod: float = 0.0,
 ):
     """One bounce for the whole pool → (origin', direction', throughput',
     medium', channel', ray_type', bounce_depth', active',
@@ -496,7 +499,9 @@ def pallas_bounce(
                      present=present, per_row=qpr, unroll=trav_unroll,
                      last=last, order_mode=order_mode,
                      shadow_order=shadow_order,
-                     bvh_w=wide_width(bvh) if wide else 4)
+                     bvh_w=wide_width(bvh) if wide else 4,
+                     tex_lod=float(tex_lod),
+                     n_levels=scene.textures.n_levels)
     no, nd, nthr, nmed, nchan, nrt, nbd, nact, rad = pl.pallas_call(
         kernel,
         grid=(B,),

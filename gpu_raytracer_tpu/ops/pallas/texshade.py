@@ -247,7 +247,8 @@ def _mip_lod_frac(meta, lam):
 
 
 def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
-                n_levels=1, trilinear=False, tiers=(WINDOW_ROWS,)):
+                n_levels=1, trilinear=False, tiers=(WINDOW_ROWS,),
+                fixed_lod=0.0):
     """Bilinear-sample one map for a 128-ray group → dict channel→(1,128).
 
     One bf16 matmul per channel fetches BOTH tap rows ([128lanes, K] @
@@ -342,6 +343,14 @@ def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
         return tuple(s0[c] * (1.0 - frac) + s1[c] * frac for c in channels)
     if lam is not None and n_levels > 1:
         out = fetch(_mip_meta(meta, lam, n_levels))
+    elif fixed_lod > 0.0 and n_levels > 1:
+        # Static per-launch LOD (bounce ray-cone bias): every lane samples
+        # level min(fixed_lod, chain-1). Secondary-bounce taps then land in
+        # the small coarse-mip region, so the windowed fetch fits where
+        # level-0 taps straddled — and the prefiltered texel is the
+        # physically better estimate for a widened ray cone anyway.
+        lodv = jnp.minimum(jnp.float32(fixed_lod), meta[6] - 1.0)
+        out = fetch(_walk_meta(meta, lodv, n_levels))
     else:
         out = fetch(meta[:6])
     return tuple(out[c] for c in channels)
@@ -508,7 +517,7 @@ def material_table_full(scene: Scene):
 
 def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
                         n_mats, mats_pad, rows_pad, present, lam=None,
-                        n_levels=1, tiers=(WINDOW_ROWS,)):
+                        n_levels=1, tiers=(WINDOW_ROWS,), fixed_lod=0.0):
     """Per-lane textured material parameters → 11 (sub,128) tiles
     (alb rgb, emi rgb, metal, rough, ior, trans, ambient-occ).
 
@@ -552,7 +561,8 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
                 jnp.any(has),
                 lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
                                       channels, lam=lamg,
-                                      n_levels=n_levels, tiers=tiers),
+                                      n_levels=n_levels, tiers=tiers,
+                                      fixed_lod=fixed_lod),
                 lambda _: tuple(jnp.ones((1, uvx.shape[1]), jnp.float32)
                                 for _ in channels), 0)
             pick = {c: jnp.where(has, smp[i], 1.0)

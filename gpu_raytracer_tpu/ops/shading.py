@@ -42,7 +42,8 @@ TRANSMITTED_BASE = jnp.asarray([0.2, 0.2, 0.3], jnp.float32)
 
 def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray,
                       lam: jnp.ndarray | None = None,
-                      trilinear: bool = False):
+                      trilinear: bool = False,
+                      lod: jnp.ndarray | None = None):
     """Gather material rows and apply texture factors (glTF: factors multiply
     texture samples) → (albedo [N,3], emission [N,3], metallic [N],
     ambient_occlusion [N] or None). Static-gated on texture data being
@@ -66,19 +67,19 @@ def material_textures(scene: Scene, mid: jnp.ndarray, uv: jnp.ndarray,
         if TEX_BASE_COLOR in slots:
             albedo = albedo * sample_texture(
                 tex, ti[:, TEX_BASE_COLOR], uv, lam=lam,
-                trilinear=trilinear)[:, :3]
+                trilinear=trilinear, lod=lod)[:, :3]
         if TEX_EMISSIVE in slots:
             emission = emission * sample_texture(
                 tex, ti[:, TEX_EMISSIVE], uv, lam=lam,
-                trilinear=trilinear)[:, :3]
+                trilinear=trilinear, lod=lod)[:, :3]
         if TEX_METALLIC_ROUGHNESS in slots:
             mr = sample_texture(tex, ti[:, TEX_METALLIC_ROUGHNESS], uv,
-                                lam=lam, trilinear=trilinear)
+                                lam=lam, trilinear=trilinear, lod=lod)
             metallic = metallic * mr[:, 2]                 # B channel
         if TEX_OCCLUSION in slots:
             ambient_occ = sample_texture(
                 tex, ti[:, TEX_OCCLUSION], uv, lam=lam,
-                trilinear=trilinear)[:, 0]  # R channel
+                trilinear=trilinear, lod=lod)[:, 0]  # R channel
     return albedo, emission, metallic, ambient_occ
 
 
@@ -109,7 +110,8 @@ def hit_footprint(scene: Scene, hit: Hit, height: int) -> jnp.ndarray:
 
 def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = None,
                     lam: jnp.ndarray | None = None,
-                    trilinear: bool = False):
+                    trilinear: bool = False,
+                    lod: jnp.ndarray | None = None):
     """Per-ray RGB from ambient + punctual lights + emission
     (LightingCalculator::calculate_lighting, lighting.rs:20-47).
 
@@ -121,7 +123,7 @@ def direct_lighting(scene: Scene, hit: Hit, shadow_mask: jnp.ndarray | None = No
     L = scene.lights
     mid = jnp.clip(hit.material_id, 0, m.count - 1)
     albedo, emission, metallic, ambient_occ = material_textures(
-        scene, mid, hit.uv, lam=lam, trilinear=trilinear)
+        scene, mid, hit.uv, lam=lam, trilinear=trilinear, lod=lod)
 
     n = hit.normal                                          # [N,3]
     p = hit.point

@@ -143,6 +143,9 @@ def tap_base(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
     safe = jnp.minimum(idx.astype(jnp.uint32),
                        jnp.uint32(max(tex.count - 1, 0)))
     if lod is not None and tex.n_levels > 1:
+        # clamp to each texture's resident chain (callers may pass a global
+        # bounce-LOD bias larger than a small texture's level count)
+        lod = jnp.minimum(lod, tex.levels[safe].astype(jnp.float32) - 1.0)
         w, h, srows, off_row = _level_walk(tex, safe, lod)
         mode = tex.wrap[safe].astype(jnp.int32)
     elif lam is not None and tex.n_levels > 1:
@@ -210,7 +213,8 @@ def _bilinear_fetch(tex: Textures, safe: jnp.ndarray, uv: jnp.ndarray,
 def sample_texture(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
                    bilinear: bool = True,
                    lam: jnp.ndarray | None = None,
-                   trilinear: bool = False) -> jnp.ndarray:
+                   trilinear: bool = False,
+                   lod: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample texture `idx` (u32, NO_TEXTURE = miss) at `uv` → RGBA f32.
 
     Lanes with idx == NO_TEXTURE (or out of range) return opaque white
@@ -232,7 +236,7 @@ def sample_texture(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
                                                             lv - 1.0))
         rgba = r0 * (1.0 - frac)[..., None] + r1 * frac[..., None]
     elif bilinear:
-        rgba = _bilinear_fetch(tex, safe, uv, lam=lam)
+        rgba = _bilinear_fetch(tex, safe, uv, lam=lam, lod=lod)
     else:
         w = tex.width[safe].astype(jnp.int32)
         h = tex.height[safe].astype(jnp.int32)

@@ -217,7 +217,7 @@ def _sort_perm(scene: Scene, o, d, active):
 
 
 def _direct_lighting_sampled(scene: Scene, hit, live, u6, leaf_size,
-                             use_bvh):
+                             use_bvh, tex_lod=None):
     """Single-light NEE: each lane samples ONE punctual light (u6) and
     weights its post-occlusion contribution by the light count — unbiased
     for the sum over lights (lighting.rs:20-139 formulas) at ONE any-hit
@@ -231,7 +231,7 @@ def _direct_lighting_sampled(scene: Scene, hit, live, u6, leaf_size,
     L = scene.lights
     mid = jnp.clip(hit.material_id, 0, m.count - 1)
     albedo, emission, metallic, ambient_occ = material_textures(
-        scene, mid, hit.uv)
+        scene, mid, hit.uv, lod=tex_lod)
 
     nL = L.count
     li = jnp.minimum((u6 * nL).astype(jnp.int32), nL - 1)
@@ -274,7 +274,8 @@ def _direct_lighting_sampled(scene: Scene, hit, live, u6, leaf_size,
 def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
                shadows: bool, rr_enabled: bool, rr_now,
                leaf_size: int = 4, use_bvh: bool = True,
-               light_sample: bool = False):
+               light_sample: bool = False,
+               tex_lod_bias: float = 0.0):
     """One wavefront bounce in XLA → (pool', radiance_delta [N,3]).
 
     The exact math (and jax.random layout: u is [N,6]) of the fused Pallas
@@ -293,6 +294,14 @@ def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
     hit_live = live & hit.hit
     miss_live = live & ~hit.hit
 
+    # bounce-LOD bias (ray-cone style): per-lane mip level = bias × depth,
+    # clamped per texture inside tap_base — the twin of the fused kernel's
+    # static per-launch tex_lod (ops/pallas/bounce.py). None = level 0.
+    textured = scene.textures.data_u32.shape[0] > 1
+    tex_lod = (r.bounce_depth.astype(jnp.float32) * tex_lod_bias
+               if (tex_lod_bias > 0.0 and textured
+                   and scene.textures.n_levels > 1) else None)
+
     # --- miss: sky × throughput (wavefront.rs:146-151) ---
     radiance = jnp.where(
         miss_live[:, None], SKY_WAVEFRONT[None, :] * r.throughput, 0.0)
@@ -300,11 +309,12 @@ def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
     # --- hit: direct shading × throughput (wavefront.rs:153-164) ---
     if shadows and light_sample and scene.lights.count > 1:
         lighting = _direct_lighting_sampled(scene, hit, hit_live, u[:, 6],
-                                            leaf_size, use_bvh)
+                                            leaf_size, use_bvh,
+                                            tex_lod=tex_lod)
     else:
         smask = (_shadow_mask_points(scene, hit.point, hit.normal, hit_live,
                                      leaf_size, use_bvh) if shadows else None)
-        lighting = direct_lighting(scene, hit, smask)
+        lighting = direct_lighting(scene, hit, smask, lod=tex_lod)
     shaded = apply_dispersion(scene, hit, lighting)
     invalid = hit.hit & (hit.material_id >= mats.count)
     shaded = jnp.where(invalid[:, None], MAGENTA[None, :], shaded)
@@ -321,9 +331,11 @@ def xla_bounce(scene: Scene, r: WavefrontRays, u: jnp.ndarray, *,
         from .texture import sample_texture
         ti = mats.texture_indices[mid]
         albedo = albedo * sample_texture(
-            scene.textures, ti[:, TEX_BASE_COLOR], hit.uv)[:, :3]
+            scene.textures, ti[:, TEX_BASE_COLOR], hit.uv,
+            lod=tex_lod)[:, :3]
         mr = sample_texture(
-            scene.textures, ti[:, TEX_METALLIC_ROUGHNESS], hit.uv)
+            scene.textures, ti[:, TEX_METALLIC_ROUGHNESS], hit.uv,
+            lod=tex_lod)
         metallic = metallic * mr[:, 2]
         roughness = roughness * mr[:, 1]
     base_ior = unpack_f16_low(mats.ior_transmission_f16[mid])
@@ -501,7 +513,7 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
                            max_depth: int, rr_start: int, shadows: bool,
                            interpret: bool = False, qmc: bool = False,
                            qmc_pid_base=0, sample_base=0, qmc_seed=0,
-                           qmc_spp: int = 1):
+                           qmc_spp: int = 1, tex_lod_bias: float = 0.0):
     """Static Python loop over depths driving the fused bounce kernel
     (ops/pallas/bounce.py); the coherence sort stays in XLA between bounces.
     Same jax.random stream and formulas as the lax.while_loop body below.
@@ -549,6 +561,10 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
             packet_size=P_at(depth), interpret=interpret,
             light_sample=shadows and scene.lights.count > 1,
             last=(depth == max_depth),
+            # bounce-LOD bias: depth-d pools sample the atlas at level
+            # bias*d (static per launch — the fused loop IS per-depth).
+            # Depth 0 (camera rays) stays at level 0 / full sharpness.
+            tex_lod=tex_lod_bias * depth,
             # chip A/B: exact entry-distance child ordering (order_mode 2)
             # beats the majority-sign heuristic only on the SEMI-coherent
             # first bounce (44.1 -> 39.5 ms); on fully incoherent deeper
@@ -564,13 +580,14 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
 
 
 @partial(jax.jit, static_argnames=("max_depth", "rr_start", "shadows",
-                                   "leaf_size", "use_bvh", "qmc", "qmc_spp"))
+                                   "leaf_size", "use_bvh", "qmc", "qmc_spp",
+                                   "tex_lod_bias"))
 def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
                     max_depth: int = 4, rr_start: int = 2,
                     shadows: bool = True, leaf_size: int = 4,
                     use_bvh: bool = True, qmc: bool = False,
                     qmc_pid_base=0, sample_base=0, qmc_seed=0,
-                    qmc_spp: int = 1):
+                    qmc_spp: int = 1, tex_lod_bias: float = 0.0):
     """Trace a ray pool to termination → radiance [N,3] aligned with the pool.
 
     Per bounce (the reference's per-depth dispatch, compute.rs:443-466):
@@ -590,7 +607,8 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
                                       shadows, qmc=qmc,
                                       qmc_pid_base=qmc_pid_base,
                                       sample_base=sample_base,
-                                      qmc_seed=qmc_seed, qmc_spp=qmc_spp)
+                                      qmc_seed=qmc_seed, qmc_spp=qmc_spp,
+                                      tex_lod_bias=tex_lod_bias)
 
     def cond(state):
         depth, r, radiance, counts, orig_lane = state
@@ -618,7 +636,8 @@ def path_trace_pool(scene: Scene, rays: WavefrontRays, key: jax.Array,
                             rr_enabled=max_depth >= rr_start,
                             rr_now=depth + 1 >= rr_start,
                             leaf_size=leaf_size, use_bvh=use_bvh,
-                            light_sample=shadows and scene.lights.count > 1)
+                            light_sample=shadows and scene.lights.count > 1,
+                            tex_lod_bias=tex_lod_bias)
         return depth + 1, r, radiance + rad, counts, orig_lane
 
     radiance = jnp.zeros((N, 3), jnp.float32)

@@ -364,3 +364,76 @@ def test_fused_bounce_textured_with_live_sphere():
     np.testing.assert_allclose(np.asarray(radF), np.asarray(rad), atol=2e-3)
     np.testing.assert_allclose(np.asarray(fused["throughput"]),
                                np.asarray(r2.throughput), atol=2e-3)
+
+
+def test_bounce_lod_bias_parity_and_effect():
+    """bounce_lod_bias (ray-cone texture LOD): a depth-d pool samples the
+    mip pyramid at level bias*d. The fused kernel's static per-launch
+    tex_lod must match the XLA twin's per-lane bounce_depth*bias level walk
+    field-for-field, and a nonzero bias must actually change the sampled
+    texels (the coarse mip differs from level 0 on noise content)."""
+    from gpu_raytracer_tpu.models.geometry import Mesh, Spheres, Textures
+    from gpu_raytracer_tpu.models.material import MaterialBuilder
+    from gpu_raytracer_tpu.models.light import LightBuilder
+    from gpu_raytracer_tpu.models.camera import Camera
+    from gpu_raytracer_tpu.models.scene import prepare_scene
+    from gpu_raytracer_tpu.ops.pallas.bounce import fused_bounce_eligible
+    from gpu_raytracer_tpu.utils.pytree import replace
+
+    rng = np.random.default_rng(33)
+    # noise textures: every mip level has visibly different texel values
+    imgs = [rng.integers(0, 256, size=(64, 64, 4), dtype=np.uint8),
+            rng.integers(0, 256, size=(32, 48, 4), dtype=np.uint8)]
+    mb = MaterialBuilder()
+    for i in range(3):
+        ti = np.full(8, 0xFFFFFFFF, np.uint32)
+        ti[0] = i % 2                                   # base color
+        if i == 2:
+            ti[4] = 0                                   # emissive
+        mb.add(albedo=rng.uniform(0.4, 1.0, 3), metallic=0.0, roughness=0.5,
+               emission=rng.uniform(0, 0.1, 3), texture_indices=ti)
+    lb = LightBuilder()
+    lb.add_point((2.0, 5.0, 3.0), (1.0, 0.95, 0.9), 2.0, float("inf"))
+    verts = rng.uniform(-3, 3, (300, 3)).astype(np.float32)
+    idx = rng.integers(0, 300, (200, 3)).astype(np.uint32)
+    uvs = rng.uniform(-1, 2, (300, 2)).astype(np.float32)
+    mesh = Mesh.from_arrays(verts, idx,
+                            rng.integers(0, 3, 200).astype(np.uint32),
+                            uv=uvs)
+    scene = prepare_scene(Camera.default(), Spheres.from_rows([]), mesh,
+                          mb.build(), lb.build(),
+                          textures=Textures.from_images(imgs, mips=4))
+    assert scene.textures.n_levels >= 3
+    assert fused_bounce_eligible(scene)
+
+    BIAS = 2.0
+    rays = _pool(scene, RGB_CHANNEL)
+    rays = replace(rays, bounce_depth=jnp.ones_like(rays.bounce_depth))
+    u = jax.random.uniform(jax.random.PRNGKey(7), (rays.count, 7),
+                           jnp.float32)
+    r2, rad = xla_bounce(scene, rays, u, shadows=True, rr_enabled=False,
+                         rr_now=jnp.bool_(False), tex_lod_bias=BIAS)
+    o, d, thr, med, chan, rt, bd, act, radF = pallas_bounce(
+        scene, rays.origin, rays.direction, rays.throughput, rays.medium_ior,
+        rays.wavelength_channel, rays.ray_type, rays.bounce_depth,
+        rays.active, u, shadows=True, do_rr=False, packet_size=1024,
+        interpret=True, tex_lod=BIAS * 1.0)   # pool depth 1, static twin
+    np.testing.assert_array_equal(np.asarray(act), np.asarray(r2.active))
+    np.testing.assert_allclose(np.asarray(radF), np.asarray(rad), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(thr), np.asarray(r2.throughput),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(r2.direction),
+                               atol=2e-5)
+
+    # bias 0 (level 0) must differ: the walk really moved to a coarse mip
+    _, rad0 = xla_bounce(scene, rays, u, shadows=True, rr_enabled=False,
+                         rr_now=jnp.bool_(False), tex_lod_bias=0.0)
+    assert not np.allclose(np.asarray(rad0), np.asarray(rad), atol=1e-3)
+
+    # depth-0 pools are exempt: bias with bounce_depth==0 is bit-identical
+    rays0 = _pool(scene, RGB_CHANNEL)
+    rB, radB = xla_bounce(scene, rays0, u, shadows=True, rr_enabled=False,
+                          rr_now=jnp.bool_(False), tex_lod_bias=BIAS)
+    rN, radN = xla_bounce(scene, rays0, u, shadows=True, rr_enabled=False,
+                          rr_now=jnp.bool_(False), tex_lod_bias=0.0)
+    np.testing.assert_array_equal(np.asarray(radB), np.asarray(radN))
