@@ -717,7 +717,8 @@ def pallas_render_primary(
 
 
 @partial(jax.jit, static_argnames=("width", "height", "shadows", "sky",
-                                   "packet_size", "interpret", "trilinear"))
+                                   "packet_size", "interpret", "trilinear",
+                                   "return_gbuffer"))
 def pallas_render_deferred(
     scene: Scene,
     px: jnp.ndarray,
@@ -730,10 +731,13 @@ def pallas_render_deferred(
     interpret: bool = False,
     light_u: jnp.ndarray | None = None,
     trilinear: bool = False,
+    return_gbuffer: bool = False,
 ) -> jnp.ndarray:
     """Two-phase fused render (textured / unbounded-material scenes) →
     RGB [N,3] in the given ray order. Over MAX_LIGHTS the light sum is
-    single-sample NEE (see pallas_render_primary)."""
+    single-sample NEE (see pallas_render_primary). return_gbuffer=True
+    skips phase 2 and returns the raw trace planes [N,7] (light_sum rgb,
+    material, uv, mip footprint) — the parity-diagnosis surface."""
     from ..shading import shade_deferred
 
     N = px.shape[0]
@@ -797,6 +801,8 @@ def pallas_render_deferred(
 
     from .texshade import pallas_texture_shade, texshade_eligible
 
+    if return_gbuffer:
+        return out.transpose(0, 2, 3, 1).reshape(N, 7)
     if texshade_eligible(scene):
         # Fused MXU shade: consumes the kernel-layout output directly; the
         # XLA formulation below costs 270+ ms/frame at 1080p in per-lane

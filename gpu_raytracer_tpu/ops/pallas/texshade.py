@@ -154,11 +154,19 @@ def _atlas_planes(scene: Scene):
 
 def _wrap_f(x, size, mode):
     """f32 sampler wrap of integer-valued coords to [0, size) on (1,128)
-    tiles; mode 0=REPEAT 1=CLAMP 2=MIRRORED (per-lane)."""
+    tiles; mode 0=REPEAT 1=CLAMP 2=MIRRORED (per-lane).
+
+    The +0.5 margin before each floor(x/size): x is integer-valued, so
+    floor((x+0.5)/size) == floor(x/size) exactly — but XLA:TPU lowers fdiv
+    as an approximation whose ~1-ulp error around exact-integer quotients
+    flips a bare floor (measured: 27% of a 512x384 chip probe fetched a
+    texel a whole chunk away vs the XLA twin's integer '//'). The margin
+    puts the quotient >= 0.5/size away from every integer boundary, far
+    beyond the division error, on every backend."""
     size = jnp.maximum(size, 1.0)
-    repeat = x - size * jnp.floor(x / size)
+    repeat = x - size * jnp.floor((x + 0.5) / size)
     clamp = jnp.clip(x, 0.0, size - 1.0)
-    per = x - (2.0 * size) * jnp.floor(x / (2.0 * size))
+    per = x - (2.0 * size) * jnp.floor((x + 0.5) / (2.0 * size))
     mirror = jnp.where(per < size, per, 2.0 * size - 1.0 - per)
     return jnp.where(mode == 1.0, clamp,
                      jnp.where(mode == 2.0, mirror, repeat))
@@ -180,7 +188,8 @@ def _tap_setup(u, v, meta):
     def axis(c0, f, size):
         cw = _wrap_f(c0, size, mode)
         f = jnp.where((mode == 1.0) & (c0 < 0.0), 0.0, f)
-        per = c0 - (2.0 * size) * jnp.floor(c0 / (2.0 * size))
+        # +0.5 margin: see _wrap_f (approximate-fdiv-safe exact floor)
+        per = c0 - (2.0 * size) * jnp.floor((c0 + 0.5) / (2.0 * size))
         flip = (mode == 2.0) & (per >= size)
         f = jnp.where(flip, jnp.where(cw == 0.0, 0.0, 1.0 - f), f)
         cw = jnp.where(flip, jnp.maximum(cw - 1.0, 0.0), cw)
@@ -188,7 +197,11 @@ def _tap_setup(u, v, meta):
 
     xw, fx = axis(x0, fx, w)
     yw, fy = axis(y0, fy, h)
-    k = jnp.floor(xw / TEX_CHUNK)
+    # reciprocal-mul with the same +0.5 margin: xw is integer-valued in
+    # [0, size), so the quotient stays >= 0.5/127 from every integer —
+    # one correctly-rounded mul cannot cross it (a bare xw/127 fdiv on
+    # XLA:TPU can, fetching lane 127 of the wrong chunk)
+    k = jnp.floor((xw + 0.5) * (1.0 / float(TEX_CHUNK)))
     lane = xw - k * TEX_CHUNK
     rowA = off_row + yw * srows + k
     return rowA, lane, srows, fx, fy
@@ -377,9 +390,17 @@ def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
             mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
                                            0).astype(jnp.float32)
             ohm = (mit == mid).astype(jnp.float32)           # [Mp,128]
+            # Precision.HIGHEST is REQUIRED: the default TPU f32
+            # dot rounds the value operand to ONE bf16 pass, which
+            # corrupts the exact-int atlas metadata in the table (chip
+            # measured: off_row 1033 -> 1032, 3401 -> 3408 — whole atlas
+            # rows off) and quantises albedo to 8-bit mantissa. Three
+            # passes reconstruct full f32 (Mosaic supports only DEFAULT/HIGHEST,
+            # so HIGHEST — bf16x6 — rather than the sufficient bf16x3).
             mrow = jax.lax.dot_general(
                 mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [40,128]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # [40,128]
 
             alb = [mrow[c:c + 1, :] for c in range(3)]
             emi = [mrow[3 + c:4 + c, :] for c in range(3)]
@@ -537,9 +558,12 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
         mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
                                        0).astype(jnp.float32)
         ohm = (mit == mid).astype(jnp.float32)               # [Mp,128]
+        # Precision.HIGHEST: exact table extraction (see _kernel — the
+        # default single-bf16-pass dot corrupts atlas row offsets)
         mrow = jax.lax.dot_general(
             mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [40,128]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # [40,128]
         vals = [mrow[c:c + 1, :] for c in range(10)]
         occ = jnp.ones((1, uvx.shape[1]), jnp.float32)
         for mi, (slot, channels) in enumerate(_MAPS):

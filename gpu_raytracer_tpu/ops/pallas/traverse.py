@@ -67,6 +67,43 @@ ROW = 128 // GROUP  # node records per row
 #                per VMEM byte (the Sponza-class headroom)
 TRI_FORMATS = {8: 16, 12: 10}  # leaf_align/slots -> lanes per slot
 
+# Mat+den lane packing (16-lane textured format only): lane 9 carries
+# material id AND the triangle's uv density as mat * 2^14 + code, both
+# exact small ints (mat < 1024 = texshade MAX_TABLE_MATERIALS, code < 2^14,
+# sum <= 2^24 - 1 so the f32 lane is exact). The uv density
+# sqrt(uv_area/world_area) is a PER-TRIANGLE constant; computing it in-kernel
+# (rounds <= 4) let Mosaic's sqrt lowering (~2e-4 relative vs XLA:TPU's)
+# flip nearest-mip LOD picks at iso-LOD boundaries between the Pallas
+# kernels and their XLA twins (BENCH_r04 parity_deferred mean 1.35e-3).
+# Pre-encoding it to a 14-bit float (8-bit exponent, 6-bit mantissa,
+# round-to-nearest) makes every pipeline decode the identical value with
+# integer ops + bitcast — exact in Mosaic, XLA:TPU, XLA:CPU and NumPy.
+DEN_SCALE = 16384.0  # 2^14
+
+
+def uv_density_code(tri_e1, tri_e2, tri_uv) -> jnp.ndarray:
+    """Per-triangle mip uv density -> 14-bit float code [T] i32.
+
+    density = sqrt(|uv cross| / |e1 x e2|) (texels per world unit at unit
+    texture size); code = top 14 bits of the f32 (sign dropped — density is
+    non-negative), round-to-nearest, clipped below the inf/nan boundary.
+    Degenerate uv or geometry -> code 0 -> decodes to exactly 0.0."""
+    cn = jnp.cross(tri_e1, tri_e2)
+    n2 = jnp.maximum(jnp.sum(cn * cn, axis=1), 1e-30)
+    cruv = ((tri_uv[:, 1, 0] - tri_uv[:, 0, 0])
+            * (tri_uv[:, 2, 1] - tri_uv[:, 0, 1])
+            - (tri_uv[:, 2, 0] - tri_uv[:, 0, 0])
+            * (tri_uv[:, 1, 1] - tri_uv[:, 0, 1]))
+    den = jnp.sqrt(jnp.abs(cruv) * jax.lax.rsqrt(n2)).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(den, jnp.int32)
+    return jnp.clip((bits + 0x10000) >> 17, 0, (254 << 6) | 63)
+
+
+def den_decode(code):
+    """code (f32 exact-int or i32) -> density f32: bits = code << 17."""
+    ci = code.astype(jnp.int32) if code.dtype != jnp.int32 else code
+    return jax.lax.bitcast_convert_type(ci << 17, jnp.float32)
+
 # VMEM budget for the resident tables. v5e has 128 MB of VMEM; the Mosaic
 # default scoped limit is only 16 MB, so kernels pass an explicit
 # vmem_limit_bytes sized to the tables + pipeline headroom.
@@ -147,7 +184,12 @@ def pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_mat=None, tri_uv=None,
     tg = TRI_FORMATS[slots]
     if tri_mat is None:
         tri_mat = jnp.zeros((Tp,), jnp.int32)
-    parts = [tri_v0, tri_e1, tri_e2, tri_mat.astype(jnp.float32)[:, None]]
+    matf = tri_mat.astype(jnp.float32)
+    if tg == 16 and tri_uv is not None:
+        # lane 9 = mat * 2^14 + den code (see DEN_SCALE note above)
+        matf = matf * DEN_SCALE + uv_density_code(
+            tri_e1, tri_e2, tri_uv).astype(jnp.float32)
+    parts = [tri_v0, tri_e1, tri_e2, matf[:, None]]
     if tg == 16:
         parts.append(tri_uv.reshape(Tp, 6) if tri_uv is not None
                      else jnp.zeros((Tp, 6), jnp.float32))
@@ -218,10 +260,18 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
         bnx = jnp.where(ok, cnx, bnx)
         bny = jnp.where(ok, cny, bny)
         bnz = jnp.where(ok, cnz, bnz)
-        bm = jnp.where(ok, tr[0, g + 9], bm)
+        matden = tr[0, g + 9]
         if with_uv:
-            rl = jax.lax.rsqrt(
-                jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-30))
+            # lane 9 = mat * 2^14 + den code (pack_tri_rows): split with
+            # exact integer math — mat * 2^-14 is an exact product, floor
+            # recovers the id. The winner carries the raw CODE; the single
+            # vector bitcast decode happens once per ray in
+            # _normalize_best (Mosaic only bitcasts vectors, and the loop
+            # here works on per-slot scalars). No transcendental touches
+            # the mip footprint (see DEN_SCALE).
+            matf = jnp.floor(matden * (1.0 / DEN_SCALE))
+            den = matden - matf * DEN_SCALE          # 14-bit float code
+            bm = jnp.where(ok, matf, bm)
             w0 = 1.0 - u - v
             uvx = (tr[0, g + 10] * w0 + tr[0, g + 12] * u
                    + tr[0, g + 14] * v)
@@ -229,15 +279,9 @@ def _leaf_test(tri_ref, tri_s, ox, oy, oz, dx, dy, dz, carry, with_uv,
                    + tr[0, g + 15] * v)
             buvx = jnp.where(ok, uvx, buvx)
             buvy = jnp.where(ok, uvy, buvy)
-            # uv density = sqrt(uv area / world area): the triangle's
-            # texels-per-world-unit scale (shared scalar math per slot).
-            # rl = 1/|e1 x e2| = 1/(2 * world area) of the normal above.
-            cruv = ((tr[0, g + 12] - tr[0, g + 10])
-                    * (tr[0, g + 15] - tr[0, g + 11])
-                    - (tr[0, g + 14] - tr[0, g + 10])
-                    * (tr[0, g + 13] - tr[0, g + 11]))
-            den = jnp.sqrt(jnp.abs(cruv) * rl)
             bden = jnp.where(ok, den, bden)
+        else:
+            bm = jnp.where(ok, matden, bm)
     return best_t, best_tri, bnx, bny, bnz, bm, buvx, buvy, bden
 
 
@@ -250,7 +294,9 @@ def _normalize_best(best, any_hit=False):
         return best
     t, tri, nx, ny, nz, m, uvx, uvy, den = best
     rl = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-    return t, tri, nx * rl, ny * rl, nz * rl, m, uvx, uvy, den
+    # den carries the winner's 14-bit uv-density CODE (see _leaf_test):
+    # decode with one vector bitcast — miss lanes hold 0 -> exactly 0.0
+    return t, tri, nx * rl, ny * rl, nz * rl, m, uvx, uvy, den_decode(den)
 
 
 def _ordered_traverse(node_ref, tri_ref, stack_ref, ox, oy, oz, dx, dy, dz,

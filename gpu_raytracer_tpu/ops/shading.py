@@ -89,21 +89,16 @@ def hit_footprint(scene: Scene, hit: Hit, height: int) -> jnp.ndarray:
     fused kernels' in-traversal computation (ops/pallas/traverse.py
     _leaf_test + render.py), so both pipelines pick the same mip level.
     Zero for misses and sphere hits (-> level 0)."""
+    from .pallas.traverse import den_decode, uv_density_code
     fov_scale = jnp.tan(scene.camera.fov * jnp.float32(0.5)
                         * jnp.pi / 180.0)
     pix_scale = 2.0 * fov_scale * (1.0 / height)
     i = jnp.clip(hit.prim_id, 0, scene.tri_v0.shape[0] - 1)
-    e1 = scene.tri_e1[i]
-    e2 = scene.tri_e2[i]
-    uv = scene.tri_uv[i]                                    # [N,3,2]
-    cnx = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
-    cny = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
-    cnz = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    rl = jax.lax.rsqrt(jnp.maximum(cnx * cnx + cny * cny + cnz * cnz,
-                                   1e-30))
-    cruv = ((uv[:, 1, 0] - uv[:, 0, 0]) * (uv[:, 2, 1] - uv[:, 0, 1])
-            - (uv[:, 2, 0] - uv[:, 0, 0]) * (uv[:, 1, 1] - uv[:, 0, 1]))
-    den = jnp.sqrt(jnp.abs(cruv) * rl)
+    # density through the same per-triangle 14-bit code the Pallas tables
+    # carry (traverse.py DEN_SCALE note): the quantisation pins the value so
+    # Mosaic and XLA cannot disagree on the footprint -> LOD boundary.
+    code = uv_density_code(scene.tri_e1, scene.tri_e2, scene.tri_uv)
+    den = den_decode(code[i])
     lam = hit.t * pix_scale * den
     return jnp.where(hit.hit & (hit.prim_kind == TRIANGLE), lam, 0.0)
 

@@ -126,3 +126,52 @@ def test_bvh8_traversal_parity(courtyard, rays, xla_result, per_row_forced,
     np.testing.assert_allclose(np.asarray(t_x)[hx], np.asarray(t_p)[hx],
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_p))
+
+
+def test_den_code_round_trip_and_packing():
+    """The mat+den lane-9 packing (traverse.py DEN_SCALE): the 14-bit
+    density code decodes within 2^-7 relative, survives the
+    mat * 2^14 + code f32 lane exactly for every mat < 1024, and the
+    encode is pure integer+bitcast so every backend decodes the identical
+    value."""
+    import jax.numpy as jnp
+    from gpu_raytracer_tpu.ops.pallas.traverse import (
+        DEN_SCALE, den_decode, uv_density_code)
+
+    # random triangles with uv — den spans a wide dynamic range
+    rng = np.random.default_rng(0)
+    T = 512
+    v0 = rng.standard_normal((T, 3)).astype(np.float32)
+    e1 = rng.standard_normal((T, 3)).astype(np.float32) * 10.0 ** rng.uniform(
+        -3, 3, (T, 1))
+    e2 = rng.standard_normal((T, 3)).astype(np.float32) * 10.0 ** rng.uniform(
+        -3, 3, (T, 1))
+    uv = rng.uniform(-4, 4, (T, 3, 2)).astype(np.float32)
+    code = np.asarray(uv_density_code(jnp.asarray(e1), jnp.asarray(e2),
+                                      jnp.asarray(uv)))
+    assert code.min() >= 0 and code.max() < 16384
+    dec = np.asarray(den_decode(jnp.asarray(code)))
+    # reference density and relative quantisation error <= 2^-7 (6-bit
+    # mantissa, round-to-nearest)
+    cn = np.cross(e1, e2)
+    n2 = np.maximum((cn * cn).sum(1), 1e-30)
+    cruv = ((uv[:, 1, 0] - uv[:, 0, 0]) * (uv[:, 2, 1] - uv[:, 0, 1])
+            - (uv[:, 2, 0] - uv[:, 0, 0]) * (uv[:, 1, 1] - uv[:, 0, 1]))
+    den = np.sqrt(np.abs(cruv) / np.sqrt(n2))
+    nz = den > 1e-30
+    rel = np.abs(dec[nz] - den[nz]) / den[nz]
+    assert rel.max() <= 2.0 ** -7 + 1e-6
+
+    # the combined lane value mat * 2^14 + code is an exact-int f32 and
+    # splits back exactly for the full mat range
+    mat = rng.integers(0, 1024, T)
+    lane = (mat * DEN_SCALE + code).astype(np.float32)
+    matf = np.floor(lane / DEN_SCALE)
+    code2 = lane - matf * DEN_SCALE
+    np.testing.assert_array_equal(matf.astype(np.int64), mat)
+    np.testing.assert_array_equal(code2.astype(np.int64), code)
+
+    # degenerate uv -> code 0 -> decodes to exactly 0.0
+    z = np.asarray(uv_density_code(jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+                                   jnp.zeros((1, 3, 2))))
+    assert z[0] == 0 and float(den_decode(jnp.asarray(z))[0]) == 0.0
