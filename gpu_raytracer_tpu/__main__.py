@@ -95,7 +95,9 @@ def cmd_pathtrace(args, config):
     if args.denoise:
         img = pt.denoised_image(iterations=args.denoise_iters)
         print(f"denoised ({args.denoise_iters} a-trous iterations)")
-    write_png(args.output, np.clip(img, 0, 1) ** (1 / 2.2) if args.tonemap else img)
+    # display output is sRGB by default (utils/image.py header);
+    # --linear keeps raw linear u8 for data/parity use
+    write_png(args.output, img, srgb=not args.linear)
     print(f"wrote {args.output} ({pt.samples} spp)")
 
 
@@ -216,7 +218,9 @@ def main(argv=None):
                    help="one ray per wavelength channel (true dispersion)")
     p.add_argument("--no-shadows", action="store_true")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--tonemap", action="store_true", help="gamma 2.2 output")
+    p.add_argument("--linear", action="store_true",
+                   help="write raw linear u8 instead of the default sRGB "
+                        "display encode")
     p.add_argument("--denoise", action="store_true",
                    help="edge-avoiding a-trous reconstruction filter")
     p.add_argument("--denoise-iters", type=int, default=4)

@@ -289,11 +289,16 @@ class Renderer:
         host-side pixel reorder)."""
         return self._to_image(np.asarray(self.render_device()))
 
-    def render_u8(self) -> np.ndarray:
-        """Full frame quantised to rgba8-style u8 ON DEVICE before readback —
-        the display path (matches the reference's rgba8 storage-texture
-        write, shader/src/lib.rs:86-88) and 4x cheaper to pull off-chip."""
+    def render_u8(self, srgb: bool = True) -> np.ndarray:
+        """Full frame quantised to display u8 ON DEVICE before readback —
+        the present path. sRGB-encoded by default (the reference presents
+        through an sRGB swapchain, src/renderer.rs:128-133; srgb=False is
+        the raw linear rgba8 storage-texture write, shader/src/lib.rs:86-88)
+        and 4x cheaper to pull off-chip than f32."""
+        from ..utils.image import linear_to_srgb
         fb = self.render_device()
+        if srgb:
+            fb = linear_to_srgb(fb, xp=jnp)
         u8 = (jnp.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
         return self._to_image(np.asarray(u8))
 

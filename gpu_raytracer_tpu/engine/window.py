@@ -51,7 +51,8 @@ def _ppm_bytes(fb: np.ndarray) -> bytes:
     if fb.dtype == np.uint8:
         u8 = fb
     else:
-        u8 = (np.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        from ..utils.image import to_u8
+        u8 = to_u8(fb)          # sRGB display encode (utils/image.py)
     h, w = u8.shape[:2]
     return b"P6 %d %d 255\n" % (w, h) + u8.tobytes()
 

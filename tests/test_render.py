@@ -70,3 +70,40 @@ def test_image_io(tmp_path, default_scene):
     assert p1.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
     u8 = to_u8(img)
     assert u8.dtype == np.uint8 and u8.shape == (16, 16, 3)
+
+
+def test_srgb_transfer_curve():
+    """Pin the exact piecewise IEC 61966-2-1 transfer at the display
+    boundary (the reference's sRGB swapchain, renderer.rs:128-133): known
+    values, continuity at the breakpoint, round-trip inverse, and that
+    to_u8 defaults to the encode while srgb=False stays linear."""
+    from gpu_raytracer_tpu.utils.image import (linear_to_srgb, srgb_to_linear,
+                                               to_u8)
+
+    # exact knots of the standard
+    assert linear_to_srgb(np.float64(0.0)) == 0.0
+    np.testing.assert_allclose(linear_to_srgb(np.float64(1.0)), 1.0,
+                               atol=1e-12)
+    np.testing.assert_allclose(linear_to_srgb(np.float64(0.0031308)),
+                               0.04045, atol=1e-6)
+    np.testing.assert_allclose(linear_to_srgb(np.float64(0.5)),
+                               0.7353569830524495, atol=1e-9)
+    np.testing.assert_allclose(srgb_to_linear(np.float64(0.5)),
+                               0.21404114048223255, atol=1e-9)
+    # continuity across the breakpoint
+    eps = 1e-7
+    lo = linear_to_srgb(np.float64(0.0031308 - eps))
+    hi = linear_to_srgb(np.float64(0.0031308 + eps))
+    assert abs(hi - lo) < 1e-5
+    # round-trip
+    x = np.linspace(0.0, 1.0, 257)
+    np.testing.assert_allclose(srgb_to_linear(linear_to_srgb(x)), x,
+                               atol=1e-6)
+    # device (jnp) and host (np) encodes agree
+    import jax.numpy as jnp
+    d = np.asarray(linear_to_srgb(jnp.asarray(x, jnp.float32), xp=jnp))
+    np.testing.assert_allclose(d, linear_to_srgb(x), atol=1e-5)
+    # to_u8 default is the display encode; srgb=False is raw linear
+    img = np.full((2, 2, 3), 0.5, np.float32)
+    assert to_u8(img)[0, 0, 0] == 188          # round(0.73536*255)
+    assert to_u8(img, srgb=False)[0, 0, 0] == 128

@@ -214,10 +214,15 @@ def test_many_light_viewer_temporal_refinement():
 def test_framebuffer_u8_matches_quantised_f32(default_scene):
     """framebuffer_u8 must equal the host-quantised f32 framebuffer in BOTH
     modes: device-quantised path-trace frames (the 4x-smaller readback) and
-    host-quantised whitted frames."""
+    host-quantised whitted frames. The display quantise is sRGB-encoded
+    (utils/image.py header); device and host encodes may round a value
+    sitting exactly on a u8 boundary differently (XLA vs numpy power), so
+    allow <=1 count."""
+    from gpu_raytracer_tpu.utils.image import to_u8
+
     v = Viewer(default_scene, 32, 32, shadows=False, verbose=False)
     v.run_compute()                                   # whitted frame
-    want = (np.clip(v.framebuffer, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    want = to_u8(v.framebuffer)
     got = v.framebuffer_u8
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
@@ -225,9 +230,9 @@ def test_framebuffer_u8_matches_quantised_f32(default_scene):
     v.handle_key("p")                                 # path-trace frame
     v.run_compute()
     got = v.framebuffer_u8                            # device-side quantise
-    want = (np.clip(v.framebuffer, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    want = to_u8(v.framebuffer)
     assert got.dtype == np.uint8
-    np.testing.assert_array_equal(got, want)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
 def test_pathtrace_fly_through_keeps_history(default_scene):

@@ -90,7 +90,8 @@ def test_ppm_encoding_round_trip():
     data = _ppm_bytes(fb)
     assert data.startswith(b"P6 3 2 255\n")
     pix = np.frombuffer(data.split(b"\n", 1)[1], np.uint8).reshape(2, 3, 3)
-    assert tuple(pix[0, 0]) == (255, 128, 0)   # +0.5 round, u8 present path
+    # sRGB display encode (utils/image.py): 0.5 -> 188, extremes fixed
+    assert tuple(pix[0, 0]) == (255, 188, 0)
     assert pix[1].sum() == 0
 
 
