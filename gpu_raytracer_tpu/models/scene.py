@@ -94,6 +94,68 @@ def _expand_triangles(vertices: np.ndarray, indices: np.ndarray,
             jnp.asarray(src.astype(np.int32)))
 
 
+def _corner_keys(vertices: np.ndarray, indices: np.ndarray,
+                 uv: np.ndarray) -> np.ndarray:
+    """[T, 3, K] u32 per-corner content keys: zero-sign-normalised position
+    bits then uv bits (+0.0 folds -0.0 — the glTF node-transform multiply
+    rewrites -0.0 to +0.0, and the two are render-identical)."""
+    idx = np.asarray(indices, np.int64)
+    p = np.ascontiguousarray(
+        np.asarray(vertices, np.float32)[idx] + 0.0).view(np.uint32)
+    parts = [p]                                           # [T,3,3]
+    uv = np.asarray(uv, np.float32)
+    if uv.size:
+        parts.append(np.ascontiguousarray(uv[idx] + 0.0).view(np.uint32))
+    return np.concatenate(parts, axis=2)
+
+
+def _canonical_corner_rotation(vertices: np.ndarray, indices: np.ndarray,
+                               uv: np.ndarray) -> np.ndarray:
+    """Cyclically rotate each index triple so its lexicographically-smallest
+    corner (by _corner_keys) leads. Winding — and therefore the geometric
+    normal e1 x e2 — is preserved; Möller-Trumbore accepts any rotation, but
+    the EXPANDED (v0, e1, e2) float values depend on which corner is v0, so
+    exact-t comparisons are only reproducible across builds if every build
+    picks the same rotation."""
+    idx = np.asarray(indices)
+    T = idx.shape[0]
+    key = _corner_keys(vertices, idx, uv)                 # [T,3,K]
+    best = np.zeros(T, np.int64)
+    ar = np.arange(T)
+    for c in (1, 2):
+        cur = key[ar, best]                               # [T,K]
+        cand = key[:, c]
+        lt = np.zeros(T, bool)
+        decided = np.zeros(T, bool)
+        for k in range(key.shape[2]):
+            l = ~decided & (cand[:, k] < cur[:, k])
+            g = ~decided & (cand[:, k] > cur[:, k])
+            lt |= l
+            decided |= l | g
+        best = np.where(lt, c, best)
+    return np.stack([idx[ar, (best + k) % 3] for k in range(3)],
+                    axis=1).astype(idx.dtype)
+
+
+def _canonical_tri_order(vertices: np.ndarray, indices: np.ndarray,
+                         material_id: np.ndarray,
+                         uv: np.ndarray) -> np.ndarray:
+    """Deterministic content-based triangle permutation: lexsort over the
+    zero-normalised u32 bit patterns of the three corner positions, the
+    three corner uvs and the material id (bit patterns, not float compares
+    — total order, no NaN pitfalls). Two scenes holding the same triangle
+    SET (in canonical corner rotation) sort to the same sequence regardless
+    of how they were built."""
+    T = indices.shape[0]
+    key = np.concatenate(
+        [_corner_keys(vertices, indices, uv).reshape(T, -1),
+         np.asarray(material_id, np.uint32).reshape(T, 1)], axis=1)
+    # np.lexsort's LAST key is primary: feed columns reversed so column 0
+    # (v0.x bits) leads.
+    return np.lexsort(tuple(key[:, c]
+                            for c in range(key.shape[1] - 1, -1, -1)))
+
+
 def prepare_scene(
     camera: Camera,
     spheres: Spheres,
@@ -112,6 +174,27 @@ def prepare_scene(
     material_id = np.asarray(mesh.material_id)
     textured = textures is not None and int(
         np.prod(np.asarray(textures.data_u32).shape)) > 1
+    canon = None
+    if bvh_result is None and indices.shape[0] > 1:
+        # Canonical triangle form: (1) rotate every index triple so its
+        # smallest corner leads (stored back into the mesh, so refit
+        # re-expansion and GLB export stay consistent), then (2) sort the
+        # build sequence by CONTENT (position/uv bit patterns + material).
+        # Any two scenes with the same triangle set — e.g. a procedural
+        # build and its GLB export -> per-material regroup -> dedup ->
+        # import round trip, which permutes the sequence AND the corner
+        # rotation — then expand to BIT-IDENTICAL leaf tables, so exact-t
+        # ties on shared edges resolve identically in every kernel (the
+        # ordered kernels' strict-< winner keeps the first slot in
+        # traversal order; the round trip used to flip isolated
+        # shared-edge pixels at 4.4e-2 — BASELINE config 4 parity).
+        # Stable lexsort: fully identical rows are indistinguishable.
+        muv = np.asarray(mesh.uv)
+        indices = _canonical_corner_rotation(vertices, indices, muv)
+        mesh = replace(mesh, indices=jnp.asarray(indices))
+        canon = _canonical_tri_order(vertices, indices, material_id, muv)
+        indices = indices[canon]
+        material_id = material_id[canon]
     if bvh_result is None:
         # Align leaf ranges to whole 128-lane rows of the Pallas traversal
         # kernels' packed triangle table (ops/pallas/traverse.py). Default is
@@ -144,6 +227,14 @@ def prepare_scene(
         bvh_result.tri_order,
         pad_to=max(config.bvh_leaf_size, bvh_result.leaf_align, 8),
     )
+    if canon is not None:
+        # tri_src must keep indexing mesh.indices' ORIGINAL order (the
+        # refit path gathers through it) — compose through the canonical
+        # permutation.
+        src = np.asarray(tri_src)
+        tri_src = jnp.asarray(
+            np.where(src >= 0, canon[np.maximum(src, 0)], -1)
+            .astype(np.int32))
     return Scene(
         camera=camera,
         spheres=spheres,
