@@ -110,6 +110,41 @@ def _step_whole_frame(scene: Scene, accum, key, step_idx, px, py, *,
     return accum + contrib, counts
 
 
+@partial(jax.jit,
+         static_argnames=("width", "height", "channel", "max_depth",
+                          "rr_start", "shadows", "leaf_size", "use_bvh",
+                          "antialias", "spp", "qmc", "tex_lod_bias"),
+         donate_argnums=(1, 2))
+def _step_subset(scene: Scene, accum, counts, key, step_idx, px_s, py_s,
+                 idx, pid_base, *, width: int, height: int, channel: int,
+                 max_depth: int, rr_start: int, shadows: bool,
+                 leaf_size: int, use_bvh: bool, antialias: bool, spp: int,
+                 qmc: bool = False, qmc_seed=0, tex_lod_bias: float = 0.0):
+    """One progressive step over a pixel SUBSET (interleaved fly-through
+    sampling): trace the coset's rays as one pool, scatter-add the
+    contribution and per-pixel sample counts into the full-frame
+    accumulator. `idx` is the coset's accumulator rows — sorted and unique
+    by construction (a filter of increasing rows), which XLA's scatter
+    fast-paths. The temporal warp + denoiser reconstruct the untouched
+    pixels from history, so a moving frame pays 1/m of the wavefront cost
+    (the VERDICT r4 #2 path to >=10 FPS at 1024²)."""
+    skey = jax.random.fold_in(key, step_idx)
+    jit_key = jax.random.fold_in(skey, pid_base)
+    jitter = (jax.random.uniform(jit_key, (px_s.shape[0], 2))
+              if antialias and not qmc else None)
+    contrib, tallies = _sample_chunk(
+        scene, px_s, py_s, width, height, jit_key, channel, max_depth,
+        rr_start, shadows, leaf_size, use_bvh, jitter, None, spp=spp,
+        qmc=qmc, sample_base=step_idx, qmc_seed=qmc_seed,
+        qmc_antialias=antialias, qmc_pid_base=pid_base,
+        tex_lod_bias=tex_lod_bias)
+    accum = accum.at[idx].add(contrib, indices_are_sorted=True,
+                              unique_indices=True)
+    counts = counts.at[idx].add(jnp.float32(spp), indices_are_sorted=True,
+                                unique_indices=True)
+    return accum, counts, tallies
+
+
 @partial(jax.jit, static_argnames=("width", "height", "leaf_size",
                                    "use_bvh"))
 def _gbuffer(scene: Scene, *, width: int, height: int, leaf_size: int,
@@ -271,7 +306,9 @@ def _denoise_whole(accum, inv_perm, inv_samples, gbuf, *,
     out = atrous_denoise(img, normal, depth, albedo,
                          iterations=iterations, **kw)
     if to_u8:
-        out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        from ..utils.image import linear_to_srgb
+        out = (jnp.clip(linear_to_srgb(out, xp=jnp), 0.0, 1.0) * 255.0
+               + 0.5).astype(jnp.uint8)
     return out
 
 
@@ -294,9 +331,14 @@ def _gbuf_rowmajor(gbuf_tile, inv_perm, *, width: int, height: int):
             pack[:, 4:7].reshape(height, width, 3))
 
 
-@jax.jit
-def _to_u8(img):
-    """Device-side display quantisation ([H,W,3] f32 0..1 → u8)."""
+@partial(jax.jit, static_argnames=("srgb",))
+def _to_u8(img, srgb: bool = True):
+    """Device-side display quantisation ([H,W,3] f32 linear 0..1 → u8),
+    sRGB-encoded by default — the swapchain boundary (utils/image.py
+    header). srgb=False gives the raw linear quantise (data paths)."""
+    if srgb:
+        from ..utils.image import linear_to_srgb
+        img = linear_to_srgb(img, xp=jnp)
     return (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
 
@@ -306,7 +348,9 @@ def _image_whole(accum, inv_perm, inv_samples, *, width: int, height: int,
     """Accumulator → device [H,W,3] frame (mean, row-major), optionally u8."""
     out = (accum * inv_samples)[inv_perm].reshape(height, width, 3)
     if to_u8:
-        out = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        from ..utils.image import linear_to_srgb
+        out = (jnp.clip(linear_to_srgb(out, xp=jnp), 0.0, 1.0) * 255.0
+               + 0.5).astype(jnp.uint8)
     return out
 
 
@@ -538,6 +582,83 @@ class PathTracer:
             self.accum = jax.lax.dynamic_update_slice(
                 self.accum, self.accum[s:e] + contrib[: e - s], (s, 0))
         self.samples += self.samples_per_step
+        self.perf.update_frame_count()
+
+    def _cosets(self, m: int):
+        """Interleave cosets for step_interleaved: per phase k, the
+        accumulator rows + pixel coords of pixels with
+        (x mod a, y mod b) == coset k, where (a, b) = (2,1)/(2,2)/(4,2)
+        for m = 2/4/8. Rows are sorted (a filter of increasing indices)."""
+        cache = getattr(self, "_coset_cache", None)
+        if cache is None:
+            cache = self._coset_cache = {}
+        if m not in cache:
+            a, b = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[m]
+            px, py = self._px_host, self._py_host
+            sets = []
+            for k in range(m):
+                ka, kb = k % a, k // a
+                idx = np.where((px % a == ka) & (py % b == kb))[0]
+                sets.append((jnp.asarray(idx.astype(np.int32)),
+                             jnp.asarray(px[idx]), jnp.asarray(py[idx])))
+            cache[m] = sets
+        return cache[m]
+
+    def interleave_ok(self, m: int) -> bool:
+        """step_interleaved(m) runs iff the frame divides the interleave
+        grid and the coset fits one pool dispatch: packet-aligned on the
+        fused Pallas path, one XLA chunk on the fallback."""
+        from ..ops.trace import PACKET_SIZE
+        a, b = {2: (2, 1), 4: (2, 2), 8: (4, 2)}.get(m, (0, 0))
+        n = self.width * self.height
+        if a == 0 or self.width % a or self.height % b:
+            return False
+        if self._whole_frame_ok():
+            return (n // m) % PACKET_SIZE == 0
+        return (n // m) <= self.config.ray_batch_size
+
+    def step_interleaved(self, m: int = 4) -> None:
+        """Trace one sample for 1/m of the pixels (rotating interleaved
+        coset) and accumulate — the moving-frame fly-through step: the
+        temporal warp carries history into every pixel and the à-trous
+        reconstruction fills the cosets not sampled this frame, so the
+        wavefront cost drops ~m-fold while the image keeps full-resolution
+        geometry edges (the G-buffer stays full-res). Falls back to the
+        full step when the frame doesn't divide the interleave. Per-pixel
+        sample bookkeeping moves into the _count_base vector."""
+        if m <= 1 or not self.interleave_ok(m):
+            self.step()
+            return
+        self._last_counts = None
+        # fold the scalar sample count into the per-pixel vector once
+        n_vec = self._n_total()
+        if self._count_base is None or self.samples:
+            self._count_base = n_vec
+            self.samples = 0
+        # monotone per-call stream index for QMC/rng (self.samples no
+        # longer advances: it is scalar bookkeeping, a coset step is not a
+        # full frame sample)
+        self._il_step = getattr(self, "_il_step", 0) + 1
+        phase = getattr(self, "_il_phase", -1)
+        phase = (phase + 1) % m
+        self._il_phase = phase
+        idx, px_s, py_s = self._cosets(m)[phase]
+        from ..ops.wavefront import RGB_CHANNEL
+
+        chan = RGB_CHANNEL if self.spectral else 1
+        self._last_seed = 0x7000 + self._il_step
+        self.accum, self._count_base, self._last_counts = _step_subset(
+            self.scene, self.accum, self._count_base, self.key,
+            jnp.int32(self._last_seed), px_s, py_s, idx,
+            jnp.int32(phase * idx.shape[0]),
+            width=self.width, height=self.height, channel=chan,
+            max_depth=self.config.max_bounce_depth,
+            rr_start=self.config.russian_roulette_start,
+            shadows=self.shadows, leaf_size=self.config.bvh_leaf_size,
+            use_bvh=self.use_bvh, antialias=self.antialias,
+            spp=self.samples_per_step, qmc=self.qmc,
+            qmc_seed=self._qmc_seed,
+            tex_lod_bias=self.config.bounce_lod_bias)
         self.perf.update_frame_count()
 
     def render(self, spp: int, progress: bool = False) -> np.ndarray:

@@ -86,6 +86,14 @@ class Viewer:
         # to temporal_clamp spp — engine/pathtracer._warp_history) instead
         # of restarting it, so the fly-through keeps its convergence.
         self.temporal = True
+        # Fly-through interleave ('i' key cycles 1/2/4/8): a MOVING
+        # path-trace frame samples only every m-th pixel (rotating coset,
+        # PathTracer.step_interleaved) — the warp carries history into all
+        # pixels and the à-trous pass reconstructs, so the wavefront cost
+        # drops ~m-fold while geometry edges stay full-res. Static frames
+        # always take full steps (convergence quality is untouched).
+        self.fly_interleave = 4
+        self._pt_moved = False
         # Tile pixel template in 64x64-subtile order: 128x128 progressive
         # tiles = two coherent 8192-lane traversal packets per dispatch, so
         # each tile rides the fused Pallas path at full packet occupancy.
@@ -147,6 +155,11 @@ class Viewer:
         elif key == "t":
             self.temporal = not self.temporal
             return
+        elif key == "i":
+            # cycle the moving-frame interleave factor (1 = full steps)
+            self.fly_interleave = {1: 2, 2: 4, 4: 8, 8: 1}.get(
+                self.fly_interleave, 4)
+            return
         elif key == "l":
             self.load_gltf("model.gltf")
             return
@@ -167,6 +180,7 @@ class Viewer:
         if self._pt is not None:
             # restart accumulation — or warp it into the new view
             self._pt.set_camera(self.scene.camera, temporal=self.temporal)
+            self._pt_moved = True   # next step may interleave (fly mode)
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
 
@@ -283,8 +297,13 @@ class Viewer:
         """
         if self.pathtrace:
             self._ensure_pathtracer()
+            moving = self._pt_moved and self.temporal
+            self._pt_moved = False
             with Timer() as timer:
-                self._pt.step()
+                if moving and self.fly_interleave > 1:
+                    self._pt.step_interleaved(self.fly_interleave)
+                else:
+                    self._pt.step()
             self.timing.record_tile(timer.ms)
             # present stays ON DEVICE (row-major [H,W,3] f32) — the host
             # copy materialises lazily through `framebuffer` /
@@ -399,8 +418,8 @@ class Viewer:
                 and getattr(self, "_fb_rowmajor", False)):
             from .pathtracer import _to_u8
             return _to_u8(self._fb_dev)
-        fb = self.framebuffer
-        return (np.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        from ..utils.image import to_u8
+        return to_u8(self.framebuffer)
 
     def frame(self) -> np.ndarray:
         """One event-loop turn: compute + present (device-resident)."""
