@@ -34,7 +34,13 @@ def test_sphere_intersect_matches_oracle(rng):
                 np.testing.assert_allclose(t[i, s], t_ref, rtol=2e-6)
 
 
-def test_triangle_intersect_matches_oracle(rng):
+def test_triangle_intersect_matches_oracle():
+    # own deterministic stream: the session-scoped `rng` fixture's state
+    # depends on which tests ran before in the same process, and this
+    # test's hit-count sanity floor needs a draw that actually produces
+    # hits whether the file runs alone (run_tests.py per-file processes)
+    # or mid-suite
+    rng = np.random.default_rng(97)
     n = 256
     o, d = _rand_rays(rng, n)
     v0 = rng.normal(size=(8, 3)).astype(np.float32)
