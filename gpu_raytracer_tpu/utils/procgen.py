@@ -244,10 +244,56 @@ def make_courtyard_scene(target_triangles: int = 100_000, seed: int = 0,
     textures = None
     if textured:
         from ..ops.pallas.texshade import MAX_ATLAS_ROWS
-        textures = Textures.from_images(
-            courtyard_source_images(seed, texture_size=texture_size),
-            mips=config.texture_mips,
+        textures = courtyard_textures(
+            seed, texture_size, mips=config.texture_mips,
             budget_rows=(MAX_ATLAS_ROWS if config.texture_mips > 1
                          else None))
     return prepare_scene(camera, Spheres.from_rows([]), mesh, mats.build(),
                          lb.build(), textures=textures, config=config)
+
+
+def courtyard_textures(seed: int, texture_size: int, mips: int = 1,
+                       budget_rows: int | None = None):
+    """The courtyard's built atlas (`Textures.from_images` over
+    `courtyard_source_images`), DISK-CACHED: at the reference-class 4096
+    texel size the procedural image synthesis + mip/atlas packing is ~40 s
+    of host NumPy (BENCH_r04 tail) that is bit-deterministic in
+    (seed, size, mips, budget) — so pay it once per machine, not per
+    session. Cache: ~/.cache/gpu_raytracer_tpu (override
+    GPU_RAYTRACER_TPU_CACHE; empty string disables). Small sizes (< 1024)
+    skip the cache — building is faster than a few MB of IO."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+
+    from ..models.geometry import Textures
+
+    build = lambda: Textures.from_images(
+        courtyard_source_images(seed, texture_size=texture_size),
+        mips=mips, budget_rows=budget_rows)
+    cdir = os.environ.get("GPU_RAYTRACER_TPU_CACHE",
+                          os.path.expanduser("~/.cache/gpu_raytracer_tpu"))
+    if not cdir or texture_size < 1024:
+        return build()
+    path = os.path.join(
+        cdir, f"ctex_v1_s{seed}_t{texture_size}_m{mips}_b{budget_rows}.npz")
+    fields = [f.name for f in dataclasses.fields(Textures)
+              if f.name != "n_levels"]
+    try:
+        with np.load(path) as z:
+            arrs = {k: jnp.asarray(z[k]) for k in fields}
+            n_levels = int(z["n_levels"])
+        return Textures(**arrs, n_levels=n_levels)
+    except (OSError, KeyError):
+        pass
+    tex = build()
+    try:
+        os.makedirs(cdir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        np.savez(tmp, n_levels=np.int64(tex.n_levels),
+                 **{k: np.asarray(getattr(tex, k)) for k in fields})
+        os.replace(tmp, path)
+    except OSError:
+        pass                    # read-only FS etc. — cache is best-effort
+    return tex
