@@ -144,8 +144,10 @@ def tap_base(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
                        jnp.uint32(max(tex.count - 1, 0)))
     if lod is not None and tex.n_levels > 1:
         # clamp to each texture's resident chain (callers may pass a global
-        # bounce-LOD bias larger than a small texture's level count)
-        lod = jnp.minimum(lod, tex.levels[safe].astype(jnp.float32) - 1.0)
+        # bounce-LOD bias larger than a small texture's level count) and to
+        # >= 0 (a negative lod would walk level 0's metadata but callers
+        # should never rely on that)
+        lod = jnp.clip(lod, 0.0, tex.levels[safe].astype(jnp.float32) - 1.0)
         w, h, srows, off_row = _level_walk(tex, safe, lod)
         mode = tex.wrap[safe].astype(jnp.int32)
     elif lam is not None and tex.n_levels > 1:
@@ -222,7 +224,10 @@ def sample_texture(tex: Textures, idx: jnp.ndarray, uv: jnp.ndarray,
     "no texture = identity factor" convention. `lam` (per-lane mip
     footprint) enables nearest-mip selection on pyramid atlases;
     `trilinear=True` lerps the two straddling levels instead (kills
-    level-boundary banding at the cost of a second fetch).
+    level-boundary banding at the cost of a second fetch). `lod` (explicit
+    per-lane level) and `trilinear` are mutually exclusive: the trilinear
+    branch keys on `lam` and ignores `lod`, so callers pass one or the
+    other (the bounce paths pass lod, primary shading passes lam).
     """
     valid = idx != NO_TEXTURE
     safe = jnp.where(valid, idx, 0).astype(jnp.uint32)

@@ -564,6 +564,12 @@ def _path_trace_pool_fused(scene: Scene, rays: WavefrontRays, key,
             # bounce-LOD bias: depth-d pools sample the atlas at level
             # bias*d (static per launch — the fused loop IS per-depth).
             # Depth 0 (camera rays) stays at level 0 / full sharpness.
+            # INVARIANT: every active lane in this pool has
+            # bounce_depth == depth (bounce_depth increments uniformly in
+            # _bounce_update). If ray regeneration/compaction ever mixes
+            # depths in one pool, this static LOD silently diverges from
+            # the XLA twin's per-lane bounce_depth * bias — switch to the
+            # per-lane form then.
             tex_lod=tex_lod_bias * depth,
             # chip A/B: exact entry-distance child ordering (order_mode 2)
             # beats the majority-sign heuristic only on the SEMI-coherent
