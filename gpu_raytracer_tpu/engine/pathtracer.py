@@ -113,21 +113,29 @@ def _step_whole_frame(scene: Scene, accum, key, step_idx, px, py, *,
 @partial(jax.jit,
          static_argnames=("width", "height", "channel", "max_depth",
                           "rr_start", "shadows", "leaf_size", "use_bvh",
-                          "antialias", "spp", "qmc", "tex_lod_bias"),
+                          "antialias", "spp", "qmc", "tex_lod_bias",
+                          "stride"),
          donate_argnums=(1, 2))
 def _step_subset(scene: Scene, accum, counts, key, step_idx, px_s, py_s,
                  idx, pid_base, *, width: int, height: int, channel: int,
                  max_depth: int, rr_start: int, shadows: bool,
                  leaf_size: int, use_bvh: bool, antialias: bool, spp: int,
-                 qmc: bool = False, qmc_seed=0, tex_lod_bias: float = 0.0):
+                 qmc: bool = False, qmc_seed=0, tex_lod_bias: float = 0.0,
+                 stride=None):
     """One progressive step over a pixel SUBSET (interleaved fly-through
-    sampling): trace the coset's rays as one pool, scatter-add the
-    contribution and per-pixel sample counts into the full-frame
-    accumulator. `idx` is the coset's accumulator rows — sorted and unique
-    by construction (a filter of increasing rows), which XLA's scatter
-    fast-paths. The temporal warp + denoiser reconstruct the untouched
+    sampling): trace the coset's rays as one pool and accumulate the
+    contribution + per-pixel sample counts into the full-frame
+    accumulator. The temporal warp + denoiser reconstruct the untouched
     pixels from history, so a moving frame pays 1/m of the wavefront cost
-    (the VERDICT r4 #2 path to >=10 FPS at 1024²)."""
+    (the VERDICT r4 #2 path to >=10 FPS at 1024²).
+
+    `stride` = (a, b, ka, kb): when the frame is whole 64-px tiles, coset
+    (x % a == ka, y % b == kb) is the REGULAR pattern
+    accum[tile, kb::b, ka::a] of the [tiles, 64, 64] view, so the update
+    is a static strided-slice add — XLA lowers it as pad/select, no
+    scatter (the generic .at[idx].add scatter measured ~60 ms/frame at
+    1024², more than the quarter-pool trace it was accumulating). `idx`
+    stays the fallback for frames with partial tiles."""
     skey = jax.random.fold_in(key, step_idx)
     jit_key = jax.random.fold_in(skey, pid_base)
     jitter = (jax.random.uniform(jit_key, (px_s.shape[0], 2))
@@ -138,11 +146,79 @@ def _step_subset(scene: Scene, accum, counts, key, step_idx, px_s, py_s,
         qmc=qmc, sample_base=step_idx, qmc_seed=qmc_seed,
         qmc_antialias=antialias, qmc_pid_base=pid_base,
         tex_lod_bias=tex_lod_bias)
-    accum = accum.at[idx].add(contrib, indices_are_sorted=True,
-                              unique_indices=True)
-    counts = counts.at[idx].add(jnp.float32(spp), indices_are_sorted=True,
-                                unique_indices=True)
+    if stride is not None:
+        a, b, ka, kb = stride
+        acc4 = accum.reshape(-1, 64, 64, 3)
+        sub = (acc4[:, kb::b, ka::a, :]
+               + contrib.reshape(acc4.shape[0], 64 // b, 64 // a, 3))
+        accum = acc4.at[:, kb::b, ka::a, :].set(sub).reshape(-1, 3)
+        cnt3 = counts.reshape(-1, 64, 64)
+        counts = cnt3.at[:, kb::b, ka::a].add(
+            jnp.float32(spp)).reshape(-1)
+    else:
+        accum = accum.at[idx].add(contrib, indices_are_sorted=True,
+                                  unique_indices=True)
+        counts = counts.at[idx].add(jnp.float32(spp),
+                                    indices_are_sorted=True,
+                                    unique_indices=True)
     return accum, counts, tallies
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "channel", "max_depth",
+                          "rr_start", "shadows", "leaf_size", "use_bvh",
+                          "antialias", "spp", "qmc", "tex_lod_bias",
+                          "stride", "iterations", "to_u8"),
+         donate_argnums=(2,))
+def _fly_frame(scene_new: Scene, old_cam, accum, n_tot, inv_perm, px, py,
+               clamp, wkey, old_depth_tile, key, step_idx, px_s, py_s,
+               pid_base, *, width: int, height: int, channel: int,
+               max_depth: int, rr_start: int, shadows: bool,
+               leaf_size: int, use_bvh: bool, antialias: bool, spp: int,
+               qmc: bool, qmc_seed=0, tex_lod_bias: float = 0.0,
+               stride=None, iterations: int = 4, to_u8: bool = False):
+    """One MOVING path-trace frame as a single compiled program: temporal
+    warp (reproject history into the new camera) + interleaved-coset
+    sample step + G-buffer reorder + à-trous denoise + display encode.
+    The three-dispatch version paid a tunnel RPC per stage (~20-40 ms
+    each through the dev tunnel); one dispatch also lets XLA overlap the
+    independent warp and pool traces. Returns (accum', counts',
+    gbuf_tile, frame [H,W,3] f32-or-u8, per-depth tallies)."""
+    from ..ops.denoise import atrous_denoise
+
+    accum0, n0, gbuf_tile = _warp_history(
+        scene_new, old_cam, accum, n_tot, inv_perm, px, py, clamp, wkey,
+        None, old_depth_tile, width=width, height=height,
+        leaf_size=leaf_size, use_bvh=use_bvh)
+
+    skey = jax.random.fold_in(key, step_idx)
+    jit_key = jax.random.fold_in(skey, pid_base)
+    jitter = (jax.random.uniform(jit_key, (px_s.shape[0], 2))
+              if antialias and not qmc else None)
+    contrib, tallies = _sample_chunk(
+        scene_new, px_s, py_s, width, height, jit_key, channel, max_depth,
+        rr_start, shadows, leaf_size, use_bvh, jitter, None, spp=spp,
+        qmc=qmc, sample_base=step_idx, qmc_seed=qmc_seed,
+        qmc_antialias=antialias, qmc_pid_base=pid_base,
+        tex_lod_bias=tex_lod_bias)
+    a, b, ka, kb = stride
+    acc4 = accum0.reshape(-1, 64, 64, 3)
+    sub = (acc4[:, kb::b, ka::a, :]
+           + contrib.reshape(acc4.shape[0], 64 // b, 64 // a, 3))
+    accum1 = acc4.at[:, kb::b, ka::a, :].set(sub).reshape(-1, 3)
+    counts = n0.reshape(-1, 64, 64).at[:, kb::b, ka::a].add(
+        jnp.float32(spp)).reshape(-1)
+
+    normal, depth, albedo = _gbuf_rowmajor(gbuf_tile, inv_perm,
+                                           width=width, height=height)
+    inv_n = (1.0 / jnp.maximum(counts, 1.0))[:, None]
+    img = (accum1 * inv_n)[inv_perm].reshape(height, width, 3)
+    out = atrous_denoise(img, normal, depth, albedo, iterations=iterations)
+    if to_u8:
+        from ..utils.image import linear_to_srgb
+        out = (jnp.clip(linear_to_srgb(out, xp=jnp), 0.0, 1.0) * 255.0
+               + 0.5).astype(jnp.uint8)
+    return accum1, counts, gbuf_tile, out, tallies
 
 
 @partial(jax.jit, static_argnames=("width", "height", "leaf_size",
@@ -646,11 +722,16 @@ class PathTracer:
         from ..ops.wavefront import RGB_CHANNEL
 
         chan = RGB_CHANNEL if self.spectral else 1
+        a, b = {2: (2, 1), 4: (2, 2), 8: (4, 2)}[m]
+        stride = ((a, b, phase % a, phase // a)
+                  if self.width % 64 == 0 and self.height % 64 == 0
+                  else None)
         self._last_seed = 0x7000 + self._il_step
         self.accum, self._count_base, self._last_counts = _step_subset(
             self.scene, self.accum, self._count_base, self.key,
             jnp.int32(self._last_seed), px_s, py_s, idx,
             jnp.int32(phase * idx.shape[0]),
+            stride=stride,
             width=self.width, height=self.height, channel=chan,
             max_depth=self.config.max_bounce_depth,
             rr_start=self.config.russian_roulette_start,
@@ -660,6 +741,68 @@ class PathTracer:
             qmc_seed=self._qmc_seed,
             tex_lod_bias=self.config.bounce_lod_bias)
         self.perf.update_frame_count()
+
+    def fly_frame(self, camera, m: int = 4, iterations: int = 4,
+                  u8: bool = False, **kw):
+        """One moving frame — temporal warp to `camera` + one interleaved
+        1/m sample step + à-trous reconstruction — as a SINGLE compiled
+        dispatch (_fly_frame), the interactive fly-through's hot path.
+        Returns the denoised row-major [H,W,3] device frame (f32, or
+        display-encoded u8). Falls back to the composed
+        set_camera/step_interleaved/denoised_frame pipeline when the
+        frame shape or scene can't ride the fused path."""
+        fused_ok = (self._total_samples() > 0 and self.width % 64 == 0
+                    and self.height % 64 == 0 and m in (1, 2, 4, 8)
+                    and self.interleave_ok(max(m, 2))
+                    and self._whole_frame_ok() and not kw)
+        if not fused_ok:
+            self.set_camera(camera, temporal=True)
+            if m > 1:
+                self.step_interleaved(m)
+            else:
+                self.step()
+            return self.denoised_frame(iterations=iterations, u8=u8, **kw)
+
+        old_cam = self.scene.camera
+        scene_new = self.scene.with_camera(camera)
+        self._ensure_inv_perm()
+        self._warp_no = getattr(self, "_warp_no", 0) + 1
+        wkey = jax.random.fold_in(jax.random.fold_in(self.key, 0x3A97),
+                                  self._warp_no)
+        old_depth_tile = (self._gbuf_tile[1]
+                          if self._gbuf_tile is not None else None)
+        self._il_step = getattr(self, "_il_step", 0) + 1
+        phase = (getattr(self, "_il_phase", -1) + 1) % m
+        self._il_phase = phase
+        idx, px_s, py_s = self._cosets(m)[phase] if m > 1 else (
+            None, self._px, self._py)
+        a, b = {1: (1, 1), 2: (2, 1), 4: (2, 2), 8: (4, 2)}[m]
+        from ..ops.wavefront import RGB_CHANNEL
+
+        chan = RGB_CHANNEL if self.spectral else 1
+        self._last_seed = 0x7000 + self._il_step
+        (self.accum, self._count_base, self._gbuf_tile, fb,
+         self._last_counts) = _fly_frame(
+            scene_new, old_cam, self.accum, self._n_total(),
+            self._inv_perm, self._px, self._py,
+            jnp.float32(self.temporal_clamp), wkey, old_depth_tile,
+            self.key, jnp.int32(self._last_seed), px_s, py_s,
+            jnp.int32(phase * px_s.shape[0]),
+            width=self.width, height=self.height, channel=chan,
+            max_depth=self.config.max_bounce_depth,
+            rr_start=self.config.russian_roulette_start,
+            shadows=self.shadows, leaf_size=self.config.bvh_leaf_size,
+            use_bvh=self.use_bvh, antialias=self.antialias,
+            spp=self.samples_per_step, qmc=self.qmc,
+            qmc_seed=self._qmc_seed,
+            tex_lod_bias=self.config.bounce_lod_bias,
+            stride=(a, b, phase % a, phase // a), iterations=iterations,
+            to_u8=u8)
+        self.scene = scene_new
+        self.samples = 0
+        self._gbuf = None
+        self.perf.update_frame_count()
+        return fb
 
     def render(self, spp: int, progress: bool = False) -> np.ndarray:
         timing = ProgressiveTiming()

@@ -94,6 +94,10 @@ class Viewer:
         # always take full steps (convergence quality is untouched).
         self.fly_interleave = 4
         self._pt_moved = False
+        # moving frames reconstruct with one fewer à-trous iteration than
+        # the converging preview (4): the temporal history keeps noise low
+        # and the widest-radius pass is the least visible in motion
+        self.fly_denoise_iters = 3
         # Tile pixel template in 64x64-subtile order: 128x128 progressive
         # tiles = two coherent 8192-lane traversal packets per dispatch, so
         # each tile rides the fused Pallas path at full packet occupancy.
@@ -178,9 +182,16 @@ class Viewer:
         self.scene = self.scene.with_camera(self.controller.camera())
         self.renderer.scene = self.scene
         if self._pt is not None:
-            # restart accumulation — or warp it into the new view
-            self._pt.set_camera(self.scene.camera, temporal=self.temporal)
-            self._pt_moved = True   # next step may interleave (fly mode)
+            if self.temporal and self._pt._total_samples() > 0:
+                # defer the warp: run_compute dispatches the whole moving
+                # frame (warp + interleaved step + denoise) as ONE fused
+                # program (PathTracer.fly_frame) — the camera recorded
+                # here is the warp target
+                self._pt_moved = True
+            else:
+                # restart accumulation (the reference's trigger_recompute)
+                self._pt.set_camera(self.scene.camera,
+                                    temporal=self.temporal)
         self.progressive.trigger_recompute()
         self.timing = ProgressiveTiming()
 
@@ -299,20 +310,37 @@ class Viewer:
             self._ensure_pathtracer()
             moving = self._pt_moved and self.temporal
             self._pt_moved = False
-            with Timer() as timer:
-                if moving and self.fly_interleave > 1:
-                    self._pt.step_interleaved(self.fly_interleave)
-                else:
-                    self._pt.step()
-            self.timing.record_tile(timer.ms)
-            # present stays ON DEVICE (row-major [H,W,3] f32) — the host
-            # copy materialises lazily through `framebuffer` /
-            # `framebuffer_u8`, so step+denoise dispatch asynchronously
-            # and presenters that want u8 fetch a quarter of the bytes
-            if self.denoise and self._pt.samples < self.denoise_until:
-                self._fb_dev = self._pt.denoised_frame()
-            else:
+            if moving and self.denoise:
+                # ONE fused dispatch: warp to the recorded camera +
+                # interleaved 1/m step + denoise (PathTracer.fly_frame)
+                with Timer() as timer:
+                    self._fb_dev = self._pt.fly_frame(
+                        self.scene.camera, m=self.fly_interleave,
+                        iterations=self.fly_denoise_iters)
+                self.timing.record_tile(timer.ms)
+            elif moving:
+                # denoiser toggled off: composed path, raw mean present
+                with Timer() as timer:
+                    self._pt.set_camera(self.scene.camera, temporal=True)
+                    if self.fly_interleave > 1:
+                        self._pt.step_interleaved(self.fly_interleave)
+                    else:
+                        self._pt.step()
+                self.timing.record_tile(timer.ms)
                 self._fb_dev = self._pt.image_device()
+            else:
+                with Timer() as timer:
+                    self._pt.step()
+                self.timing.record_tile(timer.ms)
+                # present stays ON DEVICE (row-major [H,W,3] f32) — the
+                # host copy materialises lazily through `framebuffer` /
+                # `framebuffer_u8`, so step+denoise dispatch
+                # asynchronously and presenters that want u8 fetch a
+                # quarter of the bytes
+                if self.denoise and self._pt.samples < self.denoise_until:
+                    self._fb_dev = self._pt.denoised_frame()
+                else:
+                    self._fb_dev = self._pt.image_device()
             self._fb_rowmajor = True
             self._fb_host_dirty = True
             self._nee_samples = 0   # stale whitted frame: no NEE refining
@@ -420,6 +448,33 @@ class Viewer:
             return _to_u8(self._fb_dev)
         from ..utils.image import to_u8
         return to_u8(self.framebuffer)
+
+    def present_frame_packed(self):
+        """present_frame at HALF the tunnel bytes: device-resident frames
+        come back as a device YUV 4:2:0 u8 handle ([H*3/2, W] — see
+        utils/yuv.py; materialize_frame() unpacks), 1.5 bytes/px vs RGB's
+        3. The dev tunnel's ~10-30 MB/s made the 1024² u8 fetch cost more
+        than the frame's compute; chroma subsampling is the remote-present
+        answer every video pipeline uses. Non-device frames fall back to
+        the RGB u8 host array."""
+        if (self._fb_dev is not None and self._fb_host_dirty
+                and getattr(self, "_fb_rowmajor", False)
+                and self._fb_dev.ndim == 3
+                and self._fb_dev.dtype != np.uint8
+                and self.height % 2 == 0 and self.width % 2 == 0):
+            from ..utils.yuv import encode_yuv420
+            return encode_yuv420(self._fb_dev)
+        return self.present_frame()
+
+    @staticmethod
+    def materialize_frame(handle) -> np.ndarray:
+        """Fetch + unpack a present_frame / present_frame_packed handle to
+        display RGB u8 [H,W,3]."""
+        arr = np.asarray(handle)
+        if arr.ndim == 2:                 # packed YUV 4:2:0
+            from ..utils.yuv import decode_yuv420
+            return decode_yuv420(arr)
+        return arr
 
     def frame(self) -> np.ndarray:
         """One event-loop turn: compute + present (device-resident)."""

@@ -88,10 +88,10 @@ def test_viewer_pathtrace_toggle():
     assert v._pt.samples == 2
     fb = v.framebuffer
     assert np.isfinite(fb).all() and fb.shape == (32, 32, 3)
-    v.handle_key("w")              # move -> accumulation restarts
-    assert v._pt.samples == 0
-    v.run_compute()
-    assert v._pt.samples == 1
+    v.handle_key("w")              # move -> warp deferred to the next frame
+    v.run_compute()                # fused/composed moving frame
+    assert v._pt.samples == 0      # history folded into per-pixel counts
+    assert v._pt._count_base is not None
     v.handle_key("p")
     assert not v.pathtrace
     v.run_compute()                # whitted path still works
@@ -250,10 +250,11 @@ def test_pathtrace_fly_through_keeps_history(default_scene):
     for f in frames:
         assert np.isfinite(f).all()
     # the move warped history rather than zeroing it: reprojected counts
-    # survive in _count_base while per-step samples restarted at 1
+    # survive in _count_base (the interleaved moving frame keeps all
+    # per-pixel bookkeeping in the vector, scalar samples stays 0)
     assert v._pt._count_base is not None
-    assert float(np.asarray(v._pt._count_base).max()) > 0.0
-    assert v._pt.samples == 1
+    assert float(np.asarray(v._pt._count_base).max()) > 1.0
+    assert v._pt.samples == 0
 
 
 def test_cli_fly_pathtrace(tmp_path, default_scene):
