@@ -183,14 +183,16 @@ class ViewerServer:
             with self._lock:
                 self.viewer.run_compute()
                 self.viewer.perf.update_frame_count()
-                # device u8 handle — quantise dispatched, NOT fetched
-                nxt = self.viewer.present_frame()
+                # device YUV 4:2:0 handle — encode dispatched, NOT fetched
+                # (half the tunnel bytes of the RGB u8 handle)
+                nxt = self.viewer.present_frame_packed()
             # one-frame pipelined present: materialise the PREVIOUS
             # frame's handle while this one computes on device (the
             # swapchain analogue; host-path handles are already ndarrays
             # and fetch as a no-op). The first loop after a connect has
             # nothing older to show — it presents its own frame.
-            frame = np.asarray(pending if pending is not None else nxt)
+            frame = self.viewer.materialize_frame(
+                pending if pending is not None else nxt)
             pending = nxt
             png = encode_png(frame, level=1)    # speed over size
             dt = time.perf_counter() - t0

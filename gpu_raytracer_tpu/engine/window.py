@@ -156,8 +156,9 @@ class NativeWindow:
         # the f32 readback bytes), host-quantised otherwise — pipelined one
         # frame deep: materialise the PREVIOUS tick's device handle while
         # this tick's frame computes (Viewer.present_frame)
-        nxt = self.viewer.present_frame()
-        fb = np.asarray(self._pending if self._pending is not None else nxt)
+        nxt = self.viewer.present_frame_packed()   # YUV 4:2:0 device handle
+        fb = self.viewer.materialize_frame(
+            self._pending if self._pending is not None else nxt)
         self._pending = nxt
         self._photo = self._tk.PhotoImage(data=_ppm_bytes(fb))
         self.label.configure(image=self._photo)
