@@ -399,23 +399,54 @@ def _merge_spheres(scene: Scene, orig, dirn, tri_t, tri_g, tri_n, tri_m,
     )
 
 
+def _coherence_perm(scene: Scene, orig, dirn):
+    """Global coherence-sort permutation for a sharded trace: the same
+    (direction octant | axis | origin Morton) key the wavefront engine
+    sorts bounce pools by (its measured 13x lesson — ops/wavefront.py
+    _sort_perm). Sorting is a pure permutation: per-ray results are
+    unchanged (traversal is per-ray; the ICI combine tie-breaks on
+    (t, original-triangle-id), not ray order), but packets — and the ring
+    mode's N/D blocks — become coherent, so the shared-cursor traversal
+    stops paying for interleaved octants. Returns (perm, inv)."""
+    from ..ops.wavefront import _sort_perm
+
+    perm = _sort_perm(scene, orig, dirn,
+                      jnp.ones((orig.shape[0],), bool))
+    return perm, jnp.argsort(perm)
+
+
+def _apply_hit_perm(hit: Hit, inv) -> Hit:
+    return jax.tree_util.tree_map(lambda a: a[inv], hit)
+
+
 def trace_geometry_sharded_ring(scene: Scene, orig: jnp.ndarray,
                                 dirn: jnp.ndarray, mesh: Mesh,
                                 shards: GeometryShards | None = None,
                                 packet_size: int | None = None,
                                 use_pallas: bool | None = None,
-                                interpret: bool | None = None) -> Hit:
+                                interpret: bool | None = None,
+                                sort: bool = True) -> Hit:
     """Closest hit with rays AND triangles sharded: each chip traverses
     only N/D rays per step against its sub-BVH, ring-rotating blocks with
     their running winner (see _geom_ring_fn). Compute per chip scales with
     D on coherent content (the running best-t retires later sub-BVHs at
-    the root); HBM scales with D as in trace_geometry_sharded."""
+    the root); HBM scales with D as in trace_geometry_sharded. `sort`
+    coherence-sorts the rays first (see _coherence_perm) — results are
+    identical, incoherent batches traverse several times faster."""
     from ..ops.trace import _pallas_available
 
     n_dev = mesh.devices.size
     if shards is None:
         shards = GeometryShards(scene, n_dev)
     assert shards.n_shards == n_dev
+
+    if sort:
+        perm, inv = _coherence_perm(scene, orig, dirn)
+        hit = trace_geometry_sharded_ring(
+            scene, orig[perm], dirn[perm], mesh, shards=shards,
+            packet_size=packet_size, use_pallas=use_pallas,
+            interpret=interpret, sort=False)
+        return _apply_hit_perm(hit, inv)
 
     N = orig.shape[0]
     if interpret is None:
@@ -455,7 +486,8 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
                            mesh: Mesh, shards: GeometryShards | None = None,
                            packet_size: int | None = None,
                            use_pallas: bool | None = None,
-                           interpret: bool | None = None) -> Hit:
+                           interpret: bool | None = None,
+                           sort: bool = True) -> Hit:
     """Closest hit with triangles sharded across chips via per-shard BVHs.
 
     Each chip runs the PALLAS packet traversal (BVH4 ordered — the same
@@ -475,6 +507,14 @@ def trace_geometry_sharded(scene: Scene, orig: jnp.ndarray, dirn: jnp.ndarray,
     if shards is None:
         shards = GeometryShards(scene, n_dev)
     assert shards.n_shards == n_dev
+
+    if sort:
+        perm, inv = _coherence_perm(scene, orig, dirn)
+        hit = trace_geometry_sharded(
+            scene, orig[perm], dirn[perm], mesh, shards=shards,
+            packet_size=packet_size, use_pallas=use_pallas,
+            interpret=interpret, sort=False)
+        return _apply_hit_perm(hit, inv)
 
     N = orig.shape[0]
     if interpret is None:  # virtual CPU meshes run the kernel interpreted
@@ -564,3 +604,54 @@ def render_frame_fused_multichip(scene, width: int, height: int, mesh,
     fb = np.zeros((height, width, 3), np.float32)
     fb[py, px] = flat
     return fb
+
+
+def pathtrace_step_sharded(scene: Scene, accum, key, step_idx, px, py,
+                           mesh: Mesh, *, width: int, height: int,
+                           channel: int = 3, max_depth: int = 4,
+                           rr_start: int = 2, shadows: bool = True,
+                           leaf_size: int = 8, use_bvh: bool = True,
+                           antialias: bool = True, spp: int = 1,
+                           qmc: bool = True, qmc_seed=0,
+                           tex_lod_bias: float = 0.0):
+    """The PRODUCTION progressive path-trace step under shard_map: the
+    same fused-bounce + coherence-sort + QMC pool program the single-chip
+    PathTracer dispatches (engine/pathtracer._sample_chunk), with the ray
+    batch and accumulator data-parallel over the mesh's ray axis and the
+    scene replicated. Per-depth ray tallies psum over ICI — the only
+    collective; radiance is pixel-local so the accumulator never moves.
+
+    QMC pixel identity is global (shard base = axis_index * block), so
+    with the default qmc+antialias sampler every ray draws the IDENTICAL
+    lattice sample it would draw single-chip — the D-device radiance
+    equals the single-device step up to fp reassociation (the CPU-mesh
+    parity test pins it at 1e-5).
+
+    Returns (accum + contribution [C,3] ray-sharded, per-depth counts).
+    """
+    from ..engine.pathtracer import _sample_chunk
+
+    n = px.shape[0]
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, "ray count must divide the mesh"
+    blk = n // n_dev
+
+    def shard_fn(scene_rep, accum_blk, key_rep, step_rep, pxs, pys):
+        i = jax.lax.axis_index(RAY_AXIS)
+        skey = jax.random.fold_in(key_rep, step_rep)
+        jit_key = jax.random.fold_in(skey, i)
+        jitter = (jax.random.uniform(jit_key, (blk, 2))
+                  if antialias and not qmc else None)
+        contrib, counts = _sample_chunk(
+            scene_rep, pxs, pys, width, height, jit_key, channel,
+            max_depth, rr_start, shadows, leaf_size, use_bvh, jitter,
+            None, spp=spp, qmc=qmc, sample_base=step_rep,
+            qmc_seed=qmc_seed, qmc_antialias=antialias,
+            qmc_pid_base=i * blk, tex_lod_bias=tex_lod_bias)
+        return accum_blk + contrib, jax.lax.psum(counts, RAY_AXIS)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P()), check_vma=False)
+    return jax.jit(fn)(scene, accum, key, jnp.int32(step_idx), px, py)

@@ -289,3 +289,32 @@ def test_fused_multichip_textured():
     assert r._use_deferred()
     single = r.render()
     np.testing.assert_allclose(fb, single, atol=3e-4)
+
+
+@needs_8
+def test_pathtrace_step_sharded_matches_single(default_scene):
+    """VERDICT r4 #3: the PRODUCTION path-trace step (fused pool +
+    coherence sorts + QMC) under shard_map must reproduce the
+    single-device PathTracer step — global QMC pixel identity makes
+    every ray draw the identical lattice sample, so the 8-device
+    radiance matches up to fp reassociation."""
+    from gpu_raytracer_tpu.engine.pathtracer import PathTracer
+    from gpu_raytracer_tpu.parallel.shard import pathtrace_step_sharded
+
+    W = H = 32
+    mesh = make_mesh(8)
+    pt = PathTracer(default_scene, W, H, shadows=True, spectral=True)
+    pt.step()
+    single = np.asarray(pt.accum)
+    counts_single = np.asarray(pt._last_counts)
+
+    pt2 = PathTracer(default_scene, W, H, shadows=True, spectral=True)
+    accum, counts = pathtrace_step_sharded(
+        default_scene, pt2.accum, pt2.key, 0, pt2._px, pt2._py, mesh,
+        width=W, height=H, channel=3,
+        max_depth=pt2.config.max_bounce_depth,
+        rr_start=pt2.config.russian_roulette_start,
+        leaf_size=pt2.config.bvh_leaf_size, use_bvh=pt2.use_bvh,
+        qmc=True, qmc_seed=pt2._qmc_seed)
+    np.testing.assert_allclose(np.asarray(accum), single, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counts), counts_single)
