@@ -38,8 +38,16 @@ class Camera:
 
     @staticmethod
     def create(position, direction, up=(0.0, 1.0, 0.0), fov=45.0) -> "Camera":
-        d = np.asarray(direction, np.float32)
-        d = d / np.linalg.norm(d)
+        # idempotent f64 normalisation (same rule as prepare_scene /
+        # gltf._normalize): an already-unit direction passes through
+        # bit-unchanged, so a scene and its GLB round trip build the
+        # identical camera
+        d64 = np.asarray(direction, np.float64)
+        n = float(np.linalg.norm(d64))
+        if n == 0.0 or abs(n - 1.0) <= 1e-6:
+            d = np.asarray(direction, np.float32)
+        else:
+            d = (d64 / n).astype(np.float32)
         return Camera(
             position=jnp.asarray(position, jnp.float32),
             direction=jnp.asarray(d, jnp.float32),

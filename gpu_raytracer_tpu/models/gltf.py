@@ -111,7 +111,15 @@ def _transform_vector(m: np.ndarray, v) -> np.ndarray:
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
-    return v / np.linalg.norm(v)
+    """Unit vector, IDEMPOTENT at f32: a vector already unit to f32
+    precision returns unchanged (renormalising an exported-then-reloaded
+    direction would shift its bits by an ulp and break the scene-vs-round-
+    trip bit equality that prepare_scene's canonical normalisation — the
+    same rule — establishes)."""
+    n = float(np.linalg.norm(np.asarray(v, np.float64)))
+    if abs(n - 1.0) <= 1e-6:
+        return np.asarray(v, np.float32)
+    return (np.asarray(v, np.float64) / n).astype(np.float32)
 
 
 # ---------------------------------------------------------------- PNG decode

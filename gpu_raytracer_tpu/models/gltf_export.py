@@ -43,7 +43,9 @@ def _aim_matrix(direction, up=None, position=(0.0, 0.0, 0.0)) -> list:
     (GltfLoader._convert_camera/_convert_light: dir = R@(0,0,-1),
     up = R@(0,1,0), position = translation)."""
     d = np.asarray(direction, np.float64)
-    d = d / np.linalg.norm(d)
+    n = np.linalg.norm(d)
+    if abs(n - 1.0) > 1e-6:   # idempotent at f32, like loader/_prepare
+        d = d / n
     if up is None:
         up = (0.0, 1.0, 0.0) if abs(d[1]) < 0.9 else (1.0, 0.0, 0.0)
     u = np.asarray(up, np.float64)

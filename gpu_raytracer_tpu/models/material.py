@@ -99,8 +99,13 @@ class MaterialBuilder:
             diffuse_factor=np.asarray(
                 albedo if diffuse_factor is None else diffuse_factor, np.float32
             ),
+            # the default derives from the f16-QUANTISED roughness: a GLB
+            # round trip re-derives it from the decoded f16 value
+            # (gltf.py), so using the raw f32 here would differ by an f16
+            # rounding for no reason (the value is unused in MR mode)
             glossiness_factor=np.float32(
-                (1.0 - roughness) if glossiness_factor is None else glossiness_factor
+                (1.0 - np.float32(np.float16(roughness)))
+                if glossiness_factor is None else glossiness_factor
             ),
             material_type=np.uint32(material_type),
             texture_indices=np.full(8, NO_TEXTURE, np.uint32)

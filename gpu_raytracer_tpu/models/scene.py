@@ -169,6 +169,35 @@ def prepare_scene(
     """Assemble a device scene: build the BVH (host, unless given), reorder
     triangles into leaf order, precompute edges. Mirrors SceneState::new's
     always-rebuild-BVH behaviour (/root/reference/src/scene.rs:20-127)."""
+    # Canonical direction normalisation: the glTF loader can only recover
+    # NORMALISED camera/light directions (they ride rotation matrices,
+    # gltf.py:547-558), while procedural builders keep raw vectors — the
+    # last bit-level difference between a scene and its GLB round trip
+    # (ray directions off by ulps flipped isolated edge pixels at 4.4e-2).
+    # Normalising is semantically free: the camera basis is scale-
+    # invariant (SURVEY ray.rs row) and shading normalises light
+    # directions at use.
+    # IDEMPOTENT at f32 (same rule as the loader's _normalize): vectors
+    # already unit pass through bit-unchanged, others normalise in f64 —
+    # so normalise(normalise(x)) == normalise(x) bitwise across the
+    # writer -> loader -> prepare chain.
+    def _unit(v):
+        v64 = np.asarray(v, np.float64)
+        n = float(np.linalg.norm(v64))
+        if n == 0.0 or abs(n - 1.0) <= 1e-6:
+            return np.asarray(v, np.float32)
+        return (v64 / n).astype(np.float32)
+
+    camera = replace(camera,
+                     direction=jnp.asarray(_unit(camera.direction)),
+                     up=jnp.asarray(_unit(camera.up)))
+    ld = np.asarray(lights.direction, np.float64)
+    nrm = np.linalg.norm(ld, axis=1, keepdims=True)
+    unit_rows = np.abs(nrm - 1.0) <= 1e-6
+    scale = np.where((nrm == 0.0) | unit_rows, 1.0, nrm)
+    lights = replace(lights, direction=jnp.asarray(
+        (ld / scale).astype(np.float32)))
+
     vertices = np.asarray(mesh.vertices)
     indices = np.asarray(mesh.indices)
     material_id = np.asarray(mesh.material_id)

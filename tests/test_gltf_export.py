@@ -87,12 +87,17 @@ def test_courtyard_glb_roundtrip_textured(tmp_path):
     np.testing.assert_array_equal(np.asarray(scene.tri_uv),
                                   np.asarray(got.tri_uv))
 
-    # the render through the loaded scene matches the procedural scene
-    # (residual: camera yfov degrees->radians round trip is not bit-exact)
+    # camera and lights round-trip bit-exactly too (idempotent f64
+    # normalisation across builder/writer/loader — Camera.create,
+    # prepare_scene, gltf._normalize share the rule), so the render
+    # through the loaded scene is IDENTICAL to the procedural scene
+    for k in ("position", "direction", "up", "fov"):
+        np.testing.assert_array_equal(np.asarray(getattr(scene.camera, k)),
+                                      np.asarray(getattr(got.camera, k)),
+                                      err_msg=k)
     a = render_image(scene, 96, 64, shadows=True)
     b = render_image(got, 96, 64, shadows=True)
-    assert rmse(a, b) < 1e-5
-    assert np.abs(a - b).max() < 1e-3
+    assert np.abs(a - b).max() == 0.0
 
 
 def test_default_scene_glb_roundtrip(tmp_path):

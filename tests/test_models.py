@@ -23,9 +23,12 @@ def test_material_constructors_match_reference_semantics():
     np.testing.assert_allclose(rough, np.float32(np.float16([1.0, 0.1, 0.0, 1.0])))
     np.testing.assert_allclose(ior, [1.5, 1.5, 1.5, 1.5])
     np.testing.assert_allclose(trans, np.float32(np.float16([0.0, 0.0, 0.9, 0.0])))
-    # glossiness defaults to 1-roughness, diffuse_factor to albedo
-    np.testing.assert_allclose(np.asarray(m.glossiness_factor),
-                               [0.0, 0.9, 1.0, 0.0], atol=1e-6)
+    # glossiness defaults to 1 - f16(roughness) — derived from the
+    # QUANTISED roughness so a GLB round trip (which re-derives it from
+    # the decoded f16) reproduces it bit-exactly
+    np.testing.assert_allclose(
+        np.asarray(m.glossiness_factor),
+        1.0 - np.float32(np.float16([1.0, 0.1, 0.0, 1.0])), atol=1e-7)
     np.testing.assert_allclose(np.asarray(m.diffuse_factor)[0], [0.8, 0.3, 0.3])
     assert (np.asarray(m.texture_indices) == NO_TEXTURE).all()
     assert (np.asarray(m.material_type) == 0).all()
