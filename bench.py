@@ -189,11 +189,27 @@ def main():
         "pathtrace_stream_fps": 0.0,
         "textured_mrays_per_s": 0.0,
         "pathtrace_textured_spp_per_s": 0.0,
+        "textured_scale_mrays_per_s": 0.0,   # >=32-mat/16-tex zoo via GLB
+        "textured_scale_mats": 0,
+        "textured_scale_texs": 0,
         "gltf_load_s": 0.0,
         "gltf_parity_vs_procedural": -1.0,
         "parity_fused_vs_xla": -1.0,
         "parity_deferred_vs_xla": -1.0,
         "parity_deferred_vs_xla_mean": -1.0,
+        "rmse_vs_oracle": -1.0,              # chip render vs the CPU oracle
+        # cold-start observability (VERDICT r4 #9): compile+first-frame
+        # seconds per pipeline — near-zero when the persistent cache is warm
+        "compile_s_primary": 0.0,
+        "compile_s_pathtrace": 0.0,
+        "compile_s_textured": 0.0,
+        "compile_s_fly": 0.0,
+        # geometry-shard A/B controls (VERDICT r4 #4): the same ray set
+        # unsharded on the production trace, and sharded sorted/unsorted
+        "shard_unsharded_ms": 0.0,
+        "shard_sorted_ms": 0.0,
+        "shard_unsorted_ms": 0.0,
+        "shard_overhead_x": 0.0,
         "error": "",
     }
     emitted = []
@@ -288,7 +304,8 @@ def _run(result):
     t0 = time.time()
     fb = renderer.render_device()
     float(fb[-1, 0])
-    log(f"primary compile+first frame: {time.time()-t0:.1f}s")
+    result["compile_s_primary"] = round(time.time() - t0, 1)
+    log(f"primary compile+first frame: {result['compile_s_primary']}s")
     best, med = measure_frame(renderer.render_device,
                               lambda fb: float(fb[-1, 0]), rpc_lat,
                               K=MK, reps=MR)
@@ -311,7 +328,8 @@ def _run(result):
         t0 = time.time()
         pt.step()
         float(pt.accum[-1, 0])
-        log(f"pathtrace compile+first step: {time.time()-t0:.1f}s "
+        result["compile_s_pathtrace"] = round(time.time() - t0, 1)
+        log(f"pathtrace compile+first step: {result['compile_s_pathtrace']}s "
             f"({pt.samples_per_step} spp/step)")
 
         def spp_burst(k=2):
@@ -389,65 +407,72 @@ def _run(result):
         log(f"refit loop (device LBVH rebuild + frame): {rt*1e3:.1f}ms -> "
             f"{result['refit_fps_1080p']} FPS")
 
-        # ---- 3b. path-traced fly-through at 1024² (round-4 extension):
-        # 1 spp/frame + temporal reprojection of the accumulation across
-        # camera moves + à-trous preview — the full interactive quality
-        # stack in one number (engine/pathtracer._warp_history) ----
+        # ---- 3b. path-traced fly-through at 1024² (flagship
+        # interactivity): every moving frame is ONE fused dispatch —
+        # temporal warp + interleaved 1/m sample step + à-trous
+        # reconstruction (PathTracer.fly_frame; the r4 three-dispatch
+        # pipeline paid a tunnel RPC per stage AND a full-frame wavefront
+        # step). Default interleave 8: 1/8 of the pixels re-sampled per
+        # frame, history + denoiser reconstruct the rest (bounded-quality
+        # test: tests/test_interleave.py). ----
         vp = Viewer(scene, PTRES, PTRES, config=config, shadows=True,
                     verbose=False)
         vp.handle_key("p")              # path-trace mode (temporal+denoise)
+        vp.fly_interleave = 8
         t0 = time.time()
-        vp.run_compute()                # step+denoise compile
+        vp.run_compute()                # static step+denoise compile
         _ = vp.framebuffer_u8
-        vp.handle_key("d")
-        vp.run_compute()                # warp (2-trace variant) compile
+        for k in "dadaw":               # compile every interleave phase +
+            vp.handle_key(k)            # both warp variants
+            vp.run_compute()
         _ = vp.framebuffer_u8
-        vp.handle_key("a")
-        vp.run_compute()                # warp (cached-gbuffer variant)
-        _ = vp.framebuffer_u8
-        log(f"pathtrace-fly compile+first frames: {time.time()-t0:.1f}s")
-        PFK = 3 if SMOKE else 8
-        fts = []
-        for i in range(PFK):
+        result["compile_s_fly"] = round(time.time() - t0, 1)
+        log(f"pathtrace-fly compile+first frames: "
+            f"{result['compile_s_fly']}s")
+        PFK = 3 if SMOKE else 6
+
+        def fly_burst(k=PFK):
+            # burst-dispatch k fused frames, ONE value fetch at the end
+            # (only a fetch proves execution under the axon tunnel)
             t0 = time.perf_counter()
-            vp.handle_key("d" if i % 2 == 0 else "a")
-            vp.run_compute()            # warp + 1 spp + denoise dispatch
-            from gpu_raytracer_tpu.engine.perf import block_on
-            block_on(vp._fb_dev)        # device frame ready (present is
-            fts.append(time.perf_counter() - t0)   # measured separately)
-        # median-of-frames: each frame fully syncs on device, so one
-        # transient pool stall must not poison the record. Compute cadence
-        # (like viewer_fps_1080p): the u8 present readback is a dev-tunnel
-        # artifact (~10 MB/s RPC link) logged separately below.
-        pf = max(sorted(fts)[PFK // 2] - rpc_lat, 1e-4)
+            for i in range(k):
+                vp.handle_key("d" if i % 2 == 0 else "a")
+                vp.run_compute()
+            float(np.asarray(vp._fb_dev.ravel()[0]))
+            return (time.perf_counter() - t0 - rpc_lat) / k
+
+        fly_burst(2)
+        pf = max(min(fly_burst() for _ in range(1 if SMOKE else 3)), 1e-4)
         result["pathtrace_fly_fps"] = round(1.0 / pf, 1)
-        log(f"pathtrace fly-through (warp + 1 spp + denoise, {PTRES}²): "
-            f"{pf*1e3:.0f}ms/frame -> {result['pathtrace_fly_fps']} FPS "
-            f"(frames: {', '.join(f'{t*1e3:.0f}' for t in sorted(fts))} ms)")
+        log(f"pathtrace fly-through (fused warp+1/8-interleave+denoise, "
+            f"{PTRES}²): {pf*1e3:.0f}ms/frame -> "
+            f"{result['pathtrace_fly_fps']} FPS")
         t0 = time.perf_counter()
-        _ = vp.framebuffer_u8           # device-quantised u8 readback
+        _ = vp.framebuffer_u8           # device-quantised u8 RGB readback
         pp = time.perf_counter() - t0
         result["pathtrace_present_ms"] = round(pp * 1e3, 1)
         log(f"pathtrace u8 present readback ({PTRES}²): {pp*1e3:.0f}ms "
-            f"(tunnel-bound; 4x smaller than the f32 fetch)")
+            f"(tunnel-bound; the packed present below halves it)")
 
         # ---- 3c. pipelined STREAM cadence (the server/window present
-        # path): frame N-1's u8 readback overlaps frame N's compute
-        # (Viewer.present_frame double-buffering) — fully presented frames,
+        # path): frame N-1's readback overlaps frame N's compute
+        # (Viewer.present_frame_packed double-buffering, YUV 4:2:0 —
+        # 1.5 bytes/px through the dev tunnel) — fully presented frames,
         # not just compute cadence ----
         pending = None
         sts = []
-        for i in range(PFK):
+        for i in range(2 * PFK):
             t0 = time.perf_counter()
             vp.handle_key("d" if i % 2 == 0 else "a")
             vp.run_compute()
-            nxt = vp.present_frame()
-            _ = np.asarray(pending if pending is not None else nxt)
+            nxt = vp.present_frame_packed()
+            _ = vp.materialize_frame(pending if pending is not None
+                                     else nxt)
             pending = nxt
             sts.append(time.perf_counter() - t0)
-        sf = max(sorted(sts)[PFK // 2], 1e-4)
+        sf = max(sorted(sts)[len(sts) // 2], 1e-4)
         result["pathtrace_stream_fps"] = round(1.0 / sf, 1)
-        log(f"pathtrace PRESENTED stream, pipelined ({PTRES}²): "
+        log(f"pathtrace PRESENTED stream, pipelined YUV420 ({PTRES}²): "
             f"{sf*1e3:.0f}ms/frame -> {result['pathtrace_stream_fps']} FPS "
             f"(frames: {', '.join(f'{t*1e3:.0f}' for t in sorted(sts))} ms)")
     except Exception as e:
@@ -475,7 +500,9 @@ def _run(result):
         t0 = time.time()
         fb = tex_renderer.render_device()
         float(fb[-1, 0])
-        log(f"textured compile+first frame: {time.time()-t0:.1f}s")
+        result["compile_s_textured"] = round(time.time() - t0, 1)
+        log(f"textured compile+first frame: "
+            f"{result['compile_s_textured']}s")
         tbest, tmed = measure_frame(tex_renderer.render_device,
                                     lambda fb: float(fb[-1, 0]), rpc_lat,
                                     K=MK, reps=MR)
@@ -560,6 +587,42 @@ def _run(result):
     except Exception as e:
         log(f"GLTF-AT-SCALE BENCH FAILED: {type(e).__name__}: {e}")
 
+    # ---- 4d. texture/material-COUNT scale (VERDICT r4 #8): a 48-material
+    # / 24-texture zoo (MR + spec-gloss workflows, base/mr/occlusion/
+    # emissive maps) through the ACTUAL GLB writer+loader, rendered on the
+    # one-hot-matmul material path whose unbounded-M claim this proves ----
+    try:
+        if over_budget("texture/material scale"):
+            raise TimeoutError("budget")
+        import tempfile
+
+        from gpu_raytracer_tpu.models.gltf import scene_from_gltf
+        from gpu_raytracer_tpu.models.gltf_export import export_glb
+        from gpu_raytracer_tpu.utils.procgen import (make_zoo_scene,
+                                                     zoo_source_images)
+
+        ZN = 8_000 if SMOKE else 60_000
+        zscene = make_zoo_scene(ZN, n_mats=48, n_texs=24, seed=0,
+                                config=config)
+        zpath = os.path.join(tempfile.gettempdir(), "zoo_bench.glb")
+        export_glb(zscene, zpath, images=zoo_source_images(24, 0))
+        zloaded = scene_from_gltf(zpath, config=config)
+        result["textured_scale_mats"] = int(zloaded.materials.count)
+        result["textured_scale_texs"] = int(zloaded.textures.count)
+        zren = Renderer(zloaded, W, H, config=config)
+        assert zren._use_deferred(), "zoo scene must ride the fused path"
+        fbz = zren.render_device()
+        float(fbz[-1, 0])
+        zbest, _ = measure_frame(zren.render_device,
+                                 lambda fb: float(fb[-1, 0]), rpc_lat,
+                                 K=min(MK, 4), reps=min(MR, 2))
+        zmrays = n * 3 / zbest / 1e6
+        result["textured_scale_mrays_per_s"] = round(zmrays, 2)
+        log(f"texture/material scale (48 mats / 24 texs via GLB loader): "
+            f"{zbest*1e3:.1f}ms -> {zmrays:.1f} Mrays/s")
+    except Exception as e:
+        log(f"TEXTURE/MATERIAL SCALE BENCH FAILED: {type(e).__name__}: {e}")
+
     # ---- 5. display path + on-TPU parity (nice-to-haves, run last) ----
     try:
         if over_budget("display/parity"):
@@ -606,6 +669,31 @@ def _run(result):
         log(f"PARITY CHECK FAILED: {type(e).__name__}: {e}")
         pass  # parity keys pre-seeded at -1.0
 
+    try:
+        if over_budget("oracle rmse"):
+            raise TimeoutError("budget")
+        # chip vs the CPU ORACLE, directly (VERDICT r4 #1b): a small
+        # default-scene frame rendered on the chip RMSE'd against the
+        # NumPy port of the reference's shading
+        # (gpu_raytracer_tpu/reference/cpu_tracer.py) — closes the
+        # fidelity chain without the transitive chip==XLA==CPU==oracle
+        # inference. Oracle semantics: no shadow rays (the reference
+        # never traces them, SURVEY lighting row).
+        from gpu_raytracer_tpu import build_default_scene, render_image
+        from gpu_raytracer_tpu.reference import cpu_tracer
+        from gpu_raytracer_tpu.utils.image import rmse
+
+        dsc = build_default_scene()
+        OW = OH = 32 if SMOKE else 48
+        chip_img = render_image(dsc, OW, OH, shadows=False)
+        oracle_img = cpu_tracer.render(cpu_tracer.scene_dict_from(dsc),
+                                       OW, OH)
+        result["rmse_vs_oracle"] = float(rmse(chip_img, oracle_img))
+        log(f"chip vs CPU oracle RMSE ({OW}x{OH} default scene): "
+            f"{result['rmse_vs_oracle']:.2e}")
+    except Exception as e:
+        log(f"ORACLE RMSE FAILED: {type(e).__name__}: {e}")
+
     # ---- 6. geometry sharding A/B (single chip, 1-device mesh): the
     # Pallas per-shard path vs the XLA lockstep path it replaced ----
     try:
@@ -617,6 +705,8 @@ def _run(result):
             trace_geometry_sharded_ring)
         from gpu_raytracer_tpu.ops.camera_rays import generate_rays
 
+        from gpu_raytracer_tpu.ops.trace import trace as trace_single
+
         mesh1 = make_mesh(1)
         shards = GeometryShards(scene, 1)
         ab_n = 16 * 1024 if SMOKE else 256 * 1024
@@ -625,18 +715,42 @@ def _run(result):
         tg = jnp.asarray(pyg.uniform(-20, 20, (ab_n, 3)).astype(np.float32))
         d = tg - o
         d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
-        for name, fn_, up in (("pallas", trace_geometry_sharded, True),
-                              ("xla", trace_geometry_sharded, False),
-                              ("ring", trace_geometry_sharded_ring, True)):
-            hitr = fn_(scene, o, d, mesh1, shards=shards, use_pallas=up)
+
+        def time_trace(fn):
+            hitr = fn()
             float(hitr.t[0])
             t0 = time.perf_counter()
             for _ in range(2):
-                hitr = fn_(scene, o, d, mesh1, shards=shards, use_pallas=up)
+                hitr = fn()
             float(hitr.t[0])
-            dt = (time.perf_counter() - t0 - rpc_lat) / 2
+            return (time.perf_counter() - t0 - rpc_lat) / 2
+
+        # UNSHARDED CONTROL on the IDENTICAL (incoherent) ray set
+        # (VERDICT r4 #4): the production single-chip trace — shard
+        # overhead is meaningless without it
+        ut = time_trace(lambda: trace_single(scene, o, d, leaf_size=8))
+        result["shard_unsharded_ms"] = round(ut * 1e3, 1)
+        log(f"geometry-shard CONTROL [unsharded production trace]: "
+            f"{ut*1e3:.1f}ms for {ab_n/1e3:.0f}k rays -> "
+            f"{ab_n/ut/1e6:.1f} Mrays/s")
+        for name, fn_, up, srt in (
+                ("pallas+sort", trace_geometry_sharded, True, True),
+                ("pallas", trace_geometry_sharded, True, False),
+                ("xla", trace_geometry_sharded, False, False),
+                ("ring+sort", trace_geometry_sharded_ring, True, True)):
+            dt = time_trace(lambda: fn_(scene, o, d, mesh1, shards=shards,
+                                        use_pallas=up, sort=srt))
             log(f"geometry-shard trace [{name}]: {dt*1e3:.1f}ms for "
                 f"{ab_n/1e3:.0f}k rays -> {ab_n/dt/1e6:.1f} Mrays/s")
+            if name == "pallas+sort":
+                result["shard_sorted_ms"] = round(dt * 1e3, 1)
+            elif name == "pallas":
+                result["shard_unsorted_ms"] = round(dt * 1e3, 1)
+        if result["shard_sorted_ms"] and result["shard_unsharded_ms"]:
+            result["shard_overhead_x"] = round(
+                result["shard_sorted_ms"] / result["shard_unsharded_ms"], 2)
+            log(f"shard overhead (sorted sharded / unsharded, D=1): "
+                f"{result['shard_overhead_x']}x")
     except Exception as e:
         log(f"GEOMETRY-SHARD A/B FAILED: {type(e).__name__}: {e}")
 
