@@ -361,7 +361,7 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
     # ---- per-lane material params: static mask-select over the table,
     # or (textured) the matmul lookup + atlas sampling subroutine ----
     if textured:
-        from .texshade import WINDOW_TIERS, sample_materials_tiles
+        from .texshade import sample_materials_tiles
 
         if n_spheres > 0:
             su, sv = _sphere_uv_tiles(snx * snl, sny * snl, snz * snl)
@@ -371,13 +371,11 @@ def _kernel(node_ref, tri_ref, cam_ref, mat_ref, light_ref, sph_ref,
         uvy = jnp.where(use_tri, best[7], sv)
         pix_scale = 2.0 * cam_ref[0:1, :][0, 9] * (1.0 / height)
         lam = t * pix_scale * best[8]       # mip footprint (see deferred)
-        # coherent primary rays: the escalating window ladder (the bounce
-        # kernel keeps the single tier — see WINDOW_TIERS' measured A/B)
         (alb_r, alb_g, alb_b, emi_r, emi_g, emi_b, metal, _rough, iorv,
          trans, occ) = sample_materials_tiles(
             planes_ref, mtable_ref, uvx, uvy, mat_id, n_mats=n_mats,
             mats_pad=mats_pad, rows_pad=rows_pad, present=present,
-            lam=lam, n_levels=n_levels, tiers=WINDOW_TIERS)
+            lam=lam, n_levels=n_levels)
     else:
         occ = None
         alb_r = jnp.zeros(tile, jnp.float32)

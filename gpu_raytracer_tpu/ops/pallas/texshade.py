@@ -68,29 +68,6 @@ GROUPS_PER_BLOCK = 8          # 8 sublane groups = 1024 rays per grid step
 MAX_ATLAS_ROWS = 4096
 MAX_TABLE_MATERIALS = 1024
 
-# Windowed-fetch row count: coherent 128-ray groups contract the sampling
-# matmul over this 128-aligned window instead of the whole atlas (see
-# _sample_map). Must be a multiple of 128; divergent groups fall back to
-# the full-K path, so this only trades speed, never correctness.
-# Chip A/B on the 25.2-MTexel courtyard at 1080p (R=3415 resident rows,
-# was 60 ms/frame full-K): W=1024 → 36.2 ms, W=512 → 32.7 ms,
-# W=256 → 30.8 ms (202 Mrays/s), all bit-exact vs the XLA pipeline —
-# diminishing returns below 512 as fixed per-group cost and fallback
-# groups take over.
-WINDOW_ROWS = 256
-
-# Escalating window ladder for COHERENT shade paths: groups that straddle
-# the finest window (texture seams, mixed mips at depth edges) try a
-# coarser tier before paying the full-K matmul. Chip A/B (25.2-MTexel
-# courtyard, interleaved arms): (256, 1024) takes the textured 1080p
-# deferred frame 31.4 -> 28.7 ms (-9%) but the textured PATHTRACE
-# 311 -> 342 ms/spp (+10%) — incoherent bounce groups escalate through
-# the extra cond without fitting the tier, so the bounce kernel keeps the
-# single-tier (WINDOW_ROWS,) default; (256, 512, 1024) is 2.5x worse on
-# the frame (77 ms: three resident branch bodies blow the VMEM/scheduling
-# budget). Tiers must be 128-multiples, ascending, first == WINDOW_ROWS.
-WINDOW_TIERS = (WINDOW_ROWS, 1024)
-
 # Samplable map slots and which RGBA byte-planes each needs.
 _MAPS = (
     (TEX_BASE_COLOR, (0, 1, 2)),
@@ -263,116 +240,6 @@ def _mip_lod_frac(meta, lam):
     return l0, frac
 
 
-def _sample_map(plane_ref, rows_pad, meta, u, v, channels, lam=None,
-                n_levels=1, trilinear=False, tiers=(WINDOW_ROWS,),
-                fixed_lod=0.0):
-    """Bilinear-sample one map for a 128-ray group → dict channel→(1,128).
-
-    One bf16 matmul per channel fetches BOTH tap rows ([128lanes, K] @
-    [K, 256] with the y0 one-hot in lanes 0-127 and y1 in 128-255), an f32
-    lerp blends them vertically, and a weighted lane one-hot reduces the
-    horizontal pair. Absent-map lanes read row 0 harmlessly; the caller
-    masks with `has`. With a mip pyramid (n_levels > 1) and a footprint
-    operand, each lane samples its own nearest mip level — or, with
-    `trilinear`, lerps the two straddling levels (a second fetch: opt-in,
-    it doubles the sampling matmuls).
-
-    The matmul's contraction K is the atlas row count — the phase-2 cost
-    driver at reference-scale texture sets (chip-measured ~60 ms/frame at
-    1080p with R≈3450, flat in texel volume once the mip budget clamps).
-    Screen-coherent ray groups address a narrow row band, so when the
-    atlas is larger than WINDOW_ROWS the fetch slices a 128-aligned
-    WINDOW_ROWS-row window around the group's min tap row and contracts
-    over K=WINDOW_ROWS instead of R (Mosaic lane-axis dynamic slice);
-    groups whose taps straddle more than the window (texture seams, mixed
-    mip levels, depth discontinuities) fall back to the full-K matmul
-    under the same lax.cond. Bit-identical results either way — the
-    one-hot rows select the same texels."""
-    def fetch(meta6):
-        rowA, lane, srows, fx, fy = _tap_setup(u, v, meta6)
-
-        lit = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1),
-                                       0).astype(jnp.float32)
-        hl = ((lit == lane).astype(jnp.float32) * (1.0 - fx)
-              + (lit == lane + 1.0).astype(jnp.float32) * fx)  # [128,128]
-
-        def tapped(base, k_rows, plane_of):
-            rit = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1),
-                                           0).astype(jnp.float32)
-            w0 = (rit == rowA - base).astype(jnp.bfloat16)   # [K,128]
-            w1 = (rit == rowA + srows - base).astype(jnp.bfloat16)
-            wstack = jnp.concatenate([w0, w1], axis=1)       # [K,256]
-            out = {}
-            for c in channels:
-                res = jax.lax.dot_general(
-                    plane_of(c), wstack, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # [128,256]
-                col = (res[:, :LANES] * (1.0 - fy) + res[:, LANES:] * fy)
-                out[c] = jnp.sum(col * hl, axis=0,
-                                 keepdims=True) * (1.0 / 255.0)
-            return out
-
-        live_tiers = [t for t in tiers if rows_pad > t]
-        if live_tiers:
-            # window stats over lanes that HAVE the map (absent lanes read
-            # row 0 and must not drag the window there)
-            has = meta6[0] > 0.0
-            BIGF = jnp.float32(3.0e38)
-            rmin = jnp.min(jnp.where(has, rowA, BIGF))
-            rmax = jnp.max(jnp.where(has, rowA + srows, -BIGF))
-            base_raw = jnp.floor(rmin * (1.0 / 128.0)) * 128.0
-
-            def win_branch(t):
-                base_f = jnp.maximum(
-                    jnp.minimum(base_raw, float(rows_pad - t)), 0.0)
-                # Mosaic needs a static divisibility proof for lane-axis
-                # dynamic slices; the float floor math above guarantees it.
-                base_i = pl.multiple_of(base_f.astype(jnp.int32), 128)
-
-                def br(_):
-                    d = tapped(base_f, t,
-                               lambda c: plane_ref[c, :, pl.ds(base_i, t)])
-                    return tuple(d[c] for c in channels)
-                return br, base_f
-
-            def full_branch(_):
-                d = tapped(0.0, rows_pad, lambda c: plane_ref[c])
-                return tuple(d[c] for c in channels)
-
-            # nest coarsest-out: cond(fits 256, win256, cond(fits 1024, ...))
-            nxt = full_branch
-            for t in reversed(live_tiers):
-                br, base_f = win_branch(t)
-                ok_t = rmax < base_f + float(t)
-                nxt = partial(
-                    lambda ok, a, b, _: jax.lax.cond(ok, a, b, 0),
-                    ok_t, br, nxt)
-            outs = nxt(0)
-            return dict(zip(channels, outs))
-        return tapped(0.0, rows_pad, lambda c: plane_ref[c])
-
-    if lam is not None and n_levels > 1 and trilinear:
-        lv = meta[6]
-        l0, frac = _mip_lod_frac(meta, lam)
-        s0 = fetch(_walk_meta(meta, l0, n_levels))
-        s1 = fetch(_walk_meta(meta, jnp.minimum(l0 + 1.0, lv - 1.0),
-                              n_levels))
-        return tuple(s0[c] * (1.0 - frac) + s1[c] * frac for c in channels)
-    if lam is not None and n_levels > 1:
-        out = fetch(_mip_meta(meta, lam, n_levels))
-    elif fixed_lod > 0.0 and n_levels > 1:
-        # Static per-launch LOD (bounce ray-cone bias): every lane samples
-        # level min(fixed_lod, chain-1). Secondary-bounce taps then land in
-        # the small coarse-mip region, so the windowed fetch fits where
-        # level-0 taps straddled — and the prefiltered texel is the
-        # physically better estimate for a widened ray cone anyway.
-        lodv = jnp.minimum(jnp.float32(fixed_lod), meta[6] - 1.0)
-        out = fetch(_walk_meta(meta, lodv, n_levels))
-    else:
-        out = fetch(meta[:6])
-    return tuple(out[c] for c in channels)
-
-
 # Block-level window rows: the flat kernel fetches all 1024 rays of a
 # block with ONE matmul per channel when their taps fit this many
 # 128-aligned atlas rows (8 groups of tile-adjacent rays usually do);
@@ -468,7 +335,7 @@ def _sample_map_block(plane_ref, rows_pad, meta, u, v, channels, lam=None,
 
 def _kernel(in_ref, planes_ref, mtable_ref, out_ref, *,
             n_mats, mats_pad, rows_pad, present, sky, n_levels=1,
-            trilinear=False, tiers=(WINDOW_ROWS,)):
+            trilinear=False):
     """One BLOCK (8 groups = 1024 rays) per grid step, computed FLAT in
     [1, 1024] lane space: one Precision.HIGHEST table matmul and one tap
     matmul per channel per map for the whole block. The per-group
@@ -590,7 +457,7 @@ def pallas_texture_shade(scene: Scene, out7: jnp.ndarray,
                      mats_pad=mats_pad, rows_pad=rows_pad,
                      present=present, sky=tuple(float(x) for x in sky),
                      n_levels=scene.textures.n_levels,
-                     trilinear=trilinear, tiers=WINDOW_TIERS)
+                     trilinear=trilinear)
     grid = (B * blocks_per_packet,)
     in_map = lambda i: (i // blocks_per_packet, 0, i % blocks_per_packet, 0)
     rgb = pl.pallas_call(
@@ -638,34 +505,40 @@ def material_table_full(scene: Scene):
 
 def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
                         n_mats, mats_pad, rows_pad, present, lam=None,
-                        n_levels=1, tiers=(WINDOW_ROWS,), fixed_lod=0.0):
+                        n_levels=1, fixed_lod=0.0):
     """Per-lane textured material parameters → 11 (sub,128) tiles
     (alb rgb, emi rgb, metal, rough, ior, trans, ambient-occ).
 
-    Works one 128-lane sublane group at a time so the one-hot matmuls keep
-    rays on the MXU's free axis (the texshade layout): material lookup is
-    one [40,Mp]@[Mp,128] matmul, each present map is sampled through the
-    guard-band atlas via _sample_map. Group results stack back
-    into full packet tiles. `lam` ((sub,128) footprint tile) + n_levels > 1
-    enables per-lane nearest-mip sampling."""
+    Works one FLAT 8-group block (1024 rays) at a time, like _kernel: one
+    Precision.HIGHEST table matmul and one _sample_map_block call per
+    present map per block — the per-128-ray-group formulation issued 8x
+    the matmuls and was MXU-issue-bound on chip (see _kernel's note); a
+    full bounce packet (sub = 64) drops from 64 to 8 lookup matmuls.
+    Block results reshape back into full packet tiles. `lam`
+    ((sub,128) footprint tile) + n_levels > 1 enables per-lane
+    nearest-mip sampling."""
     sub = uvx.shape[0]
+    bs = 8 if sub % 8 == 0 else 1           # groups per flat block
     rows = {k: [] for k in range(11)}
-    for g in range(sub):
-        u = uvx[g:g + 1, :]
-        v = uvy[g:g + 1, :]
-        lamg = lam[g:g + 1, :] if (lam is not None and n_levels > 1) else None
-        mid = jnp.clip(mat_id[g:g + 1, :], 0.0, float(n_mats - 1))
+    for b in range(sub // bs):
+        sl = slice(b * bs, (b + 1) * bs)
+        n = bs * LANES
+        u = uvx[sl].reshape(1, n)
+        v = uvy[sl].reshape(1, n)
+        lamg = (lam[sl].reshape(1, n)
+                if (lam is not None and n_levels > 1) else None)
+        mid = jnp.clip(mat_id[sl].reshape(1, n), 0.0, float(n_mats - 1))
         mit = jax.lax.broadcasted_iota(jnp.int32, (mats_pad, 1),
                                        0).astype(jnp.float32)
-        ohm = (mit == mid).astype(jnp.float32)               # [Mp,128]
+        ohm = (mit == mid).astype(jnp.float32)               # [Mp,n]
         # Precision.HIGHEST: exact table extraction (see _kernel — the
         # default single-bf16-pass dot corrupts atlas row offsets)
         mrow = jax.lax.dot_general(
             mtable_ref[...], ohm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # [40,128]
+            precision=jax.lax.Precision.HIGHEST)                # [40,n]
         vals = [mrow[c:c + 1, :] for c in range(10)]
-        occ = jnp.ones((1, uvx.shape[1]), jnp.float32)
+        occ = jnp.ones((1, n), jnp.float32)
         for mi, (slot, channels) in enumerate(_MAPS):
             if slot not in present:
                 continue
@@ -683,11 +556,11 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
             has = meta[0] > 0.0
             smp = jax.lax.cond(
                 jnp.any(has),
-                lambda _: _sample_map(planes_ref, rows_pad, meta, u, v,
-                                      channels, lam=lamg,
-                                      n_levels=n_levels, tiers=tiers,
-                                      fixed_lod=fixed_lod),
-                lambda _: tuple(jnp.ones((1, uvx.shape[1]), jnp.float32)
+                lambda _: _sample_map_block(planes_ref, rows_pad, meta,
+                                            u, v, channels, lam=lamg,
+                                            n_levels=n_levels,
+                                            fixed_lod=fixed_lod),
+                lambda _: tuple(jnp.ones((1, n), jnp.float32)
                                 for _ in channels), 0)
             pick = {c: jnp.where(has, smp[i], 1.0)
                     for i, c in enumerate(channels)}
@@ -705,6 +578,6 @@ def sample_materials_tiles(planes_ref, mtable_ref, uvx, uvy, mat_id, *,
             elif slot == TEX_OCCLUSION:
                 occ = pick[0]
         for k in range(10):
-            rows[k].append(vals[k])
-        rows[10].append(occ)
+            rows[k].append(vals[k].reshape(bs, LANES))
+        rows[10].append(occ.reshape(bs, LANES))
     return tuple(jnp.concatenate(rows[k], axis=0) for k in range(11))

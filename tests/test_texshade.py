@@ -125,13 +125,13 @@ def test_deferred_render_uses_texshade():
 
 
 def test_texshade_windowed_fetch_parity():
-    """Atlases larger than WINDOW_ROWS take the windowed fetch: coherent
-    groups contract the sampling matmul over a 128-aligned window around
-    the group's min tap row; groups that straddle it escalate through the
-    coarser WINDOW_TIERS before the full-K matmul. Tight / medium / wide
-    UV spreads over a 512x512 map exercise ALL tiers and the fallback;
-    results must equal the XLA reference exactly as before."""
-    from gpu_raytracer_tpu.ops.pallas.texshade import WINDOW_ROWS
+    """Atlases larger than BLOCK_WINDOW_ROWS take the windowed fetch:
+    coherent blocks contract the sampling matmul over a 128-aligned
+    window around the block's min tap row; blocks that straddle it fall
+    back to the per-group full-K loop. Tight / medium / wide UV spreads
+    over a 512x512 map exercise the window and the fallback; results
+    must equal the XLA reference exactly as before."""
+    from gpu_raytracer_tpu.ops.pallas.texshade import BLOCK_WINDOW_ROWS
 
     rng = np.random.default_rng(7)
     mb = MaterialBuilder()
@@ -148,7 +148,7 @@ def test_texshade_windowed_fetch_parity():
     scene = prepare_scene(base.camera, base.spheres, base.mesh, mb.build(),
                           base.lights, textures=tex)
     assert texshade_eligible(scene)
-    assert scene.textures.data_u32.shape[0] // 128 > WINDOW_ROWS
+    assert scene.textures.data_u32.shape[0] // 128 > BLOCK_WINDOW_ROWS
 
     # groups rotate through: tight UV clusters (finest window), medium
     # spread (the coarser middle tier), wide spread across the whole map
